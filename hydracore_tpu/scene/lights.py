@@ -1,0 +1,187 @@
+"""Light compiler: statefile XML + instance matrices -> flat SoA light table.
+
+TPU-native analogue of the reference's 128-float PlainLight PODs
+(hydra_drv/PlainLightConverter.cpp, cfetch.h:6-13) and the light pick-CDF
+built in EndScene (RenderDriverRTE.cpp:1499-1520). Each INSTANCED light is
+one record: instance matrices are applied at compile time so kernels never
+transform light frames.
+"""
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+from hydracore_tpu.scene.statefile import SceneDesc, get_color, get_float, parse_floats
+
+LIGHT_POINT = 0
+LIGHT_SPOT = 1
+LIGHT_DIRECT = 2
+LIGHT_SKY = 3
+LIGHT_AREA_RECT = 4
+LIGHT_AREA_DISK = 5
+LIGHT_SPHERE = 6
+
+
+@struct.dataclass
+class LightTable:
+    """SoA over instanced lights (length L; L >= 1, slot padding benign)."""
+
+    ltype: np.ndarray  # (L,)
+    pos: np.ndarray  # (L,3) world position / center
+    norm: np.ndarray  # (L,3) emission normal (area), direction (spot/direct)
+    vx: np.ndarray  # (L,3) rect half-axis * half_length (world)
+    vy: np.ndarray  # (L,3) rect half-axis * half_width (world)
+    intensity: np.ndarray  # (L,3) radiance (area) / radiant intensity (point)
+    radius: np.ndarray  # (L,) sphere/disk radius
+    area: np.ndarray  # (L,) surface area (world)
+    cos_in: np.ndarray  # (L,) spot inner cone cos
+    cos_out: np.ndarray  # (L,) spot outer cone cos
+    tex: np.ndarray  # (L,) sky texture slot (0 = none/white)
+    pick_cdf: np.ndarray  # (L+1,) prefix CDF over pick probability
+    statefile_id: np.ndarray  # (L,) original light id
+
+
+def _lum(c) -> float:
+    return float(0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
+
+
+def build_light_table(desc: SceneDesc, tex_remap: np.ndarray) -> LightTable:
+    recs = []
+
+    # sky lights are not instanced in <scenes>; add them directly
+    for lid, node in desc.lights.items():
+        if node.get("type") == "sky":
+            recs.append(_compile(node, np.eye(4, dtype=np.float32), lid, tex_remap))
+
+    for li in desc.light_instances:
+        node = desc.lights.get(li.light_id)
+        if node is None or node.get("type") == "sky":
+            continue
+        recs.append(_compile(node, li.matrix, li.light_id, tex_remap))
+
+    if not recs:  # keep shapes static: one dummy dark light
+        recs.append(_blank())
+
+    def stack(key, dtype):
+        return np.asarray([r[key] for r in recs], dtype)
+
+    # pick probability ~ emitted power heuristic (the reference uses a
+    # CalcLightPickProbTable over light "importance")
+    powers = []
+    for r in recs:
+        p = _lum(r["intensity"])
+        if r["ltype"] in (LIGHT_AREA_RECT, LIGHT_AREA_DISK, LIGHT_SPHERE):
+            p *= max(r["area"], 1e-6) * np.pi
+        elif r["ltype"] == LIGHT_SKY:
+            p *= 4.0 * np.pi
+        powers.append(max(p, 1e-8))
+    powers = np.asarray(powers, np.float64)
+    probs = powers / powers.sum()
+    cdf = np.concatenate([[0.0], np.cumsum(probs)]).astype(np.float32)
+    cdf[-1] = 1.0
+
+    return LightTable(
+        ltype=stack("ltype", np.int32),
+        pos=stack("pos", np.float32),
+        norm=stack("norm", np.float32),
+        vx=stack("vx", np.float32),
+        vy=stack("vy", np.float32),
+        intensity=stack("intensity", np.float32),
+        radius=stack("radius", np.float32),
+        area=stack("area", np.float32),
+        cos_in=stack("cos_in", np.float32),
+        cos_out=stack("cos_out", np.float32),
+        tex=stack("tex", np.int32),
+        pick_cdf=cdf,
+        statefile_id=stack("statefile_id", np.int32),
+    )
+
+
+def _blank() -> dict:
+    return dict(
+        ltype=LIGHT_POINT,
+        pos=np.zeros(3, np.float32),
+        norm=np.array([0, -1, 0], np.float32),
+        vx=np.array([1, 0, 0], np.float32),
+        vy=np.array([0, 0, 1], np.float32),
+        intensity=np.zeros(3, np.float32),
+        radius=0.0,
+        area=0.0,
+        cos_in=1.0,
+        cos_out=1.0,
+        tex=0,
+        statefile_id=-1,
+    )
+
+
+def _compile(node, matrix: np.ndarray, lid: int, tex_remap: np.ndarray) -> dict:
+    rec = _blank()
+    rec["statefile_id"] = lid
+    ltype = node.get("type", "point")
+    shape = node.get("shape", "")
+
+    inten = node.find("intensity")
+    color = get_color(inten, "color", (1, 1, 1))
+    mult = get_float(inten, "multiplier", 1.0)
+    rec["intensity"] = color * mult
+
+    R, T = matrix[:3, :3], matrix[:3, 3]
+    rec["pos"] = T.astype(np.float32)
+    # local emission frame: area lights emit along -Y (HydraAPI convention)
+    rec["norm"] = _safe_normalize(R @ np.array([0, -1, 0], np.float32))
+
+    size = node.find("size")
+    if ltype == "area" or ltype == "mesh":
+        if shape == "disk" or (size is not None and size.get("radius") is not None):
+            r = float(size.get("radius", 1.0)) if size is not None else 1.0
+            rec["ltype"] = LIGHT_AREA_DISK
+            rec["radius"] = r
+            rec["vx"] = R @ np.array([r, 0, 0], np.float32)
+            rec["vy"] = R @ np.array([0, 0, r], np.float32)
+            rec["area"] = float(np.pi * np.linalg.norm(rec["vx"]) * np.linalg.norm(rec["vy"]))
+        else:
+            hl = float(size.get("half_length", 1.0)) if size is not None else 1.0
+            hw = float(size.get("half_width", 1.0)) if size is not None else 1.0
+            rec["ltype"] = LIGHT_AREA_RECT
+            rec["vx"] = R @ np.array([hl, 0, 0], np.float32)
+            rec["vy"] = R @ np.array([0, 0, hw], np.float32)
+            rec["area"] = float(4.0 * np.linalg.norm(rec["vx"]) * np.linalg.norm(rec["vy"]))
+    elif ltype == "sphere":
+        r = float(size.get("radius", 1.0)) if size is not None else 1.0
+        rec["ltype"] = LIGHT_SPHERE
+        rec["radius"] = r * float(np.cbrt(max(abs(np.linalg.det(R)), 1e-12)))
+        rec["area"] = float(4.0 * np.pi * rec["radius"] ** 2)
+    elif ltype == "directional":
+        rec["ltype"] = LIGHT_DIRECT
+        rec["norm"] = _safe_normalize(R @ np.array([0, -1, 0], np.float32))
+        if size is not None:
+            rec["radius"] = float(size.get("inner_radius", 0.0))
+    elif ltype == "sky":
+        rec["ltype"] = LIGHT_SKY
+        back = node.find("intensity")
+        tid = -1
+        if back is not None:
+            t = back.find("texture")
+            if t is not None:
+                tid = int(t.get("id", -1))
+        rec["tex"] = int(tex_remap[tid]) if 0 <= tid < len(tex_remap) else 0
+    elif ltype == "spot":
+        rec["ltype"] = LIGHT_SPOT
+        a1 = get_float(node, "falloff_angle", 60.0)
+        a2 = get_float(node, "falloff_angle2", a1)
+        inner, outer = np.deg2rad(min(a1, a2) * 0.5), np.deg2rad(max(a1, a2) * 0.5)
+        rec["cos_in"] = float(np.cos(inner))
+        rec["cos_out"] = float(np.cos(outer))
+    else:  # point / omni
+        rec["ltype"] = LIGHT_POINT
+
+    return rec
+
+
+def _safe_normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v)
+    return (v / n if n > 1e-12 else v).astype(np.float32)
+
+
+# re-export for statefile synthesized meshes
+parse_floats = parse_floats

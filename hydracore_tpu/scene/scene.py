@@ -1,0 +1,174 @@
+"""Scene assembler: statefile -> SceneData device pytree.
+
+The TPU analogue of RenderDriverRTE's EndScene (RenderDriverRTE.cpp:1396):
+geometry is flattened across instances into world space (builder ABI note in
+bvh/builder.py), materials/lights are compiled to SoA tables, textures are
+packed into one heap, and the whole thing becomes ONE pytree of device
+arrays — the counterpart of the reference's EngineGlobals + storage buffers
+(cfetch.h:21-81).
+"""
+from __future__ import annotations
+
+import numpy as np
+from flax import struct
+
+from hydracore_tpu.bvh.builder import FlatBVH, build_bvh
+from hydracore_tpu.scene.camera import CameraParams, build_camera
+from hydracore_tpu.scene.lights import LightTable, build_light_table
+from hydracore_tpu.scene.materials import MaterialTable, build_material_table
+from hydracore_tpu.scene.statefile import RenderSettings, SceneDesc, load_statefile
+from hydracore_tpu.scene.textures import build_texture_storage
+
+
+@struct.dataclass
+class SceneData:
+    # geometry (world space, reordered to BVH leaf order)
+    tri_v0: np.ndarray  # (T,3)
+    tri_e1: np.ndarray  # (T,3) v1-v0
+    tri_e2: np.ndarray  # (T,3) v2-v0
+    n0: np.ndarray  # (T,3) shading normals at the 3 vertices
+    n1: np.ndarray
+    n2: np.ndarray
+    uv0: np.ndarray  # (T,2)
+    uv1: np.ndarray
+    uv2: np.ndarray
+    tri_mat: np.ndarray  # (T,) int32
+    tri_light: np.ndarray  # (T,) int32 light-table row or -1
+    tri_inst: np.ndarray  # (T,) int32 instance id
+    # flat BVH
+    bvh_bmin: np.ndarray  # (N,3)
+    bvh_bmax: np.ndarray  # (N,3)
+    bvh_left: np.ndarray  # (N,)
+    bvh_right: np.ndarray  # (N,)
+    bvh_count: np.ndarray  # (N,)
+    # tables
+    materials: MaterialTable
+    lights: LightTable
+    texels: np.ndarray  # (X,4)
+    tex_table: np.ndarray  # (K,4) [offset,w,h,flags]
+    camera: CameraParams
+    # env fallback (sky radiance when no sky light): (3,)
+    env_color: np.ndarray
+    settings: RenderSettings = struct.field(pytree_node=False, default=None)
+
+    @property
+    def num_triangles(self) -> int:
+        return int(self.tri_v0.shape[0])
+
+
+def assemble(desc: SceneDesc, width: int | None = None, height: int | None = None) -> SceneData:
+    st = desc.settings
+    W = width or st.width
+    H = height or st.height
+
+    texels, tex_table, tex_remap = build_texture_storage(desc)
+    materials = build_material_table(desc, tex_remap)
+    lights = build_light_table(desc, tex_remap)
+
+    # map statefile light id -> light-table row (area lights; first match)
+    lid_to_row = {}
+    for row, sid in enumerate(np.asarray(lights.statefile_id)):
+        if sid >= 0 and int(sid) not in lid_to_row:
+            lid_to_row[int(sid)] = row
+
+    # ---- flatten instances to world space
+    v0s, e1s, e2s = [], [], []
+    n0s, n1s, n2s = [], [], []
+    uv0s, uv1s, uv2s = [], [], []
+    mats, lids, insts = [], [], []
+    for inst_id, inst in enumerate(desc.instances):
+        mesh = desc.meshes.get(inst.mesh_id)
+        if mesh is None:
+            continue  # delayed-load chunk absent — skip (loader note)
+        M = inst.matrix
+        R = M[:3, :3]
+        pos = mesh.pos[:, :3] @ R.T + M[:3, 3]
+        n_mat = np.linalg.inv(R).T if abs(np.linalg.det(R)) > 1e-12 else R
+        nrm = mesh.norm[:, :3] @ n_mat.T
+        nlen = np.linalg.norm(nrm, axis=1, keepdims=True)
+        nrm = nrm / np.maximum(nlen, 1e-12)
+
+        ia, ib, ic = mesh.indices[:, 0], mesh.indices[:, 1], mesh.indices[:, 2]
+        a, b, c = pos[ia], pos[ib], pos[ic]
+        v0s.append(a)
+        e1s.append(b - a)
+        e2s.append(c - a)
+        n0s.append(nrm[ia])
+        n1s.append(nrm[ib])
+        n2s.append(nrm[ic])
+        uv0s.append(mesh.texcoord[ia])
+        uv1s.append(mesh.texcoord[ib])
+        uv2s.append(mesh.texcoord[ic])
+
+        tri_m = mesh.mat_indices.copy()
+        if inst.remap_list is not None and inst.remap_list.size >= 2:
+            rl = inst.remap_list.reshape(-1, 2)
+            remap = {int(f): int(t) for f, t in rl}
+            tri_m = np.asarray([remap.get(int(m), int(m)) for m in tri_m], np.int32)
+        mats.append(tri_m)
+
+        lrow = -1
+        light_id = inst.light_id if inst.light_id >= 0 else desc.mesh_light_id.get(inst.mesh_id, -1)
+        if light_id >= 0:
+            lrow = lid_to_row.get(light_id, -1)
+        lids.append(np.full(len(tri_m), lrow, np.int32))
+        insts.append(np.full(len(tri_m), inst_id, np.int32))
+
+    if v0s:
+        tri_v0 = np.concatenate(v0s).astype(np.float32)
+        tri_e1 = np.concatenate(e1s).astype(np.float32)
+        tri_e2 = np.concatenate(e2s).astype(np.float32)
+        n0 = np.concatenate(n0s).astype(np.float32)
+        n1 = np.concatenate(n1s).astype(np.float32)
+        n2 = np.concatenate(n2s).astype(np.float32)
+        uv0 = np.concatenate(uv0s).astype(np.float32)
+        uv1 = np.concatenate(uv1s).astype(np.float32)
+        uv2 = np.concatenate(uv2s).astype(np.float32)
+        tri_mat = np.concatenate(mats).astype(np.int32)
+        tri_light = np.concatenate(lids).astype(np.int32)
+        tri_inst = np.concatenate(insts).astype(np.int32)
+    else:  # empty scene: one degenerate far-away triangle keeps shapes valid
+        tri_v0 = np.full((1, 3), 1e30, np.float32)
+        tri_e1 = np.zeros((1, 3), np.float32)
+        tri_e2 = np.zeros((1, 3), np.float32)
+        n0 = n1 = n2 = np.tile(np.array([[0, 1, 0]], np.float32), (1, 1))
+        uv0 = uv1 = uv2 = np.zeros((1, 2), np.float32)
+        tri_mat = np.zeros(1, np.int32)
+        tri_light = np.full(1, -1, np.int32)
+        tri_inst = np.zeros(1, np.int32)
+
+    bvh = build_bvh(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2)
+    p = bvh.perm if bvh.perm.size else np.zeros(0, np.int32)
+    if p.size:
+        tri_v0, tri_e1, tri_e2 = tri_v0[p], tri_e1[p], tri_e2[p]
+        n0, n1, n2 = n0[p], n1[p], n2[p]
+        uv0, uv1, uv2 = uv0[p], uv1[p], uv2[p]
+        tri_mat, tri_light, tri_inst = tri_mat[p], tri_light[p], tri_inst[p]
+
+    cam = build_camera(desc.camera, W, H)
+
+    # env fallback: sky light color if present else black
+    env = np.zeros(3, np.float32)
+    for row in range(len(np.asarray(lights.ltype))):
+        if int(np.asarray(lights.ltype)[row]) == 3:  # LIGHT_SKY
+            env = np.asarray(lights.intensity)[row]
+            break
+
+    st2 = RenderSettings(**{**st.__dict__, "width": W, "height": H})
+
+    return SceneData(
+        tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
+        n0=n0, n1=n1, n2=n2,
+        uv0=uv0, uv1=uv1, uv2=uv2,
+        tri_mat=tri_mat, tri_light=tri_light, tri_inst=tri_inst,
+        bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
+        bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
+        materials=materials, lights=lights,
+        texels=texels, tex_table=tex_table,
+        camera=cam, env_color=env, settings=st2,
+    )
+
+
+def load_scene(lib_dir: str, width: int | None = None, height: int | None = None) -> SceneData:
+    """Load a HydraAPI scene library directory into a device-ready pytree."""
+    return assemble(load_statefile(lib_dir), width, height)

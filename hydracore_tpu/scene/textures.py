@@ -1,0 +1,92 @@
+"""Texture storage: one flat device buffer + id->record table.
+
+TPU-native analogue of the reference's texture IMemoryStorage
+(hydra_drv/MemoryStorageOCL.*, RenderDriverRTE.cpp:753-834): every texture's
+texels live in ONE float32 (X, 4) buffer; a small (num_tex, 4) int32 table
+holds [texel_offset, width, height, flags]. Kernels fetch by dynamic gather
+(ops/texture.py) — no hardware samplers on TPU.
+
+Deviations from the reference, by design:
+ - LDR textures are linearized (input gamma 2.2) at LOAD time instead of at
+   fetch (SWTexSampler carries per-sampler gamma, cfetch.h:108-131); keeps
+   the fetch kernel branchless.
+ - No budget-driven downscale yet (FitTextureRes, RenderDriverRTE.cpp:650).
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+
+from hydracore_tpu.scene.statefile import SceneDesc
+
+FLAG_LDR = 1
+
+
+def _load_image4ub(data: bytes) -> np.ndarray:
+    w, h = struct.unpack_from("<ii", data, 0)
+    px = np.frombuffer(data, np.uint8, count=w * h * 4, offset=8)
+    return px.reshape(h, w, 4).astype(np.float32) / 255.0
+
+
+def _load_image4f(data: bytes) -> np.ndarray:
+    w, h = struct.unpack_from("<ii", data, 0)
+    px = np.frombuffer(data, np.float32, count=w * h * 4, offset=8)
+    return px.reshape(h, w, 4)
+
+
+def load_texture_array(desc: SceneDesc, tid: int) -> np.ndarray | None:
+    t = desc.textures.get(tid)
+    if t is None or not t.loc:
+        return None
+    path = os.path.join(desc.lib_dir, t.loc)
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    if t.loc.endswith("image4f"):
+        return _load_image4f(data)
+    img = _load_image4ub(data)
+    img[..., :3] = img[..., :3] ** 2.2  # linearize LDR
+    return img
+
+
+class TextureStorage:
+    """Host-side packed texture heap; `.texels` / `.table` go to device."""
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+        self._table: list[tuple[int, int, int, int]] = []
+        self._offset = 0
+        # slot 0 = 1x1 white fallback so tex_id 0 (or missing) is benign
+        self.add(np.ones((1, 1, 4), np.float32))
+
+    def add(self, img: np.ndarray) -> int:
+        h, w = img.shape[:2]
+        flat = np.ascontiguousarray(img.reshape(-1, 4), np.float32)
+        self._chunks.append(flat)
+        self._table.append((self._offset, w, h, 0))
+        self._offset += flat.shape[0]
+        return len(self._table) - 1
+
+    def finalize(self):
+        texels = np.concatenate(self._chunks, axis=0)
+        table = np.asarray(self._table, np.int32)
+        return texels, table
+
+
+def build_texture_storage(desc: SceneDesc):
+    """Pack every scene texture; returns (texels, table, id_remap) where
+    id_remap maps statefile texture id -> storage slot (0 = white)."""
+    storage = TextureStorage()
+    max_id = max(desc.textures.keys(), default=-1)
+    remap = np.zeros(max(max_id + 2, 1), np.int32)  # default white
+    for tid in sorted(desc.textures.keys()):
+        img = load_texture_array(desc, tid)
+        if img is None:
+            remap[tid] = 0
+        else:
+            remap[tid] = storage.add(img)
+    texels, table = storage.finalize()
+    return texels, table, remap
