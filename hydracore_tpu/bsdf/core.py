@@ -1,0 +1,379 @@
+"""BSDF sample/eval library — vectorized over ray batches.
+
+TPU-native re-design of hydra_drv/cmaterial.h (3.8k LoC of per-BRDF
+*_SampleAndEvalBRDF / *_EvalBxDF / *_EvalPDF plus the blend-tree random walk
+materialRandomWalkBRDF:2345). Instead of a data-dependent walk over material
+pages, every material is a fixed 4-lobe record (emission/diffuse/
+reflection/transparency, scene/materials.py) and shading is ONE-SAMPLE MIS
+over lobes: evaluation sums all non-delta lobes branch-free; sampling picks
+a lobe proportionally to its luminance and divides by the mixture pdf.
+
+Conventions:
+  wo — unit vector from surface TOWARD the viewer (= -ray_dir)
+  wi — unit vector from surface toward light / next vertex
+  n  — geometric-consistent shading normal as stored (NOT pre-flipped)
+All functions take/return (R, ...) batches.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hydracore_tpu.ops.texture import sample_bilinear
+from hydracore_tpu.scene.materials import (
+    REFL_BECKMANN,
+    REFL_GGX,
+    REFL_MIRROR,
+    REFL_NONE,
+    REFL_PHONG,
+)
+from hydracore_tpu.utils.math3d import (
+    dot3,
+    make_orthonormal_basis,
+    normalize3,
+    reflect3,
+)
+
+INV_PI = float(1.0 / np.pi)
+EPS_PDF = 1e-20
+
+
+class MatParams(NamedTuple):
+    """Per-ray material parameters after texture fetch."""
+
+    em_color: jnp.ndarray  # (R,3)
+    diff_color: jnp.ndarray  # (R,3)
+    diff_rough: jnp.ndarray  # (R,)
+    refl_color: jnp.ndarray  # (R,3)
+    refl_cospow: jnp.ndarray  # (R,)
+    refl_alpha: jnp.ndarray  # (R,)
+    refl_dist: jnp.ndarray  # (R,) int
+    fresnel_ior: jnp.ndarray  # (R,)
+    fresnel_on: jnp.ndarray  # (R,)
+    transp_color: jnp.ndarray  # (R,3)
+    transp_ior: jnp.ndarray  # (R,)
+    thin_walled: jnp.ndarray  # (R,) int
+    opacity: jnp.ndarray  # (R,) alpha in [0,1]
+    light_id: jnp.ndarray  # (R,) int
+
+
+def luminance(c):
+    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+
+
+def fetch_material(scene, mat_id, uv) -> MatParams:
+    """Gather material record + modulate by textures (ref: materialLeafEval
+    texture fetch path via SWTexSampler, cmaterial.h/cfetch.h)."""
+    mt = scene.materials
+    tx, tt = scene.texels, scene.tex_table
+
+    def tex_rgb(tex_ids):
+        return sample_bilinear(tx, tt, tex_ids, uv)[:, :3]
+
+    em = mt.em_color[mat_id] * tex_rgb(mt.em_tex[mat_id])
+    dc = mt.diff_color[mat_id] * tex_rgb(mt.diff_tex[mat_id])
+    rc = mt.refl_color[mat_id] * tex_rgb(mt.refl_tex[mat_id])
+    op = sample_bilinear(tx, tt, mt.opacity_tex[mat_id], uv)[:, 0]
+    return MatParams(
+        em_color=em,
+        diff_color=dc,
+        diff_rough=mt.diff_rough[mat_id],
+        refl_color=rc,
+        refl_cospow=mt.refl_cospow[mat_id],
+        refl_alpha=mt.refl_alpha[mat_id],
+        refl_dist=mt.refl_dist[mat_id],
+        fresnel_ior=mt.fresnel_ior[mat_id],
+        fresnel_on=mt.fresnel_on[mat_id],
+        transp_color=mt.transp_color[mat_id],
+        transp_ior=mt.transp_ior[mat_id],
+        thin_walled=mt.thin_walled[mat_id],
+        opacity=op,
+        light_id=mt.light_id[mat_id],
+    )
+
+
+# ----------------------------------------------------------------------------
+# Fresnel
+# ----------------------------------------------------------------------------
+
+def fresnel_dielectric(cos_i, eta):
+    """Exact dielectric Fresnel (unpolarized). cos_i >= 0, eta = n_t/n_i."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = jnp.maximum(0.0, 1.0 - cos_i * cos_i) / jnp.maximum(eta * eta, 1e-12)
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    r_par = (eta * cos_i - cos_t) / jnp.maximum(eta * cos_i + cos_t, 1e-12)
+    r_perp = (cos_i - eta * cos_t) / jnp.maximum(cos_i + eta * cos_t, 1e-12)
+    f = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+# ----------------------------------------------------------------------------
+# Lobe evaluation helpers (all non-delta)
+# ----------------------------------------------------------------------------
+
+def _orennayar_factor(rough, n, wo, wi, cos_o, cos_i):
+    """Oren–Nayar qualitative model factor (sigma = rough in [0,1])."""
+    sigma2 = rough * rough
+    A = 1.0 - 0.5 * sigma2 / (sigma2 + 0.33)
+    B = 0.45 * sigma2 / (sigma2 + 0.09)
+    # cos(phi_i - phi_o) via projections onto the tangent plane
+    to = normalize3(wo - cos_o[..., None] * n)
+    ti = normalize3(wi - cos_i[..., None] * n)
+    cos_dphi = jnp.maximum(dot3(to, ti), 0.0)
+    sin_a = jnp.sqrt(jnp.clip(1.0 - jnp.minimum(cos_o, cos_i) ** 2, 0.0, 1.0))
+    tan_b = jnp.sqrt(jnp.clip(1.0 - jnp.maximum(cos_o, cos_i) ** 2, 0.0, 1.0)) / jnp.maximum(
+        jnp.maximum(cos_o, cos_i), 1e-4
+    )
+    return A + B * cos_dphi * sin_a * tan_b
+
+
+def _ggx_d(cos_h, alpha):
+    a2 = alpha * alpha
+    d = cos_h * cos_h * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(np.pi * d * d, 1e-12)
+
+
+def _ggx_g1(cos_v, alpha):
+    a2 = alpha * alpha
+    return 2.0 * cos_v / jnp.maximum(cos_v + jnp.sqrt(a2 + (1.0 - a2) * cos_v * cos_v), 1e-12)
+
+
+def _beckmann_d(cos_h, alpha):
+    c2 = jnp.maximum(cos_h * cos_h, 1e-8)
+    a2 = jnp.maximum(alpha * alpha, 1e-8)
+    t2 = (1.0 - c2) / c2
+    return jnp.exp(-t2 / a2) / jnp.maximum(np.pi * a2 * c2 * c2, 1e-12)
+
+
+def _lobe_weights(p: MatParams, wo, n):
+    """Mixture probabilities (kd, ks, kt) for one-sample lobe selection."""
+    cos_o = jnp.abs(dot3(wo, n))
+    kd = luminance(p.diff_color)
+    f_apx = jnp.where(
+        p.fresnel_on > 0.5, fresnel_dielectric(cos_o, jnp.maximum(p.fresnel_ior, 1.0 + 1e-4)), 1.0
+    )
+    ks = luminance(p.refl_color) * jnp.where(p.fresnel_on > 0.5, jnp.maximum(f_apx, 0.1), 1.0)
+    kt = luminance(p.transp_color)
+    total = kd + ks + kt
+    safe = jnp.maximum(total, EPS_PDF)
+    return kd / safe, ks / safe, kt / safe, total
+
+
+def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i):
+    """Evaluate the (non-delta, reflective) glossy lobe: phong / ggx / beckmann.
+    Returns (f (R,3), pdf (R,)) — zero for mirror/none."""
+    h = normalize3(wo + wi)
+    cos_h = jnp.maximum(dot3(ns, h), 0.0)
+    cos_oh = jnp.maximum(dot3(wo, h), 1e-6)
+
+    # phong
+    r = reflect3(-wo, ns)
+    cos_r = jnp.maximum(dot3(r, wi), 0.0)
+    pw = p.refl_cospow
+    phong_f = (pw + 2.0) * (0.5 * INV_PI) * jnp.power(cos_r, pw)
+    phong_pdf = (pw + 1.0) * (0.5 * INV_PI) * jnp.power(cos_r, pw)
+
+    # ggx (Smith separable G)
+    d_ggx = _ggx_d(cos_h, p.refl_alpha)
+    g = _ggx_g1(cos_o, p.refl_alpha) * _ggx_g1(cos_i, p.refl_alpha)
+    ggx_f = d_ggx * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
+    ggx_pdf = d_ggx * cos_h / (4.0 * cos_oh)
+
+    # beckmann (use ggx G as approximation for shadowing)
+    d_b = _beckmann_d(cos_h, p.refl_alpha)
+    b_f = d_b * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
+    b_pdf = d_b * cos_h / (4.0 * cos_oh)
+
+    dist = p.refl_dist
+    f_scalar = jnp.where(
+        dist == REFL_PHONG, phong_f,
+        jnp.where(dist == REFL_GGX, ggx_f, jnp.where(dist == REFL_BECKMANN, b_f, 0.0)),
+    )
+    pdf = jnp.where(
+        dist == REFL_PHONG, phong_pdf,
+        jnp.where(dist == REFL_GGX, ggx_pdf, jnp.where(dist == REFL_BECKMANN, b_pdf, 0.0)),
+    )
+    fres = jnp.where(
+        p.fresnel_on > 0.5,
+        fresnel_dielectric(cos_oh, jnp.maximum(p.fresnel_ior, 1.0 + 1e-4)),
+        1.0,
+    )
+    valid = (cos_i > 0.0) & (cos_o > 0.0) & (dist != REFL_MIRROR) & (dist != REFL_NONE)
+    f = jnp.where(valid[..., None], (f_scalar * fres)[..., None] * p.refl_color, 0.0)
+    pdf = jnp.where(valid, pdf, 0.0)
+    return f, pdf
+
+
+def eval_bsdf(p: MatParams, wo, wi, n):
+    """Evaluate all non-delta lobes + mixture pdf (for NEE / MIS).
+
+    Ref semantics: materialEval (cmaterial.h:2554) — returns
+    (f (R,3), pdf_fwd (R,)). Reflection-side only (transmission eval comes
+    with rough glass)."""
+    ns = jnp.where(dot3(n, wo)[..., None] >= 0.0, n, -n)  # face the viewer
+    cos_o = jnp.maximum(dot3(ns, wo), 0.0)
+    cos_i = dot3(ns, wi)
+
+    kd, ks, _, total = _lobe_weights(p, wo, ns)
+    refl_side = cos_i > 0.0
+
+    # diffuse
+    on = _orennayar_factor(p.diff_rough, ns, wo, wi, cos_o, jnp.maximum(cos_i, 0.0))
+    diff_factor = jnp.where(p.diff_rough > 1e-5, on, 1.0)
+    f_d = jnp.where(
+        refl_side[..., None], p.diff_color * (INV_PI * diff_factor)[..., None], 0.0
+    )
+    pdf_d = jnp.where(refl_side, jnp.maximum(cos_i, 0.0) * INV_PI, 0.0)
+
+    f_s, pdf_s = _eval_glossy(p, wo, wi, ns, cos_o, jnp.maximum(cos_i, 0.0))
+    f_s = jnp.where(refl_side[..., None], f_s, 0.0)
+    pdf_s = jnp.where(refl_side, pdf_s, 0.0)
+
+    alive = total > EPS_PDF
+    f = jnp.where(alive[..., None], f_d + f_s, 0.0)
+    pdf = jnp.where(alive, kd * pdf_d + ks * pdf_s, 0.0)
+    return f, pdf
+
+
+class BsdfSample(NamedTuple):
+    wi: jnp.ndarray  # (R,3)
+    weight: jnp.ndarray  # (R,3) f * |cos| / pdf  (full mixture)
+    pdf: jnp.ndarray  # (R,) mixture pdf (0 for delta)
+    is_specular: jnp.ndarray  # (R,) bool
+    is_transmission: jnp.ndarray  # (R,) bool
+
+
+def _sample_ggx_h(ns, alpha, u1, u2):
+    t, b = make_orthonormal_basis(ns)
+    a2 = alpha * alpha
+    cos_t2 = (1.0 - u1) / jnp.maximum(1.0 + (a2 - 1.0) * u1, 1e-12)
+    cos_t = jnp.sqrt(jnp.clip(cos_t2, 0.0, 1.0))
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t2, 0.0, 1.0))
+    phi = 2.0 * np.pi * u2
+    return (
+        (sin_t * jnp.cos(phi))[..., None] * t
+        + (sin_t * jnp.sin(phi))[..., None] * b
+        + cos_t[..., None] * ns
+    )
+
+
+def _sample_beckmann_h(ns, alpha, u1, u2):
+    t, b = make_orthonormal_basis(ns)
+    a2 = jnp.maximum(alpha * alpha, 1e-8)
+    tan2 = -a2 * jnp.log(jnp.maximum(1.0 - u1, 1e-12))
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, 1.0))
+    phi = 2.0 * np.pi * u2
+    return (
+        (sin_t * jnp.cos(phi))[..., None] * t
+        + (sin_t * jnp.sin(phi))[..., None] * b
+        + cos_t[..., None] * ns
+    )
+
+
+def _sample_phong_wi(r_dir, pw, u1, u2):
+    t, b = make_orthonormal_basis(r_dir)
+    cos_t = jnp.power(jnp.maximum(1.0 - u1, 1e-12), 1.0 / (pw + 1.0))
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, 1.0))
+    phi = 2.0 * np.pi * u2
+    return (
+        (sin_t * jnp.cos(phi))[..., None] * t
+        + (sin_t * jnp.sin(phi))[..., None] * b
+        + cos_t[..., None] * r_dir
+    )
+
+
+def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
+    """One-sample-MIS lobe sampling. rands: (R,4) uniforms.
+
+    Ref semantics: MaterialSampleAndEvalBxDF + NextBounce
+    (cmaterial.h:2345, material.cl:756): pick lobe ∝ luminance, sample it,
+    weight by full mixture (f_total·cos / pdf_total) for glossy+diffuse;
+    delta lobes (mirror / glass) return weight = tint / lobe_prob with
+    pdf = 0 and is_specular set so the caller uses MIS weight 1.
+    """
+    facing = dot3(n, wo) >= 0.0
+    ns = jnp.where(facing[..., None], n, -n)
+    cos_o = jnp.maximum(dot3(ns, wo), 1e-6)
+
+    kd, ks, kt, total = _lobe_weights(p, wo, ns)
+    alive = total > EPS_PDF
+    u_lobe = rands[:, 0]
+    pick_d = u_lobe < kd
+    pick_s = (~pick_d) & (u_lobe < kd + ks)
+    pick_t = (~pick_d) & (~pick_s) & alive
+
+    u1, u2, u3 = rands[:, 1], rands[:, 2], rands[:, 3]
+
+    # --- diffuse: cosine hemisphere around ns
+    t, b = make_orthonormal_basis(ns)
+    ct = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+    st = jnp.sqrt(jnp.clip(1.0 - u1, 0.0, 1.0))
+    phi = 2.0 * np.pi * u2
+    wi_d = (st * jnp.cos(phi))[..., None] * t + (st * jnp.sin(phi))[..., None] * b + ct[..., None] * ns
+
+    # --- glossy reflection
+    dist = p.refl_dist
+    is_mirror = dist == REFL_MIRROR
+    h_ggx = _sample_ggx_h(ns, p.refl_alpha, u1, u2)
+    h_bec = _sample_beckmann_h(ns, p.refl_alpha, u1, u2)
+    h = jnp.where((dist == REFL_BECKMANN)[..., None], h_bec, h_ggx)
+    wi_micro = reflect3(-wo, h)
+    r_dir = reflect3(-wo, ns)
+    wi_phong = _sample_phong_wi(r_dir, p.refl_cospow, u1, u2)
+    wi_s = jnp.where((dist == REFL_PHONG)[..., None], wi_phong, wi_micro)
+    wi_s = jnp.where(is_mirror[..., None], r_dir, wi_s)
+    wi_s = normalize3(wi_s)
+
+    # --- transparency (delta glass / thin glass)
+    entering = facing
+    eta_pair = jnp.where(entering, p.transp_ior, 1.0 / jnp.maximum(p.transp_ior, 1e-4))
+    cos_i_o = jnp.clip(dot3(ns, wo), 0.0, 1.0)
+    F = fresnel_dielectric(cos_i_o, eta_pair)
+    thin = p.thin_walled > 0
+    # refraction direction (Snell, against ns)
+    inv_eta = 1.0 / jnp.maximum(eta_pair, 1e-6)
+    cos_t2 = 1.0 - inv_eta * inv_eta * (1.0 - cos_i_o * cos_i_o)
+    tir = cos_t2 < 0.0
+    cos_t = jnp.sqrt(jnp.clip(cos_t2, 0.0, 1.0))
+    wt = normalize3(
+        (-inv_eta)[..., None] * wo + (inv_eta * cos_i_o - cos_t)[..., None] * ns
+    )
+    refl_choice = (u3 < F) | tir
+    wi_t = jnp.where(refl_choice[..., None], reflect3(-wo, ns), jnp.where(thin[..., None], -wo, wt))
+    # thin glass: passes straight through (ref ThinGlass class)
+
+    # --- combine
+    wi = jnp.where(pick_d[..., None], wi_d, jnp.where(pick_s[..., None], wi_s, wi_t))
+
+    spec = (pick_s & is_mirror) | pick_t
+    is_transmission = pick_t & ~refl_choice
+
+    # weights
+    f_mix, pdf_mix = eval_bsdf(p, wo, wi, ns)
+    cos_i = jnp.abs(dot3(ns, wi))
+    w_glossy = f_mix * (cos_i / jnp.maximum(pdf_mix, EPS_PDF))[..., None]
+
+    w_mirror = p.refl_color / jnp.maximum(ks, EPS_PDF)[..., None]
+    fres_m = jnp.where(
+        p.fresnel_on > 0.5,
+        fresnel_dielectric(cos_i_o, jnp.maximum(p.fresnel_ior, 1.0 + 1e-4)),
+        1.0,
+    )
+    w_mirror = w_mirror * fres_m[..., None]
+    w_glass = p.transp_color / jnp.maximum(kt, EPS_PDF)[..., None]
+    # (glass reflect/refract choice already ∝ F — weight stays tint/kt)
+
+    weight = jnp.where(
+        spec[..., None],
+        jnp.where(pick_t[..., None], w_glass, w_mirror),
+        w_glossy,
+    )
+    pdf = jnp.where(spec, 0.0, pdf_mix)
+    dead = ~(pick_d | pick_s | pick_t)
+    weight = jnp.where(dead[..., None] | ~alive[..., None], 0.0, weight)
+
+    return BsdfSample(wi=wi, weight=weight, pdf=pdf, is_specular=spec, is_transmission=is_transmission)

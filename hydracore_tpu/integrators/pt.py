@@ -1,0 +1,246 @@
+"""Wavefront MIS path tracer (PT / MISPT) over megablock ray batches.
+
+TPU-native rebuild of the reference hot loop trace1D_Rev
+(hydra_drv/GPUOCLLayerCore.cpp:9-130: Trace → ComputeHit → HitEnvOrLight →
+ShadePass(NEE) → NextBounce) with the algorithmic semantics of the CPU
+oracle IntegratorMISPT::PathTrace (CPUExp_Integrators_PT.cpp:119-224,
+SURVEY.md §8.1):
+
+  * implicit light/env hits weighted by the power heuristic against the
+    light-pick pdf (weight 1 after specular bounces),
+  * next-event estimation with one light sampled from the pick CDF,
+  * path terminates when it lands on an emitter,
+  * russian roulette from bounce 3 by throughput (GPU NextBounce applies RR
+    for diffBounce>=3, material.cl:931; the CPU oracle omits it).
+
+The bounce loop is a statically-unrolled masked wavefront: all rays advance
+in lockstep; dead lanes carry zero throughput. One ray per pixel per pass
+("unified sampling") makes framebuffer contribution a reshape — the sorted
+contribution machinery (screen.cl:409 ContribSampleToScreen) is only needed
+for LT/MMLT style scatter and lands with those transports.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydracore_tpu.bsdf.core import eval_bsdf, fetch_material, sample_bsdf
+from hydracore_tpu.lights.sampling import (
+    env_radiance,
+    light_eval_pdf_from_hit,
+    sample_light_rev,
+    select_light,
+)
+from hydracore_tpu.ops import rng
+from hydracore_tpu.ops.traverse import any_hit, closest_hit
+from hydracore_tpu.scene.lights import LIGHT_SKY
+from hydracore_tpu.utils.math3d import cross3, dot3, normalize3, offs_ray_pos
+
+# rng dimension groups per bounce (role analogue of QMC_VAR_* slots)
+DG_LENS = 0
+DG_BSDF = 1
+DG_LIGHT = 2
+DG_RR = 3
+
+
+def mis_weight(a, b):
+    """Power heuristic (beta=2) — misWeightHeuristic in the reference."""
+    a2 = a * a
+    return jnp.where(a2 + b * b > 0.0, a2 / (a2 + b * b), 0.0)
+
+
+# ----------------------------------------------------------------------------
+# Eye rays (screen.cl MakeEyeRaysQMC semantics: NDC unproject + DOF)
+# ----------------------------------------------------------------------------
+
+def make_eye_rays(cam, px, py, jitter, lens_uv):
+    """px, py: (R,) int pixel coords; jitter: (R,2) in [0,1); lens_uv (R,2)."""
+    W, H = cam.width, cam.height
+    x = (px.astype(jnp.float32) + jitter[:, 0]) / W * 2.0 - 1.0
+    y = (py.astype(jnp.float32) + jitter[:, 1]) / H * 2.0 - 1.0
+    ndc = jnp.stack([x, y, jnp.zeros_like(x), jnp.ones_like(x)], -1)
+    pv = ndc @ cam.mProjInv.T
+    d_view = normalize3(pv[:, :3] / jnp.maximum(jnp.abs(pv[:, 3:4]), 1e-12))
+    # view space: camera at origin looking down -Z
+    d_world = normalize3(d_view @ cam.mWorldViewInv[:3, :3].T)
+    o_world = jnp.broadcast_to(cam.pos, d_world.shape)
+
+    # thin-lens DOF (MakeEyeRay DOF path): jitter origin on lens disc,
+    # re-aim at the focal plane point
+    r = jnp.sqrt(jnp.clip(lens_uv[:, 0], 0.0, 1.0)) * cam.lens_radius
+    phi = 2.0 * np.pi * lens_uv[:, 1]
+    focus_t = cam.focal_dist / jnp.maximum(-d_view[:, 2], 1e-6)
+    p_focus = o_world + focus_t[:, None] * d_world
+    right = cam.mWorldViewInv[:3, 0]
+    up = cam.mWorldViewInv[:3, 1]
+    o_dof = o_world + (r * jnp.cos(phi))[:, None] * right + (r * jnp.sin(phi))[:, None] * up
+    d_dof = normalize3(p_focus - o_dof)
+    use_dof = cam.lens_radius > 0.0
+    return jnp.where(use_dof, o_dof, o_world), jnp.where(use_dof, d_dof, d_world)
+
+
+# ----------------------------------------------------------------------------
+# Hit shading data (trace.cl ComputeHit semantics)
+# ----------------------------------------------------------------------------
+
+def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
+    tri_c = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
+    w = 1.0 - u - v
+    pos = ray_o + t[:, None] * ray_d
+    n = normalize3(
+        w[:, None] * scene.n0[tri_c] + u[:, None] * scene.n1[tri_c] + v[:, None] * scene.n2[tri_c]
+    )
+    ng = normalize3(cross3(scene.tri_e1[tri_c], scene.tri_e2[tri_c]))
+    # orient geometric normal with the shading normal
+    ng = jnp.where(dot3(ng, n)[:, None] < 0.0, -ng, ng)
+    uv = (
+        w[:, None] * scene.uv0[tri_c] + u[:, None] * scene.uv1[tri_c] + v[:, None] * scene.uv2[tri_c]
+    )
+    mat = scene.tri_mat[tri_c]
+    lgt = scene.tri_light[tri_c]
+    return pos, n, ng, uv, mat, lgt
+
+
+# ----------------------------------------------------------------------------
+# The bounce loop
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_depth", "min_rr_depth"))
+def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_depth: int = 3):
+    """Trace a batch of primary rays to completion; returns (R,3) radiance."""
+    R = ray_o.shape[0]
+    acc = jnp.zeros((R, 3), jnp.float32)
+    throughput = jnp.ones((R, 3), jnp.float32)
+    alive = jnp.ones((R,), bool)
+    prev_pdf = jnp.zeros((R,), jnp.float32)  # bsdf pdf of previous bounce
+    prev_spec = jnp.ones((R,), bool)  # camera vertex counts as specular
+
+    has_sky = (scene.lights.ltype == LIGHT_SKY).any()
+    sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
+    sky_pick = jnp.where(
+        has_sky,
+        scene.lights.pick_cdf[sky_row + 1] - scene.lights.pick_cdf[sky_row],
+        1.0,
+    )
+
+    for depth in range(max_depth):
+        t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
+        hit = alive & (tri >= 0)
+        miss = alive & ~hit
+
+        # ---- environment (HitEnvOrLightKernel env path, material.cl:344)
+        env = env_radiance(scene, ray_d)
+        w_env = jnp.where(
+            prev_spec | ~has_sky,
+            1.0,
+            mis_weight(prev_pdf, jnp.float32(1.0 / (4.0 * np.pi)) * sky_pick),
+        )
+        acc = acc + jnp.where(miss[:, None], throughput * env * w_env[:, None], 0.0)
+        alive = alive & hit
+
+        pos, n, ng, uv, mat_id, tri_light = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
+        p = fetch_material(scene, mat_id, uv)
+
+        # ---- implicit emitter hit (HitEnvOrLightKernel light path :510)
+        em_lum = p.em_color.max(axis=-1)
+        is_emitter = alive & (em_lum > 1e-6)
+        front = dot3(n, -ray_d) > 0.0
+        lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
+        l_pdf_w = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d, pos, n)
+        l_pick = scene.lights.pick_cdf[lrow + 1] - scene.lights.pick_cdf[lrow]
+        w_li = jnp.where(
+            prev_spec | (tri_light < 0), 1.0, mis_weight(prev_pdf, l_pdf_w * l_pick)
+        )
+        emit = jnp.where(
+            (is_emitter & front)[:, None], throughput * p.em_color * w_li[:, None], 0.0
+        )
+        acc = acc + emit
+        alive = alive & ~is_emitter  # the path ends on emitters (ref :134-146)
+
+        if depth == max_depth - 1:
+            break
+
+        # ---- NEE (ShadePass: LightSample → ShadowTrace → Shade)
+        r_l = rng.rand4(sample_idx, depth, DG_LIGHT, seed)
+        l_idx, pick_prob = select_light(scene.lights, r_l[:, 3])
+        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        sray_o = offs_ray_pos(pos, ng, ls.dir)
+        occluded = any_hit(scene, sray_o, ls.dir, ls.dist * 0.995, active=alive)
+        f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, n)
+        cos_s = jnp.maximum(dot3(ls.dir, n), 0.0)
+        w_l = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf_w * pick_prob, pdf_fwd))
+        contrib = (
+            throughput
+            * f
+            * ls.radiance
+            * (cos_s * w_l / jnp.maximum(ls.pdf_w * pick_prob, 1e-12))[:, None]
+        )
+        ok = alive & ~occluded & (cos_s > 0.0)
+        acc = acc + jnp.where(ok[:, None], contrib, 0.0)
+
+        # ---- next bounce (NextBounce: BSDF sample, RR, flags)
+        r_b = rng.rand4(sample_idx, depth, DG_BSDF, seed)
+        bs = sample_bsdf(p, -ray_d, n, r_b)
+        throughput = throughput * bs.weight
+        prev_pdf = bs.pdf
+        prev_spec = bs.is_specular
+
+        # russian roulette on throughput from min_rr_depth
+        if depth >= min_rr_depth:
+            q = jnp.clip(throughput.max(axis=-1), 0.05, 1.0)
+            u_rr = rng.rand1(sample_idx, depth, DG_RR, seed)
+            kill = u_rr >= q
+            throughput = throughput / q[:, None]
+            alive = alive & ~kill
+
+        alive = alive & (throughput.max(axis=-1) > 1e-7)
+        n_off = jnp.where(bs.is_transmission[:, None], -ng, ng)
+        ray_o = offs_ray_pos(pos, n_off, bs.wi)
+        ray_d = bs.wi
+
+    return acc
+
+
+# ----------------------------------------------------------------------------
+# Full-frame pass driver (BeginTracingPass analogue, unified sampling)
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def render_pass(scene, pass_idx, seed, max_depth: int = 5):
+    """One sample for every pixel; returns (H, W, 3) radiance for this pass."""
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    R = W * H
+    pix = jnp.arange(R, dtype=jnp.uint32)
+    px = (pix % W).astype(jnp.int32)
+    py = (pix // W).astype(jnp.int32)
+
+    sample_idx = pix * jnp.uint32(0x9E3779B9) ^ jnp.uint32(pass_idx)
+    qmc_idx = jnp.broadcast_to(jnp.uint32(pass_idx), (R,))
+    jitter = rng.screen_sample(qmc_idx, pix)
+    lens = rng.rand2(sample_idx, 0, DG_LENS, seed)
+
+    ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
+    color = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth)
+    # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110)
+    color = jnp.clip(color, 0.0, 1e6)
+    return color.reshape(H, W, 3)
+
+
+def render(scene, spp: int, seed: int = 777, max_depth: int | None = None, progress=None):
+    """Accumulate `spp` passes; returns (H, W, 3) float32 mean radiance.
+
+    Host pass loop mirroring console Draw/hrDrawPassOnly
+    (main_app_console.cpp:216): accumulate raw, normalize at read
+    (SURVEY.md §8.6 contract)."""
+    md = max_depth or scene.settings.trace_depth
+    H, W = scene.camera.height, scene.camera.width
+    fb = jnp.zeros((H, W, 3), jnp.float32)
+    for i in range(spp):
+        fb = fb + render_pass(scene, jnp.uint32(i), jnp.uint32(seed), max_depth=md)
+        if progress is not None:
+            progress(i)
+    return fb / spp

@@ -1,0 +1,200 @@
+"""Light sampling (NEE) + pdf evaluation for MIS — vectorized.
+
+TPU-native analogue of hydra_drv/clight.h: LightSampleRev:1561 (one sample
+toward a picked light from a surface point), lightEvalPDF:1613 (pdf of a
+BSDF ray having hit that light, for MIS), SelectRandomLightRev CDF walk
+(RenderDriverRTE light pick table, SURVEY.md §2.1 'Light compiler').
+
+All per-type math is computed branch-free and combined with masked selects
+over the type enum — one gather of the light record per ray.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hydracore_tpu.ops.texture import sample_bilinear
+from hydracore_tpu.scene.lights import (
+    LIGHT_AREA_DISK,
+    LIGHT_AREA_RECT,
+    LIGHT_DIRECT,
+    LIGHT_POINT,
+    LIGHT_SKY,
+    LIGHT_SPHERE,
+    LIGHT_SPOT,
+)
+from hydracore_tpu.utils.math3d import dot3, make_orthonormal_basis, normalize3
+
+FAR_DIST = 1e8
+INV_4PI = float(1.0 / (4.0 * np.pi))
+
+
+class LightSample(NamedTuple):
+    dir: jnp.ndarray  # (R,3) surface -> light
+    dist: jnp.ndarray  # (R,)
+    radiance: jnp.ndarray  # (R,3) incident radiance along dir (pre-divided for point)
+    pdf_w: jnp.ndarray  # (R,) solid-angle pdf (1 for delta lights)
+    is_delta: jnp.ndarray  # (R,) bool — MIS weight 1
+    cos_at_light: jnp.ndarray  # (R,)
+
+
+def select_light(lights, u):
+    """CDF pick: returns (index (R,), pick_prob (R,))."""
+    cdf = lights.pick_cdf
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, cdf.shape[0] - 2)
+    prob = cdf[idx + 1] - cdf[idx]
+    return idx.astype(jnp.int32), jnp.maximum(prob, 1e-12)
+
+
+def env_radiance(scene, d):
+    """Sky radiance along direction d (R,3): constant color x optional
+    lat-long texture (ref: environmentColorExtended, material.cl:344)."""
+    lt = scene.lights
+    sky_rows = jnp.asarray(lt.ltype) == LIGHT_SKY
+    has_sky = sky_rows.any()
+    sky_row = jnp.argmax(sky_rows)
+    tex = lt.tex[sky_row]
+    u = 0.5 + jnp.arctan2(d[:, 0], -d[:, 2]) * (0.5 / np.pi)
+    v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) * (1.0 / np.pi)
+    texc = sample_bilinear(scene.texels, scene.tex_table, jnp.broadcast_to(tex, (d.shape[0],)), jnp.stack([u, v], -1))[:, :3]
+    base = jnp.where(has_sky, lt.intensity[sky_row], scene.env_color)
+    return base[None, :] * jnp.where(has_sky & (tex > 0), texc, jnp.ones_like(texc))
+
+
+def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
+    """Sample one point/direction on light l_idx (R,) from surface points sp
+    (R,3) with rnds (R,3) uniforms."""
+    lt = scene.lights
+    ltype = lt.ltype[l_idx]
+    pos = lt.pos[l_idx]
+    nrm = lt.norm[l_idx]
+    vx = lt.vx[l_idx]
+    vy = lt.vy[l_idx]
+    inten = lt.intensity[l_idx]
+    radius = lt.radius[l_idx]
+    area = jnp.maximum(lt.area[l_idx], 1e-12)
+    cos_in = lt.cos_in[l_idx]
+    cos_out = lt.cos_out[l_idx]
+
+    u1, u2 = rnds[:, 0], rnds[:, 1]
+
+    # --- area rect / disk sample point
+    p_rect = pos + (2.0 * u1 - 1.0)[:, None] * vx + (2.0 * u2 - 1.0)[:, None] * vy
+    r_d = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+    phi_d = 2.0 * np.pi * u2
+    p_disk = pos + (r_d * jnp.cos(phi_d))[:, None] * vx + (r_d * jnp.sin(phi_d))[:, None] * vy
+
+    is_rect = ltype == LIGHT_AREA_RECT
+    is_disk = ltype == LIGHT_AREA_DISK
+    is_area = is_rect | is_disk
+    p_area = jnp.where(is_rect[:, None], p_rect, p_disk)
+
+    to_l = p_area - sp
+    d2 = jnp.maximum(dot3(to_l, to_l), 1e-12)
+    dist_a = jnp.sqrt(d2)
+    dir_a = to_l / dist_a[:, None]
+    cos_l = dot3(nrm, -dir_a)
+    pdf_a = d2 / (area * jnp.maximum(cos_l, 1e-6))
+    rad_a = jnp.where((cos_l > 1e-6)[:, None], inten, 0.0)
+
+    # --- sphere: uniform over sphere surface facing the point (cone sampling)
+    to_c = pos - sp
+    dc2 = jnp.maximum(dot3(to_c, to_c), 1e-12)
+    dc = jnp.sqrt(dc2)
+    sin_max2 = jnp.clip(radius * radius / dc2, 0.0, 0.9999)
+    cos_max = jnp.sqrt(1.0 - sin_max2)
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, 1.0))
+    phi = 2.0 * np.pi * u2
+    wdir = normalize3(to_c)
+    tb, bb = make_orthonormal_basis(wdir)
+    dir_s = normalize3(
+        (sin_t * jnp.cos(phi))[:, None] * tb + (sin_t * jnp.sin(phi))[:, None] * bb + cos_t[:, None] * wdir
+    )
+    pdf_s = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
+    # distance to sphere along dir_s
+    b_ = dot3(dir_s, to_c)
+    disc = jnp.maximum(b_ * b_ - dc2 + radius * radius, 0.0)
+    dist_s = b_ - jnp.sqrt(disc)
+
+    # --- point / spot: delta
+    dir_p = normalize3(to_c)
+    inv_d2 = 1.0 / dc2
+    spot_cos = dot3(nrm, -dir_p)  # angle from spot axis
+    spot_fall = jnp.clip((spot_cos - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6), 0.0, 1.0)
+    rad_p = inten * inv_d2[:, None]
+    rad_spot = rad_p * spot_fall[:, None]
+
+    # --- direct (sun): delta direction
+    dir_dir = -nrm
+    rad_dir = inten
+
+    # --- sky: uniform sphere direction
+    z = 1.0 - 2.0 * u1
+    r_ = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
+    phi2 = 2.0 * np.pi * u2
+    dir_sky = jnp.stack([r_ * jnp.cos(phi2), z, r_ * jnp.sin(phi2)], -1)
+    rad_sky = env_radiance(scene, dir_sky)
+
+    # combine by type
+    def sel3(cond, a, b):
+        return jnp.where(cond[:, None], a, b)
+
+    direction = sel3(is_area, dir_a, dir_p)
+    direction = sel3(ltype == LIGHT_SPHERE, dir_s, direction)
+    direction = sel3(ltype == LIGHT_DIRECT, dir_dir, direction)
+    direction = sel3(ltype == LIGHT_SKY, dir_sky, direction)
+
+    dist = jnp.where(is_area, dist_a, dc)
+    dist = jnp.where(ltype == LIGHT_SPHERE, dist_s, dist)
+    dist = jnp.where((ltype == LIGHT_DIRECT) | (ltype == LIGHT_SKY), FAR_DIST, dist)
+
+    radiance = sel3(is_area, rad_a, rad_p)
+    radiance = sel3(ltype == LIGHT_SPOT, rad_spot, radiance)
+    radiance = sel3(ltype == LIGHT_SPHERE, inten, radiance)
+    radiance = sel3(ltype == LIGHT_DIRECT, rad_dir, radiance)
+    radiance = sel3(ltype == LIGHT_SKY, rad_sky, radiance)
+
+    pdf_w = jnp.where(is_area, pdf_a, 1.0)
+    pdf_w = jnp.where(ltype == LIGHT_SPHERE, pdf_s, pdf_w)
+    pdf_w = jnp.where(ltype == LIGHT_SKY, INV_4PI, pdf_w)
+
+    is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT) | (ltype == LIGHT_DIRECT)
+    cos_at_light = jnp.where(is_area, cos_l, 1.0)
+
+    return LightSample(
+        dir=direction, dist=dist, radiance=radiance, pdf_w=pdf_w,
+        is_delta=is_delta, cos_at_light=cos_at_light,
+    )
+
+
+def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm):
+    """Solid-angle pdf of sample_light_rev having produced direction ray_d
+    toward the light surface point hit_pos (used for MIS when a BSDF ray
+    lands on an emitter — ref lightEvalPDF clight.h:1613)."""
+    lt = scene.lights
+    ltype = lt.ltype[l_idx]
+    pos = lt.pos[l_idx]
+    radius = lt.radius[l_idx]
+    area = jnp.maximum(lt.area[l_idx], 1e-12)
+
+    to_h = hit_pos - ray_o
+    d2 = jnp.maximum(dot3(to_h, to_h), 1e-12)
+    cos_l = jnp.maximum(dot3(hit_norm, -ray_d), 1e-6)
+    pdf_area_lights = d2 / (area * cos_l)
+
+    to_c = pos - ray_o
+    dc2 = jnp.maximum(dot3(to_c, to_c), 1e-12)
+    sin_max2 = jnp.clip(radius * radius / dc2, 0.0, 0.9999)
+    cos_max = jnp.sqrt(1.0 - sin_max2)
+    pdf_sphere = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
+
+    pdf = jnp.where(ltype == LIGHT_SPHERE, pdf_sphere, pdf_area_lights)
+    pdf = jnp.where(ltype == LIGHT_SKY, INV_4PI, pdf)
+    return pdf
+
+
+def sky_pdf():
+    return INV_4PI

@@ -24,7 +24,9 @@ _U32 = jnp.uint32
 
 
 def _u32(x):
-    return jnp.asarray(x).astype(_U32)
+    if isinstance(x, int):
+        x = np.uint32(x & 0xFFFFFFFF)
+    return jnp.asarray(x, dtype=_U32)
 
 
 def pcg3d(v):
@@ -69,11 +71,13 @@ def rand4(sample_index, bounce, dim_group, seed=0):
     2=light, 3=aux — see cglobals.h QMC_VAR_* roles).
     """
     sample_index = _u32(sample_index)
+    shape = jnp.shape(sample_index)
+    mix = _u32(bounce) * _u32(0x9E3779B9) ^ _u32(dim_group) * _u32(0x85EBCA6B)
     key = jnp.stack(
         [
             sample_index,
-            _u32(bounce) * _u32(0x9E3779B9) ^ _u32(dim_group) * _u32(0x85EBCA6B),
-            jnp.broadcast_to(_u32(seed), jnp.shape(sample_index)),
+            jnp.broadcast_to(mix, shape),
+            jnp.broadcast_to(_u32(seed), shape),
         ],
         axis=-1,
     )

@@ -7,10 +7,17 @@ machine).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+# jax may already be imported by a pytest plugin (env vars above are then
+# read too late for config, but the backend is not yet initialized — the
+# config update below still takes effect).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
