@@ -60,7 +60,8 @@ def make_eye_rays(cam, px, py, jitter, lens_uv):
     """px, py: (R,) int pixel coords; jitter: (R,2) in [0,1); lens_uv (R,2)."""
     W, H = cam.width, cam.height
     x = (px.astype(jnp.float32) + jitter[:, 0]) / W * 2.0 - 1.0
-    y = (py.astype(jnp.float32) + jitter[:, 1]) / H * 2.0 - 1.0
+    # image row 0 is the TOP of the frame (PNG convention) -> NDC y = +1
+    y = 1.0 - (py.astype(jnp.float32) + jitter[:, 1]) / H * 2.0
     ndc = jnp.stack([x, y, jnp.zeros_like(x), jnp.ones_like(x)], -1)
     pv = ndc @ cam.mProjInv.T
     d_view = normalize3(pv[:, :3] / jnp.maximum(jnp.abs(pv[:, 3:4]), 1e-12))
@@ -110,8 +111,12 @@ def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
 
 @partial(jax.jit, static_argnames=("max_depth", "min_rr_depth"))
 def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_depth: int = 3):
-    """Trace a batch of primary rays to completion; returns (R,3) radiance."""
+    """Trace a batch of primary rays to completion.
+
+    Returns (radiance (R,3), rays_traced ()) — the ray counter feeds the
+    Mrays/s metric (MRaysStat analogue, cglobals.h:1764)."""
     R = ray_o.shape[0]
+    rays_traced = jnp.zeros((), jnp.float32)
     acc = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
     alive = jnp.ones((R,), bool)
@@ -127,6 +132,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
     )
 
     for depth in range(max_depth):
+        rays_traced = rays_traced + alive.sum()
         t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
@@ -167,6 +173,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
         r_l = rng.rand4(sample_idx, depth, DG_LIGHT, seed)
         l_idx, pick_prob = select_light(scene.lights, r_l[:, 3])
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        rays_traced = rays_traced + alive.sum()  # shadow rays
         sray_o = offs_ray_pos(pos, ng, ls.dir)
         occluded = any_hit(scene, sray_o, ls.dir, ls.dist * 0.995, active=alive)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, n)
@@ -201,16 +208,16 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
         ray_o = offs_ray_pos(pos, n_off, bs.wi)
         ray_d = bs.wi
 
-    return acc
+    return acc, rays_traced
 
 
 # ----------------------------------------------------------------------------
 # Full-frame pass driver (BeginTracingPass analogue, unified sampling)
 # ----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_depth",))
-def render_pass(scene, pass_idx, seed, max_depth: int = 5):
-    """One sample for every pixel; returns (H, W, 3) radiance for this pass."""
+def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
+    """One sample for every pixel; returns ((H, W, 3) radiance, ray count).
+    Unjitted body — the graft entry point compile-checks this directly."""
     cam = scene.camera
     W, H = cam.width, cam.height
     R = W * H
@@ -224,10 +231,13 @@ def render_pass(scene, pass_idx, seed, max_depth: int = 5):
     lens = rng.rand2(sample_idx, 0, DG_LENS, seed)
 
     ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
-    color = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth)
+    color, rays = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth)
     # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110)
     color = jnp.clip(color, 0.0, 1e6)
-    return color.reshape(H, W, 3)
+    return color.reshape(H, W, 3), rays
+
+
+render_pass = jax.jit(render_pass_impl, static_argnames=("max_depth",))
 
 
 def render(scene, spp: int, seed: int = 777, max_depth: int | None = None, progress=None):
@@ -238,9 +248,11 @@ def render(scene, spp: int, seed: int = 777, max_depth: int | None = None, progr
     (SURVEY.md §8.6 contract)."""
     md = max_depth or scene.settings.trace_depth
     H, W = scene.camera.height, scene.camera.width
+    scene = jax.device_put(scene)  # keep the scene heap device-resident
     fb = jnp.zeros((H, W, 3), jnp.float32)
     for i in range(spp):
-        fb = fb + render_pass(scene, jnp.uint32(i), jnp.uint32(seed), max_depth=md)
+        color, _ = render_pass(scene, jnp.uint32(i), jnp.uint32(seed), max_depth=md)
+        fb = fb + color
         if progress is not None:
             progress(i)
     return fb / spp

@@ -42,13 +42,17 @@ def _traverse(bvh_bmin, bvh_bmax, bvh_left, bvh_right, bvh_count,
     R = ray_o.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-12, jnp.where(ray_d < 0, -1e-12, 1e-12), ray_d)
 
-    stack = jnp.zeros((R, STACK_DEPTH), jnp.int32)
-    sp = jnp.where(active_in, 1, 0).astype(jnp.int32)  # root pre-pushed at slot 0
+    # tie every carry to the ray data so all while_loop carries share the
+    # same device-varying type under shard_map (vma consistency)
+    zero_f = ray_o[:, 0] * 0.0
+    zero_i = zero_f.astype(jnp.int32)
+    stack = jnp.zeros((R, STACK_DEPTH), jnp.int32) + zero_i[:, None]
+    sp = jnp.where(active_in, 1, 0).astype(jnp.int32) + zero_i  # root pre-pushed
 
-    t_best = jnp.asarray(t_max) * jnp.ones((R,), jnp.float32)
-    tri_best = jnp.full((R,), -1, jnp.int32)
-    u_best = jnp.zeros((R,), jnp.float32)
-    v_best = jnp.zeros((R,), jnp.float32)
+    t_best = jnp.asarray(t_max) + zero_f
+    tri_best = zero_i - 1
+    u_best = zero_f
+    v_best = zero_f
 
     def cond(state):
         _, sp, *_ = state
