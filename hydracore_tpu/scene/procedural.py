@@ -167,6 +167,10 @@ class SceneBuilder:
         bvh = build_bvh(v0, v1, v2)
         p = bvh.perm
 
+        from hydracore_tpu.bvh.wide import collapse_wide
+
+        wbvh = collapse_wide(bvh, v0[p], (v1 - v0)[p], (v2 - v0)[p])
+
         def g(i):
             return [self.tris[j][i] for j in p]
 
@@ -205,6 +209,7 @@ class SceneBuilder:
             tri_inst=np.zeros(T, np.int32),
             bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
             bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
+            wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,
             camera=cam, env_color=self.env, settings=settings,

@@ -35,12 +35,16 @@ class SceneData:
     tri_mat: np.ndarray  # (T,) int32
     tri_light: np.ndarray  # (T,) int32 light-table row or -1
     tri_inst: np.ndarray  # (T,) int32 instance id
-    # flat BVH
+    # flat binary BVH (kept as the reference/debug traversal)
     bvh_bmin: np.ndarray  # (N,3)
     bvh_bmax: np.ndarray  # (N,3)
     bvh_left: np.ndarray  # (N,)
     bvh_right: np.ndarray  # (N,)
     bvh_count: np.ndarray  # (N,)
+    # packed 8-wide BVH (production traversal, bvh/wide.py)
+    wbvh_nodes: np.ndarray  # (Nw,8,8)
+    wbvh_tri9f: np.ndarray  # (B, LEAF*16) block-row triangle table
+    wbvh_slot_tri: np.ndarray  # (B*LEAF,)
     # tables
     materials: MaterialTable
     lights: LightTable
@@ -145,6 +149,10 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         uv0, uv1, uv2 = uv0[p], uv1[p], uv2[p]
         tri_mat, tri_light, tri_inst = tri_mat[p], tri_light[p], tri_inst[p]
 
+    from hydracore_tpu.bvh.wide import collapse_wide
+
+    wbvh = collapse_wide(bvh, tri_v0, tri_e1, tri_e2)
+
     cam = build_camera(desc.camera, W, H)
 
     # env fallback: sky light color if present else black
@@ -163,6 +171,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         tri_mat=tri_mat, tri_light=tri_light, tri_inst=tri_inst,
         bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
         bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
+        wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
         camera=cam, env_color=env, settings=st2,
