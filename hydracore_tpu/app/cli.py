@@ -44,6 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from hydracore_tpu.integrators.pt import render_pass
     from hydracore_tpu.scene.scene import load_scene
     from hydracore_tpu.utils.framebuffer import hdr_to_ldr, save_png

@@ -170,14 +170,19 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
             break
 
         # ---- NEE (ShadePass: LightSample → ShadowTrace → Shade)
+        # shade with the viewer-oriented normal: materials are two-sided for
+        # reflection (the reference combines brdf/btdf by hemisphere,
+        # material.cl:737; flipping matches its diffuse behavior)
+        ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
+        ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
         r_l = rng.rand4(sample_idx, depth, DG_LIGHT, seed)
         l_idx, pick_prob = select_light(scene.lights, r_l[:, 3])
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
         rays_traced = rays_traced + alive.sum()  # shadow rays
-        sray_o = offs_ray_pos(pos, ng, ls.dir)
+        sray_o = offs_ray_pos(pos, ngs, ls.dir)
         occluded = any_hit(scene, sray_o, ls.dir, ls.dist * 0.995, active=alive)
-        f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, n)
-        cos_s = jnp.maximum(dot3(ls.dir, n), 0.0)
+        f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns)
+        cos_s = jnp.maximum(dot3(ls.dir, ns), 0.0)
         w_l = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf_w * pick_prob, pdf_fwd))
         contrib = (
             throughput
@@ -190,7 +195,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
         r_b = rng.rand4(sample_idx, depth, DG_BSDF, seed)
-        bs = sample_bsdf(p, -ray_d, n, r_b)
+        bs = sample_bsdf(p, -ray_d, ns, r_b)
         throughput = throughput * bs.weight
         prev_pdf = bs.pdf
         prev_spec = bs.is_specular
@@ -204,7 +209,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
             alive = alive & ~kill
 
         alive = alive & (throughput.max(axis=-1) > 1e-7)
-        n_off = jnp.where(bs.is_transmission[:, None], -ng, ng)
+        n_off = jnp.where(bs.is_transmission[:, None], -ngs, ngs)
         ray_o = offs_ray_pos(pos, n_off, bs.wi)
         ray_d = bs.wi
 

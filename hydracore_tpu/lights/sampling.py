@@ -170,6 +170,76 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     )
 
 
+class LightSampleFwd(NamedTuple):
+    pos: jnp.ndarray  # (R,3) point on light
+    dir: jnp.ndarray  # (R,3) emitted direction
+    norm: jnp.ndarray  # (R,3) light normal at pos
+    radiance: jnp.ndarray  # (R,3) emitted radiance
+    pdf_a: jnp.ndarray  # (R,) area pdf of pos
+    pdf_w: jnp.ndarray  # (R,) solid-angle pdf of dir (cos-weighted)
+    cos_at_light: jnp.ndarray  # (R,)
+
+
+def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
+    """Sample an emission ray (LT path start) — ref LightSampleForward
+    (clight.h:1064): position on the light, then cosine-weighted direction.
+    Supports area rect/disk, sphere, point, spot (diffuse distribution)."""
+    lt = scene.lights
+    ltype = lt.ltype[l_idx]
+    pos_c = lt.pos[l_idx]
+    nrm = lt.norm[l_idx]
+    vx = lt.vx[l_idx]
+    vy = lt.vy[l_idx]
+    inten = lt.intensity[l_idx]
+    radius = lt.radius[l_idx]
+    area = jnp.maximum(lt.area[l_idx], 1e-12)
+
+    u1, u2, u3, u4 = rnds[:, 0], rnds[:, 1], rnds[:, 2], rnds[:, 3]
+
+    # position
+    p_rect = pos_c + (2 * u1 - 1)[:, None] * vx + (2 * u2 - 1)[:, None] * vy
+    r_d = jnp.sqrt(jnp.clip(u1, 0, 1))
+    phi_d = 2 * np.pi * u2
+    p_disk = pos_c + (r_d * jnp.cos(phi_d))[:, None] * vx + (r_d * jnp.sin(phi_d))[:, None] * vy
+    # sphere: uniform point on sphere
+    z = 1.0 - 2.0 * u1
+    r_ = jnp.sqrt(jnp.clip(1 - z * z, 0, 1))
+    sph_n = jnp.stack([r_ * jnp.cos(2 * np.pi * u2), z, r_ * jnp.sin(2 * np.pi * u2)], -1)
+    p_sph = pos_c + radius[:, None] * sph_n
+
+    is_rect = ltype == LIGHT_AREA_RECT
+    is_disk = ltype == LIGHT_AREA_DISK
+    is_sph = ltype == LIGHT_SPHERE
+    is_area = is_rect | is_disk
+
+    pos = jnp.where(is_rect[:, None], p_rect, jnp.where(is_disk[:, None], p_disk, p_sph))
+    pos = jnp.where((is_area | is_sph)[:, None], pos, pos_c)
+    n = jnp.where(is_sph[:, None], sph_n, jnp.broadcast_to(nrm, sph_n.shape))
+
+    # direction: cosine-weighted about n (area/sphere), uniform sphere (point)
+    t, b = make_orthonormal_basis(n)
+    ct = jnp.sqrt(jnp.clip(u3, 0, 1))
+    st = jnp.sqrt(jnp.clip(1 - u3, 0, 1))
+    ph = 2 * np.pi * u4
+    d_cos = (st * jnp.cos(ph))[:, None] * t + (st * jnp.sin(ph))[:, None] * b + ct[:, None] * n
+    z2 = 1.0 - 2.0 * u3
+    r2 = jnp.sqrt(jnp.clip(1 - z2 * z2, 0, 1))
+    d_uni = jnp.stack([r2 * jnp.cos(2 * np.pi * u4), z2, r2 * jnp.sin(2 * np.pi * u4)], -1)
+
+    surf = is_area | is_sph
+    direction = jnp.where(surf[:, None], d_cos, d_uni)
+
+    pdf_a = jnp.where(surf, 1.0 / area, 1.0)
+    cos_l = jnp.where(surf, jnp.maximum(ct, 1e-6), 1.0)
+    pdf_w = jnp.where(surf, cos_l * (1.0 / np.pi), INV_4PI)
+    # emitted radiance: area lights emit `intensity` as radiance; point
+    # lights: I (radiant intensity) -> treated via pdf_w above
+    radiance = inten
+
+    return LightSampleFwd(pos=pos, dir=direction, norm=n, radiance=radiance,
+                          pdf_a=pdf_a, pdf_w=pdf_w, cos_at_light=cos_l)
+
+
 def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm):
     """Solid-angle pdf of sample_light_rev having produced direction ray_d
     toward the light surface point hit_pos (used for MIS when a BSDF ray

@@ -143,9 +143,9 @@ class SceneBuilder:
         ez = np.array([0, 0, h], np.float32)
         self.add_rect([0, -h, 0], ex, ez, mat_floor, flip=True)  # floor, n=+y
         self.add_rect([0, h, 0], ex, ez, mat_ceil)  # ceiling, n=-y
-        self.add_rect([0, 0, -h], ex, ey, mat_back, flip=True)  # back, n=+z
-        self.add_rect([-h, 0, 0], ey, ez, mat_left, flip=True)  # left, n=+x
-        self.add_rect([h, 0, 0], ey, ez, mat_right)  # right, n=-x
+        self.add_rect([0, 0, -h], ex, ey, mat_back)  # back, n=+z
+        self.add_rect([-h, 0, 0], ey, ez, mat_left)  # left, n=+x
+        self.add_rect([h, 0, 0], ey, ez, mat_right, flip=True)  # right, n=-x
 
     # ---- finalize
     def build(self, cam_pos, cam_lookat, fov=45.0, width=64, height=64,

@@ -120,7 +120,7 @@ def np_look_at(eye, center, up):
     m[2, :3] = -f
     m[0, 3] = -np.dot(s, eye)
     m[1, 3] = -np.dot(u, eye)
-    m[2, 3] = -np.dot(f, eye)
+    m[2, 3] = np.dot(f, eye)  # z row is -f, so translation is +f.eye
     return m
 
 
