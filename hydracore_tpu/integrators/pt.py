@@ -109,9 +109,10 @@ def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
 # The bounce loop
 # ----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_depth", "min_rr_depth"))
-def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_depth: int = 3):
-    """Trace a batch of primary rays to completion.
+def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth: int = 3):
+    """Trace a batch of primary rays to completion with a pluggable random
+    provider rand_fn(depth, group) -> (R, 4) uniforms (hash-RNG for PT,
+    primary-sample-vector slices for PSSMLT).
 
     Returns (radiance (R,3), rays_traced ()) — the ray counter feeds the
     Mrays/s metric (MRaysStat analogue, cglobals.h:1764)."""
@@ -175,7 +176,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
         # material.cl:737; flipping matches its diffuse behavior)
         ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
-        r_l = rng.rand4(sample_idx, depth, DG_LIGHT, seed)
+        r_l = rand_fn(depth, DG_LIGHT)
         l_idx, pick_prob = select_light(scene.lights, r_l[:, 3])
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
         rays_traced = rays_traced + alive.sum()  # shadow rays
@@ -194,7 +195,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
         acc = acc + jnp.where(ok[:, None], contrib, 0.0)
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
-        r_b = rng.rand4(sample_idx, depth, DG_BSDF, seed)
+        r_b = rand_fn(depth, DG_BSDF)
         bs = sample_bsdf(p, -ray_d, ns, r_b)
         throughput = throughput * bs.weight
         prev_pdf = bs.pdf
@@ -203,7 +204,7 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
         # russian roulette on throughput from min_rr_depth
         if depth >= min_rr_depth:
             q = jnp.clip(throughput.max(axis=-1), 0.05, 1.0)
-            u_rr = rng.rand1(sample_idx, depth, DG_RR, seed)
+            u_rr = rand_fn(depth, DG_RR)[:, 0]
             kill = u_rr >= q
             throughput = throughput / q[:, None]
             alive = alive & ~kill
@@ -214,6 +215,16 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
         ray_d = bs.wi
 
     return acc, rays_traced
+
+
+@partial(jax.jit, static_argnames=("max_depth", "min_rr_depth"))
+def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_depth: int = 3):
+    """Hash-RNG path tracer (the default PT entry)."""
+
+    def rand_fn(depth, group):
+        return rng.rand4(sample_idx, depth, group, seed)
+
+    return pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth, min_rr_depth)
 
 
 # ----------------------------------------------------------------------------
