@@ -44,12 +44,46 @@ DG_LENS = 0
 DG_BSDF = 1
 DG_LIGHT = 2
 DG_RR = 3
+DG_ALPHA = 4
 
 
 def mis_weight(a, b):
     """Power heuristic (beta=2) — misWeightHeuristic in the reference."""
     a2 = a * a
     return jnp.where(a2 + b * b > 0.0, a2 / (a2 + b * b), 0.0)
+
+
+MAX_ALPHA_SHADOW_STEPS = 2  # transparent layers a shadow ray may cross
+
+
+def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool):
+    """Occlusion query. With alpha materials in the scene, walks up to
+    MAX_ALPHA_SHADOW_STEPS stochastic transparent layers (ref: shadow
+    traversal alpha variants, trace.cl:244+ / TransparentShadowKenrel)."""
+    if not has_alpha:
+        return any_hit(scene, sray_o, sdir, dist, active=active)
+
+    occluded = jnp.zeros(sray_o.shape[0], bool)
+    searching = active
+    o = sray_o
+    d_left = dist * 0.995
+    for step in range(MAX_ALPHA_SHADOW_STEPS + 1):
+        t, tri, u, v = closest_hit(scene, o, sdir, t_max=d_left, active=searching)
+        hit = searching & (tri >= 0)
+        if step == MAX_ALPHA_SHADOW_STEPS:  # out of layers: treat as opaque
+            occluded = occluded | hit
+            break
+        pos, n, ng, uv, mat_id, _ = compute_hit(scene, tri, u, v, o, sdir, t)
+        p = fetch_material(scene, mat_id, uv)
+        ua = rng.hash_u32(u_alpha + jnp.uint32(step * 0x9E3779B9))
+        ua = (ua >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        skip_sh = scene.materials.skip_shadow[mat_id] != 0
+        passthru = hit & (((p.opacity < 0.999) & (ua >= p.opacity)) | skip_sh)
+        occluded = occluded | (hit & ~passthru)
+        searching = passthru
+        o = pos + sdir * 1e-4
+        d_left = jnp.maximum(d_left - t - 1e-4, 0.0)
+    return occluded
 
 
 # ----------------------------------------------------------------------------
@@ -109,7 +143,8 @@ def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
 # The bounce loop
 # ----------------------------------------------------------------------------
 
-def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth: int = 3):
+def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth: int = 3,
+                  has_alpha: bool = False):
     """Trace a batch of primary rays to completion with a pluggable random
     provider rand_fn(depth, group) -> (R, 4) uniforms (hash-RNG for PT,
     primary-sample-vector slices for PSSMLT).
@@ -139,11 +174,15 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         miss = alive & ~hit
 
         # ---- environment (HitEnvOrLightKernel env path, material.cl:344)
+        from hydracore_tpu.lights.envmap import env_pdf_for_dir
+
         env = env_radiance(scene, ray_d)
+        env_pdf = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
+                                  scene.env_pdf_uv, ray_d)
         w_env = jnp.where(
             prev_spec | ~has_sky,
             1.0,
-            mis_weight(prev_pdf, jnp.float32(1.0 / (4.0 * np.pi)) * sky_pick),
+            mis_weight(prev_pdf, env_pdf * sky_pick),
         )
         acc = acc + jnp.where(miss[:, None], throughput * env * w_env[:, None], 0.0)
         alive = alive & hit
@@ -151,9 +190,17 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         pos, n, ng, uv, mat_id, tri_light = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         p = fetch_material(scene, mat_id, uv)
 
+        # ---- stochastic alpha transparency (ref: alpha-tested traversal
+        # BVH4InstTraverseAlphaS + NextTransparentBounce, material.cl:1080):
+        # with prob (1 - opacity) the surface is skipped — the ray passes
+        # through unchanged. Passing through consumes one wavefront step
+        # (the reference loops transparent bounces inside the kernel).
+        u_a = rand_fn(depth, DG_ALPHA)[:, 0]
+        passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity)
+
         # ---- implicit emitter hit (HitEnvOrLightKernel light path :510)
         em_lum = p.em_color.max(axis=-1)
-        is_emitter = alive & (em_lum > 1e-6)
+        is_emitter = alive & (em_lum > 1e-6) & ~passthru
         front = dot3(n, -ray_d) > 0.0
         lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
         l_pdf_w = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d, pos, n)
@@ -181,7 +228,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
         rays_traced = rays_traced + alive.sum()  # shadow rays
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
-        occluded = any_hit(scene, sray_o, ls.dir, ls.dist * 0.995, active=alive)
+        u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
+        occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh, has_alpha)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns)
         cos_s = jnp.maximum(dot3(ls.dir, ns), 0.0)
         w_l = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf_w * pick_prob, pdf_fwd))
@@ -191,15 +239,19 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             * ls.radiance
             * (cos_s * w_l / jnp.maximum(ls.pdf_w * pick_prob, 1e-12))[:, None]
         )
-        ok = alive & ~occluded & (cos_s > 0.0)
+        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru
         acc = acc + jnp.where(ok[:, None], contrib, 0.0)
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
         r_b = rand_fn(depth, DG_BSDF)
         bs = sample_bsdf(p, -ray_d, ns, r_b)
-        throughput = throughput * bs.weight
-        prev_pdf = bs.pdf
-        prev_spec = bs.is_specular
+        # alpha pass-through: direction and throughput unchanged, treated as
+        # a specular event for MIS
+        wi = jnp.where(passthru[:, None], ray_d, bs.wi)
+        weight = jnp.where(passthru[:, None], 1.0, bs.weight)
+        throughput = throughput * weight
+        prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
+        prev_spec = jnp.where(passthru, True, bs.is_specular)
 
         # russian roulette on throughput from min_rr_depth
         if depth >= min_rr_depth:
@@ -210,21 +262,22 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             alive = alive & ~kill
 
         alive = alive & (throughput.max(axis=-1) > 1e-7)
-        n_off = jnp.where(bs.is_transmission[:, None], -ngs, ngs)
-        ray_o = offs_ray_pos(pos, n_off, bs.wi)
-        ray_d = bs.wi
+        n_off = jnp.where((bs.is_transmission | passthru)[:, None], -ngs, ngs)
+        ray_o = offs_ray_pos(pos, n_off, wi)
+        ray_d = wi
 
     return acc, rays_traced
 
 
-@partial(jax.jit, static_argnames=("max_depth", "min_rr_depth"))
-def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_depth: int = 3):
+@partial(jax.jit, static_argnames=("max_depth", "min_rr_depth", "has_alpha"))
+def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_depth: int = 3,
+             has_alpha: bool = False):
     """Hash-RNG path tracer (the default PT entry)."""
 
     def rand_fn(depth, group):
         return rng.rand4(sample_idx, depth, group, seed)
 
-    return pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth, min_rr_depth)
+    return pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth, min_rr_depth, has_alpha)
 
 
 # ----------------------------------------------------------------------------
@@ -247,7 +300,9 @@ def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
     lens = rng.rand2(sample_idx, 0, DG_LENS, seed)
 
     ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
-    color, rays = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth)
+    has_alpha = bool(scene.settings.has_alpha) if scene.settings is not None else False
+    color, rays = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth,
+                           has_alpha=has_alpha)
     # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110)
     color = jnp.clip(color, 0.0, 1e6)
     return color.reshape(H, W, 3), rays

@@ -131,11 +131,13 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     dir_dir = -nrm
     rad_dir = inten
 
-    # --- sky: uniform sphere direction
-    z = 1.0 - 2.0 * u1
-    r_ = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
-    phi2 = 2.0 * np.pi * u2
-    dir_sky = jnp.stack([r_ * jnp.cos(phi2), z, r_ * jnp.sin(phi2)], -1)
+    # --- sky: importance-sampled from the env pdf tables (Map2DPiecewise-
+    # Sample semantics, clight.h:369; trivial table ~ sin-weighted uniform)
+    from hydracore_tpu.lights.envmap import sample_env_dir
+
+    dir_sky, pdf_sky = sample_env_dir(
+        scene.env_rows_cdf, scene.env_cols_cdf, scene.env_pdf_uv, u1, u2
+    )
     rad_sky = env_radiance(scene, dir_sky)
 
     # combine by type
@@ -159,7 +161,7 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
 
     pdf_w = jnp.where(is_area, pdf_a, 1.0)
     pdf_w = jnp.where(ltype == LIGHT_SPHERE, pdf_s, pdf_w)
-    pdf_w = jnp.where(ltype == LIGHT_SKY, INV_4PI, pdf_w)
+    pdf_w = jnp.where(ltype == LIGHT_SKY, pdf_sky, pdf_w)
 
     is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT) | (ltype == LIGHT_DIRECT)
     cos_at_light = jnp.where(is_area, cos_l, 1.0)
@@ -262,7 +264,11 @@ def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm):
     pdf_sphere = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
 
     pdf = jnp.where(ltype == LIGHT_SPHERE, pdf_sphere, pdf_area_lights)
-    pdf = jnp.where(ltype == LIGHT_SKY, INV_4PI, pdf)
+    from hydracore_tpu.lights.envmap import env_pdf_for_dir
+
+    pdf_env = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
+                              scene.env_pdf_uv, ray_d)
+    pdf = jnp.where(ltype == LIGHT_SKY, pdf_env, pdf)
     return pdf
 
 

@@ -29,6 +29,7 @@ class SceneBuilder:
         self.mat_recs: list[dict] = []
         self.light_recs: list[dict] = []
         self.env = np.zeros(3, np.float32)
+        self.env_img = None
 
     # ---- materials
     def add_material(self, **kw) -> int:
@@ -54,8 +55,9 @@ class SceneBuilder:
         self.light_recs.append(rec)
         return len(self.light_recs) - 1
 
-    def sky(self, radiance) -> int:
+    def sky(self, radiance, img: np.ndarray | None = None) -> int:
         self.env = np.asarray(radiance, np.float32)
+        self.env_img = img
         return self.add_light(ltype=LIGHT_SKY, intensity=np.asarray(radiance, np.float32))
 
     def point_light(self, pos, intensity) -> int:
@@ -192,9 +194,27 @@ class SceneBuilder:
             ),
             width, height,
         )
-        settings = RenderSettings(width=width, height=height, trace_depth=trace_depth)
+        settings = RenderSettings(
+            width=width, height=height, trace_depth=trace_depth,
+            has_alpha=any(r["opacity_tex"] != 0 for r in self.mat_recs),
+        )
         texels = np.ones((1, 4), np.float32)
         tex_table = np.array([[0, 1, 1, 0]], np.int32)
+
+        from hydracore_tpu.lights.envmap import build_env_pdf
+
+        env_img = self.env_img if self.env_img is not None else np.ones((8, 16, 4), np.float32)
+        env_rows, env_cols, env_pdf = build_env_pdf(env_img)
+        if self.env_img is not None:
+            # env texture goes into the heap as the sky light texture
+            from hydracore_tpu.scene.textures import TextureStorage
+            storage = TextureStorage()
+            slot = storage.add(np.asarray(self.env_img, np.float32))
+            texels, tex_table = storage.finalize()
+            for r in self.light_recs:
+                if r["ltype"] == LIGHT_SKY:
+                    r["tex"] = slot
+            lights = _stack_lights(self.light_recs)
 
         return SceneData(
             tri_v0=v0[p], tri_e1=(v1 - v0)[p], tri_e2=(v2 - v0)[p],
@@ -212,7 +232,9 @@ class SceneBuilder:
             wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,
-            camera=cam, env_color=self.env, settings=settings,
+            camera=cam, env_color=self.env,
+            env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
+            settings=settings,
         )
 
 

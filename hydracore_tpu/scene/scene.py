@@ -53,6 +53,10 @@ class SceneData:
     camera: CameraParams
     # env fallback (sky radiance when no sky light): (3,)
     env_color: np.ndarray
+    # env importance tables (lights/envmap.py; trivial when no env texture)
+    env_rows_cdf: np.ndarray  # (Ht+1,)
+    env_cols_cdf: np.ndarray  # (Ht, Wt+1)
+    env_pdf_uv: np.ndarray  # (Ht, Wt)
     settings: RenderSettings = struct.field(pytree_node=False, default=None)
 
     @property
@@ -155,14 +159,30 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     cam = build_camera(desc.camera, W, H)
 
-    # env fallback: sky light color if present else black
+    # env fallback: sky light color if present else black; build env
+    # importance tables from the sky texture (constant-sky fallback table)
+    from hydracore_tpu.lights.envmap import build_env_pdf
+    from hydracore_tpu.scene.textures import load_texture_array
+
     env = np.zeros(3, np.float32)
+    env_img = None
     for row in range(len(np.asarray(lights.ltype))):
         if int(np.asarray(lights.ltype)[row]) == 3:  # LIGHT_SKY
             env = np.asarray(lights.intensity)[row]
+            sid = int(np.asarray(lights.statefile_id)[row])
+            lnode = desc.lights.get(sid)
+            if lnode is not None:
+                inten = lnode.find("intensity")
+                t = inten.find("texture") if inten is not None else None
+                if t is not None:
+                    env_img = load_texture_array(desc, int(t.get("id", -1)))
             break
+    if env_img is None:
+        env_img = np.ones((8, 16, 4), np.float32)  # sin-weighted uniform sky
+    env_rows, env_cols, env_pdf = build_env_pdf(env_img)
 
-    st2 = RenderSettings(**{**st.__dict__, "width": W, "height": H})
+    st2 = RenderSettings(**{**st.__dict__, "width": W, "height": H,
+                           "has_alpha": bool((np.asarray(materials.opacity_tex) != 0).any())})
 
     return SceneData(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
@@ -174,7 +194,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
-        camera=cam, env_color=env, settings=st2,
+        camera=cam, env_color=env,
+        env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
+        settings=st2,
     )
 
 

@@ -109,6 +109,7 @@ class RenderSettings:
     method: str = "pathtracing"  # pathtracing | lighttracing | IBPT | SBDPT | MMLT
     qmc_variant: int = 7
     clamp: float = 1e6
+    has_alpha: bool = False  # any material with an opacity texture
 
 
 @dataclass

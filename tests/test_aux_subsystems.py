@@ -1,0 +1,97 @@
+"""Aux subsystem tests: alpha transparency, IES parsing, denoise filters,
+multiscatter energy baker."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hydracore_tpu.bsdf.energy_tables import bake_ggx_albedo
+from hydracore_tpu.lights.ies import ies_to_texture, parse_ies
+from hydracore_tpu.utils.denoise import bilateral_filter, nlm_filter, normalmap_from_height
+
+
+def test_alpha_transparency_passthrough():
+    """A fully transparent quad in front of a lit floor must not darken it;
+    a half-transparent one attenuates the view consistently."""
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.scene.procedural import SceneBuilder
+    from hydracore_tpu.scene.textures import TextureStorage
+
+    def make(op):
+        b = SceneBuilder()
+        m = b.lambert([0.8, 0.8, 0.8])
+        b.add_rect([0, 0, 0], [5, 0, 0], [0, 0, 5], m, flip=True)
+        # black occluder quad between camera and floor with opacity texture
+        storage = TextureStorage()
+        tex = np.zeros((1, 1, 4), np.float32)
+        tex[..., 0] = op  # opacity read from channel 0
+        slot = storage.add(tex)
+        occ = b.add_material(diff_color=np.zeros(3, np.float32), opacity_tex=slot)
+        b.add_rect([0, 1.0, 0], [3, 0, 0], [0, 0, 3], occ, flip=True)
+        b.point_light([0, 2.5, 0], [10.0] * 3)
+        sc = b.build(cam_pos=[0, 3, 3], cam_lookat=[0, 0, 0], width=17, height=17, trace_depth=4)
+        texels, table = storage.finalize()
+        sc = sc.replace(texels=texels, tex_table=table)
+        return sc
+
+    img_open = np.asarray(render(make(0.0), spp=48, seed=3))
+    img_blocked = np.asarray(render(make(1.0), spp=48, seed=3))
+    c_open = img_open[8, 8].mean()
+    c_blocked = img_blocked[8, 8].mean()
+    assert c_open > 0.3, f"transparent quad blocked the view: {c_open}"
+    assert c_blocked < 0.05 * max(c_open, 1e-9) + 0.02, f"opaque black quad leaked: {c_blocked}"
+
+
+IES_SAMPLE = """IESNA:LM-63-1995
+[TEST] synthetic
+TILT=NONE
+1 1000.0 1.0 5 1 1 2 0.0 0.0 0.0
+1.0 1.0 0.0
+0.0 45.0 90.0 135.0 180.0
+0.0
+1000.0 800.0 300.0 50.0 0.0
+"""
+
+
+def test_ies_parse_and_texture():
+    v, h, c = parse_ies(IES_SAMPLE)
+    assert len(v) == 5 and len(h) == 1
+    assert c.shape == (1, 5)
+    tex, peak = ies_to_texture(v, h, c, n_theta=32, n_phi=16)
+    assert tex.shape == (32, 16, 4)
+    assert peak == pytest.approx(1000.0, rel=0.05)  # grid centers miss theta=0
+    # monotonically decreasing profile along theta
+    prof = tex[:, 0, 0]
+    assert prof[0] > 0.9 and prof[-1] < 0.05
+    assert (np.diff(prof) <= 1e-4).all()
+
+
+def test_denoise_filters_reduce_noise_keep_edges():
+    rng = np.random.default_rng(0)
+    clean = np.zeros((32, 32, 3), np.float32)
+    clean[:, 16:] = 1.0  # step edge
+    noisy = clean + rng.normal(0, 0.1, clean.shape).astype(np.float32)
+    for f in (lambda x: bilateral_filter(jnp.asarray(x), 2.0, 0.25, 3),
+              lambda x: nlm_filter(jnp.asarray(x), h=0.12)):
+        out = np.asarray(f(noisy))
+        # noise reduced in flat areas
+        assert out[4:28, 2:12].std() < noisy[4:28, 2:12].std() * 0.6
+        # edge preserved
+        assert abs(out[:, 20:28].mean() - out[:, 4:12].mean()) > 0.8
+
+
+def test_normalmap_from_height():
+    H = W = 16
+    x = np.arange(W, dtype=np.float32)[None, :].repeat(H, 0) * 0.1  # slope in +x
+    n = np.asarray(normalmap_from_height(jnp.asarray(x), amount=1.0))
+    inner = n[4:-4, 4:-4]
+    assert (inner[..., 0] < -0.05).all()  # slope down +x -> normal tilts -x
+    assert (inner[..., 2] > 0.9).all()
+
+
+def test_ggx_albedo_table_properties():
+    E = bake_ggx_albedo(size=8, n_samples=512, seed=2)
+    assert E.shape == (8, 8)
+    assert (E >= 0).all() and (E <= 1.0).all()
+    # smooth surfaces reflect nearly all energy; rough at grazing lose most
+    assert E[0, -1] > 0.95  # alpha->0, mu->1
+    assert E[-1, 0] < E[0, -1]
