@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hydracore_tpu.integrators.pt import (
+    DG_ALPHA,
     DG_BSDF,
     DG_LIGHT,
     DG_RR,
@@ -41,8 +42,8 @@ S1, S2 = 1.0 / 1024.0, 1.0 / 64.0  # small-step mutation scale (Kelemen)
 
 
 def psv_dims(max_depth: int) -> int:
-    # 2 pixel + 2 lens + per-depth (4 bsdf + 4 light + 1 rr)
-    return 4 + 9 * max_depth
+    # 2 pixel + 2 lens + per-depth (4 bsdf + 4 light + 1 rr + 1 alpha)
+    return 4 + 10 * max_depth
 
 
 def _lum(c):
@@ -65,9 +66,9 @@ def _trace_from_psv(scene, psv, max_depth: int):
     ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
 
     def rand_fn(depth, group):
-        base = 4 + 9 * depth
-        off = {DG_BSDF: 0, DG_LIGHT: 4, DG_RR: 8}[group]
-        w = 4 if group != DG_RR else 1
+        base = 4 + 10 * depth
+        off = {DG_BSDF: 0, DG_LIGHT: 4, DG_RR: 8, DG_ALPHA: 9}[group]
+        w = 4 if group in (DG_BSDF, DG_LIGHT) else 1
         sl = psv[:, base + off : base + off + w]
         if w < 4:
             sl = jnp.concatenate([sl, jnp.zeros((R, 4 - w))], axis=1)

@@ -61,7 +61,7 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool):
     MAX_ALPHA_SHADOW_STEPS stochastic transparent layers (ref: shadow
     traversal alpha variants, trace.cl:244+ / TransparentShadowKenrel)."""
     if not has_alpha:
-        return any_hit(scene, sray_o, sdir, dist, active=active)
+        return any_hit(scene, sray_o, sdir, dist * 0.995, active=active)
 
     occluded = jnp.zeros(sray_o.shape[0], bool)
     searching = active
