@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-gamma", type=float, default=2.2)
     p.add_argument("-multichip", type=int, default=0, help="1 = shard samples over all devices")
     p.add_argument("-evalgbuffer", type=int, default=0)
+    p.add_argument("-checkpoint", default=None, help="write resumable state here")
+    p.add_argument("-resume", default=None, help="continue from a checkpoint .npz")
+    p.add_argument("-stat", type=int, default=0, help="1 = print MRaysStat per-stage timing")
+    p.add_argument("-denoise", default=None, choices=[None, "bilateral", "nlm"])
     # compatibility no-ops
     p.add_argument("-nowindow", type=int, default=1)
     p.add_argument("-cl_device_id", type=int, default=0)
@@ -69,7 +73,16 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    if args.multichip:
+    method = (args.method or scene.settings.method or "pathtracing").lower()
+    if method in ("lighttracing", "lt"):
+        from hydracore_tpu.integrators.lt import render_lt
+
+        img = np.asarray(render_lt(scene, n_passes=spp, seed=args.seed, max_depth=md))
+    elif method in ("mmlt", "mlt", "pssmlt"):
+        from hydracore_tpu.integrators.mlt import render_mlt
+
+        img = render_mlt(scene, n_passes=max(spp // 4, 8), seed=args.seed, max_depth=md)
+    elif args.multichip:
         from hydracore_tpu.parallel.mesh import make_mesh, render_distributed
 
         mesh = make_mesh()
@@ -79,26 +92,61 @@ def main(argv=None) -> int:
     else:
         import jax
 
+        from hydracore_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
         H, W = scene.camera.height, scene.camera.width
         scene = jax.device_put(scene)
         fb = jnp.zeros((H, W, 3), jnp.float32)
+        spp_done = 0
+        if args.resume:
+            fb_np, spp_done, ck_seed = load_checkpoint(args.resume)
+            assert fb_np.shape == (H, W, 3), "checkpoint resolution mismatch"
+            fb = jnp.asarray(fb_np)
+            args.seed = ck_seed
+            print(f"[resume] {args.resume}: spp={spp_done}")
         t_start = time.time()
         last_save = t_start
-        for i in range(spp):
+        for i in range(spp_done, spp):
             color, rays = render_pass(scene, jnp.uint32(i), jnp.uint32(args.seed), max_depth=md)
             fb = fb + color
-            if i == 0:
+            if i == spp_done:
                 fb.block_until_ready()
                 print(f"[compile+pass0] {time.time() - t_start:.1f}s")
             now = time.time()
             if args.saveinterval > 0 and now - last_save > args.saveinterval:
                 save_png(args.out, hdr_to_ldr(np.asarray(fb) / (i + 1), gamma=args.gamma))
+                if args.checkpoint:
+                    save_checkpoint(args.checkpoint, np.asarray(fb), i + 1, args.seed)
                 last_save = now
             if (i + 1) % 16 == 0 or i == spp - 1:
                 el = now - t_start
-                msps = (i + 1) * W * H / max(el, 1e-9) / 1e6
+                msps = (i + 1 - spp_done) * W * H / max(el, 1e-9) / 1e6
                 print(f"[pass] spp = {i + 1}/{spp}, speed = {msps:.2f} M(samples)/s", flush=True)
-        img = np.asarray(fb) / spp
+        if args.checkpoint:
+            save_checkpoint(args.checkpoint, np.asarray(fb), spp, args.seed)
+        img = np.asarray(fb) / max(spp, 1)
+
+        if args.stat:
+            from hydracore_tpu.utils.stats import profile_pass
+
+            print(profile_pass(scene, max_depth=md).summary())
+
+    if args.denoise:
+        from hydracore_tpu.utils.denoise import bilateral_filter, nlm_filter
+
+        f = bilateral_filter if args.denoise == "bilateral" else nlm_filter
+        img = np.asarray(f(jnp.asarray(img)))
+
+    if args.evalgbuffer:
+        from hydracore_tpu.integrators.gbuffer import eval_gbuffer
+
+        g = eval_gbuffer(scene if not args.multichip else jax.device_put(scene), jnp.uint32(args.seed))
+        base = args.out.rsplit(".", 1)[0]
+        save_png(base + "_normal.png", hdr_to_ldr(np.asarray(g["normal"]) * 0.5 + 0.5, gamma=1.0))
+        d = np.asarray(g["depth"])
+        save_png(base + "_depth.png",
+                 hdr_to_ldr(np.repeat((d / max(d.max(), 1e-6))[..., None], 3, -1), gamma=1.0))
+        print(f"[gbuffer] saved {base}_normal.png, {base}_depth.png")
 
     save_png(args.out, hdr_to_ldr(img, gamma=args.gamma))
     print(f"[done] saved {args.out} in {time.time() - t0:.1f}s")

@@ -63,9 +63,11 @@ def luminance(c):
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
-def fetch_material(scene, mat_id, uv) -> MatParams:
+def fetch_material(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
     """Gather material record + modulate by textures (ref: materialLeafEval
-    texture fetch path via SWTexSampler, cmaterial.h/cfetch.h)."""
+    texture fetch path via SWTexSampler, cmaterial.h/cfetch.h). Registered
+    procedural textures (ops/proctex.py) modulate the diffuse color when
+    `pos` is supplied."""
     mt = scene.materials
     tx, tt = scene.texels, scene.tex_table
 
@@ -74,6 +76,13 @@ def fetch_material(scene, mat_id, uv) -> MatParams:
 
     em = mt.em_color[mat_id] * tex_rgb(mt.em_tex[mat_id])
     dc = mt.diff_color[mat_id] * tex_rgb(mt.diff_tex[mat_id])
+
+    from hydracore_tpu.ops.proctex import eval_proc_tex, num_proc_tex
+
+    if pos is not None and num_proc_tex() > 0:
+        proc = mt.diff_proc[mat_id]
+        nn = normal if normal is not None else jnp.zeros_like(pos)
+        dc = dc * jnp.where((proc >= 0)[:, None], eval_proc_tex(proc, uv, pos, nn), 1.0)
     rc = mt.refl_color[mat_id] * tex_rgb(mt.refl_tex[mat_id])
     op = sample_bilinear(tx, tt, mt.opacity_tex[mat_id], uv)[:, 0]
     return MatParams(

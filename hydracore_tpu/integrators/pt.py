@@ -188,7 +188,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         alive = alive & hit
 
         pos, n, ng, uv, mat_id, tri_light = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv)
+        p = fetch_material(scene, mat_id, uv, pos, n)
 
         # ---- stochastic alpha transparency (ref: alpha-tested traversal
         # BVH4InstTraverseAlphaS + NextTransparentBounce, material.cl:1080):

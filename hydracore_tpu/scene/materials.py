@@ -77,6 +77,7 @@ class MaterialTable:
     opacity_tex: np.ndarray  # (M,)
     skip_shadow: np.ndarray  # (M,) int
     light_id: np.ndarray  # (M,) statefile light id or -1
+    diff_proc: np.ndarray  # (M,) procedural texture id (ops/proctex.py) or -1
 
 
 _DIST_MAP = {
@@ -171,6 +172,7 @@ def _blank_record() -> dict:
         opacity_tex=0,
         skip_shadow=0,
         light_id=-1,
+        diff_proc=-1,
     )
 
 
@@ -220,4 +222,5 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray) -> MaterialTabl
         opacity_tex=stack("opacity_tex", np.int32),
         skip_shadow=stack("skip_shadow", np.int32),
         light_id=stack("light_id", np.int32),
+        diff_proc=stack("diff_proc", np.int32),
     )

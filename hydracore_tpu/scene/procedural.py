@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from hydracore_tpu.bvh.builder import build_bvh
+from hydracore_tpu.bvh.native import build_bvh_auto
 from hydracore_tpu.scene.camera import CameraParams, build_camera
 from hydracore_tpu.scene.lights import (
     LIGHT_AREA_RECT,
@@ -166,7 +166,7 @@ class SceneBuilder:
         v0 = np.stack([t[0] for t in self.tris]).astype(np.float32)
         v1 = np.stack([t[1] for t in self.tris]).astype(np.float32)
         v2 = np.stack([t[2] for t in self.tris]).astype(np.float32)
-        bvh = build_bvh(v0, v1, v2)
+        bvh = build_bvh_auto(v0, v1, v2)
         p = bvh.perm
 
         from hydracore_tpu.bvh.wide import collapse_wide
@@ -256,7 +256,7 @@ def _stack_materials(recs) -> MaterialTable:
         transp_ior=stack("transp_ior", np.float32), thin_walled=stack("thin_walled", np.int32),
         fog_color=stack("fog_color", np.float32), fog_mult=stack("fog_mult", np.float32),
         opacity_tex=stack("opacity_tex", np.int32), skip_shadow=stack("skip_shadow", np.int32),
-        light_id=stack("light_id", np.int32),
+        light_id=stack("light_id", np.int32), diff_proc=stack("diff_proc", np.int32),
     )
 
 

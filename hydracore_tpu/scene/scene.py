@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 from flax import struct
 
-from hydracore_tpu.bvh.builder import FlatBVH, build_bvh
+from hydracore_tpu.bvh.builder import FlatBVH
+from hydracore_tpu.bvh.native import build_bvh_auto
 from hydracore_tpu.scene.camera import CameraParams, build_camera
 from hydracore_tpu.scene.lights import LightTable, build_light_table
 from hydracore_tpu.scene.materials import MaterialTable, build_material_table
@@ -145,7 +146,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         tri_light = np.full(1, -1, np.int32)
         tri_inst = np.zeros(1, np.int32)
 
-    bvh = build_bvh(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2)
+    bvh = build_bvh_auto(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2)
     p = bvh.perm if bvh.perm.size else np.zeros(0, np.int32)
     if p.size:
         tri_v0, tri_e1, tri_e2 = tri_v0[p], tri_e1[p], tri_e2[p]

@@ -95,3 +95,24 @@ def test_ggx_albedo_table_properties():
     # smooth surfaces reflect nearly all energy; rough at grazing lose most
     assert E[0, -1] > 0.95  # alpha->0, mu->1
     assert E[-1, 0] < E[0, -1]
+
+
+def test_procedural_texture_modulates_diffuse():
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.ops.proctex import checker, clear_registry, register_proc_tex
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    clear_registry()
+    pid = register_proc_tex(checker)
+    try:
+        b = SceneBuilder()
+        m = b.add_material(diff_color=np.array([0.8, 0.8, 0.8], np.float32), diff_proc=pid)
+        b.add_rect([0, 0, 0], [5, 0, 0], [0, 0, 5], m, flip=True)
+        b.point_light([0, 3.0, 0], [20.0] * 3)
+        sc = b.build(cam_pos=[0, 4, 0.01], cam_lookat=[0, 0, 0], width=32, height=32, trace_depth=2)
+        img = np.asarray(render(sc, spp=16, seed=2)).mean(-1)
+        # checkerboard: bimodal — bright and near-black squares
+        assert (img > 0.15).sum() > 100
+        assert (img < 0.02).sum() > 100
+    finally:
+        clear_registry()
