@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from hydracore_tpu.bsdf.core import fetch_material
 from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays
 from hydracore_tpu.ops import rng
-from hydracore_tpu.ops.traverse_wide import closest_hit
+from hydracore_tpu.ops.trace_api import closest_hit
 
 
 @partial(jax.jit, static_argnames=("n_samples",))

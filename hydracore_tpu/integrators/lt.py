@@ -26,7 +26,7 @@ from hydracore_tpu.bsdf.core import eval_bsdf, fetch_material, sample_bsdf
 from hydracore_tpu.integrators.pt import DG_BSDF, DG_LIGHT
 from hydracore_tpu.lights.sampling import sample_light_fwd, select_light
 from hydracore_tpu.ops import rng
-from hydracore_tpu.ops.traverse_wide import any_hit, closest_hit
+from hydracore_tpu.ops.trace_api import any_hit, closest_hit
 from hydracore_tpu.integrators.pt import compute_hit
 from hydracore_tpu.utils.math3d import dot3, normalize3, offs_ray_pos
 

@@ -35,7 +35,7 @@ from hydracore_tpu.lights.sampling import (
     select_light,
 )
 from hydracore_tpu.ops import rng
-from hydracore_tpu.ops.traverse_wide import any_hit, closest_hit
+from hydracore_tpu.ops.trace_api import any_hit, closest_hit
 from hydracore_tpu.scene.lights import LIGHT_SKY
 from hydracore_tpu.utils.math3d import cross3, dot3, normalize3, offs_ray_pos
 

@@ -46,7 +46,7 @@ def profile_pass(scene, n_rays: int = 65536, max_depth: int = 5, seed: int = 777
 
     from hydracore_tpu.integrators.pt import make_eye_rays, render_pass
     from hydracore_tpu.ops import rng as _rng
-    from hydracore_tpu.ops.traverse_wide import any_hit, closest_hit
+    from hydracore_tpu.ops.trace_api import any_hit, closest_hit
 
     scene = jax.device_put(scene)
     cam = scene.camera
