@@ -19,22 +19,16 @@ import jax.numpy as jnp
 
 from hydracore_tpu.bvh.wide import LEAF_SIZE
 
-DENSE_MAX_TRIS = 512  # static dispatch threshold
+DENSE_MAX_TRIS = 512  # single-shot threshold; blocked path above
+BLOCK_SLOTS = 2048  # triangle slots per dense block (bounded intermediates)
 
 
-@partial(jax.jit, static_argnames=("any_hit_mode",))
-def _traverse_dense(tri9f, slot_tri, ray_o, ray_d, t_max, active_in, any_hit_mode=False):
-    R = ray_o.shape[0]
-    B = tri9f.shape[0]
-    tri = tri9f.reshape(1, B * LEAF_SIZE, 16)  # broadcast over rays
-
-    ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
-    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
-
-    v0x, v0y, v0z = tri[:, :, 0], tri[:, :, 1], tri[:, :, 2]
-    e1x, e1y, e1z = tri[:, :, 3], tri[:, :, 4], tri[:, :, 5]
-    e2x, e2y, e2z = tri[:, :, 6], tri[:, :, 7], tri[:, :, 8]
-
+def _mt_block(tri, ox, oy, oz, dx, dy, dz, t_cap, active_in):
+    """Dense Möller–Trumbore of all rays vs one (9, S) field-major tri
+    block. Returns (t_k, u_k, v_k, k) per ray within the block."""
+    v0x, v0y, v0z = tri[0][None], tri[1][None], tri[2][None]
+    e1x, e1y, e1z = tri[3][None], tri[4][None], tri[5][None]
+    e2x, e2y, e2z = tri[6][None], tri[7][None], tri[8][None]
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
@@ -48,20 +42,66 @@ def _traverse_dense(tri9f, slot_tri, ray_o, ray_d, t_max, active_in, any_hit_mod
     v = (dx * qx + dy * qy + dz * qz) * inv
     t = (e2x * qx + e2y * qy + e2z * qz) * inv
     hit = (inv != 0.0) & (u >= 0) & (v >= 0) & (u + v <= 1.0) & (t > 1e-5) \
-        & (t < t_max[:, None]) & active_in[:, None]
-
+        & (t < t_cap[:, None]) & active_in[:, None]
     t_m = jnp.where(hit, t, jnp.float32(3.0e38))
-    t_k = t_m.min(axis=1)
-    found = t_k < 3.0e37
-    win = (t_m == t_k[:, None]) & hit
-    win = win & (jnp.cumsum(win.astype(jnp.int32), axis=1) == 1)
-    winf = win.astype(jnp.float32)
-    slots = jnp.arange(B * LEAF_SIZE)[None, :]
-    slot = (win * slots).sum(axis=1)
-    u_best = (winf * u).sum(axis=1)
-    v_best = (winf * v).sum(axis=1)
-    tri_best = jnp.where(found, slot_tri[jnp.clip(slot, 0, slot_tri.shape[0] - 1)], -1)
-    t_out = jnp.where(found, t_k, jnp.inf)
+    k = jnp.argmin(t_m, axis=1)
+    t_k = jnp.take_along_axis(t_m, k[:, None], 1)[:, 0]
+    u_k = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
+    v_k = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+    return t_k, u_k, v_k, k.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("any_hit_mode",))
+def _traverse_dense(tri9f, slot_tri, ray_o, ray_d, t_max, active_in, any_hit_mode=False):
+    R = ray_o.shape[0]
+    B = tri9f.shape[0]
+    S = B * LEAF_SIZE  # total triangle slots
+    # slot-major (B, L, 16) -> (16, S): tri_fields[f, slot]
+    tri_fields = jnp.transpose(tri9f.reshape(B * LEAF_SIZE, 16), (1, 0))
+
+    ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
+
+    t_best = jnp.minimum(t_max, jnp.float32(3.0e38))
+    slot_best = jnp.full((R,), -1, jnp.int32)
+    u_best = jnp.zeros((R,), jnp.float32)
+    v_best = jnp.zeros((R,), jnp.float32)
+
+    if S <= BLOCK_SLOTS:
+        t_k, u_k, v_k, k = _mt_block(tri_fields, ox, oy, oz, dx, dy, dz, t_best, active_in)
+        better = t_k < t_best
+        t_best = jnp.where(better, t_k, t_best)
+        slot_best = jnp.where(better, k, slot_best)
+        u_best = jnp.where(better, u_k, u_best)
+        v_best = jnp.where(better, v_k, v_best)
+    else:
+        # sequential blocks (fori + scalar dynamic_slice keeps ONE block of
+        # intermediates live; a python unroll OOMs on HLO temps)
+        S_pad = ((S + BLOCK_SLOTS - 1) // BLOCK_SLOTS) * BLOCK_SLOTS
+        tri_pad = jnp.concatenate(
+            [tri_fields, jnp.full((16, S_pad - S), 1e30, tri_fields.dtype)], axis=1
+        )
+
+        def body(b, carry):
+            t_best, slot_best, u_best, v_best = carry
+            lo = b * BLOCK_SLOTS
+            blk = jax.lax.dynamic_slice(tri_pad, (0, lo), (16, BLOCK_SLOTS))
+            t_k, u_k, v_k, k = _mt_block(blk, ox, oy, oz, dx, dy, dz, t_best, active_in)
+            better = t_k < t_best
+            return (
+                jnp.where(better, t_k, t_best),
+                jnp.where(better, lo + k, slot_best),
+                jnp.where(better, u_k, u_best),
+                jnp.where(better, v_k, v_best),
+            )
+
+        t_best, slot_best, u_best, v_best = jax.lax.fori_loop(
+            0, S_pad // BLOCK_SLOTS, body, (t_best, slot_best, u_best, v_best)
+        )
+
+    found = slot_best >= 0
+    tri_best = jnp.where(found, slot_tri[jnp.clip(slot_best, 0, slot_tri.shape[0] - 1)], -1)
+    t_out = jnp.where(found, t_best, jnp.inf)
     return t_out, tri_best, u_best, v_best
 
 

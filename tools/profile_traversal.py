@@ -28,7 +28,7 @@ def main():
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
 
     sc = load_scene(scene_dir, width=64, height=64)
-    nodes2 = jax.device_put(jnp.asarray(sc.wbvh_nodes.reshape(-1, 64)))
+    nodes_full = jax.device_put(jnp.asarray(sc.wbvh_nodes))
     tri9f = jax.device_put(jnp.asarray(sc.wbvh_tri9f))
     slot_tri = jax.device_put(jnp.asarray(sc.wbvh_slot_tri))
     rng = np.random.default_rng(0)
@@ -38,21 +38,27 @@ def main():
     tm = jax.device_put(jnp.full((R,), 1e30, jnp.float32))
     act = jax.device_put(jnp.ones((R,), bool))
 
-    fn = tw._traverse_wide.__wrapped__
-    g = jax.jit(lambda *a: fn(*a, any_hit_mode=False))
+    class S:
+        pass
+
+    s = S()
+    s.wbvh_nodes = nodes_full
+    s.wbvh_tri9f = tri9f
+    s.wbvh_slot_tri = slot_tri
+    g = lambda *a: tw.closest_hit(s, ro, rd)
     t0 = time.perf_counter()
-    out = g(nodes2, tri9f, slot_tri, ro, rd, tm, act)
+    out = g()
     jax.block_until_ready(out)
     print(f"compile+first {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(3):
-        out = g(nodes2, tri9f, slot_tri, ro, rd, tm, act)
+        out = g()
     jax.block_until_ready(out)
     warm = (time.perf_counter() - t0) / 3
     print(f"warm {warm * 1e3:.1f} ms ({R / warm / 1e6:.1f} Mrays/s incoherent)")
 
     jax.profiler.start_trace("/tmp/trav_trace")
-    out = g(nodes2, tri9f, slot_tri, ro, rd, tm, act)
+    out = g()
     jax.block_until_ready(out)
     jax.profiler.stop_trace()
     f = sorted(glob.glob("/tmp/trav_trace/plugins/profile/*/*.trace.json.gz"))[-1]
