@@ -5,59 +5,64 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Scene choice: the reference's baseline row "cornell" (BASELINE.md) is the
 cornell box WITH the 25.6k-triangle teapot. The repo copy of test_42 is
 missing the teapot chunk (chunk_00003.vsgf), so the honest equivalent is
-test_224 (same box + teapot present, 25.6k tris loaded). Baseline to beat:
-9.1 Msamples/s (RX 480, 1024x1024, depth 5, full path samples).
+test_224 (same box + teapot present). Baseline to beat: 9.1 Msamples/s
+(RX 480, 1024x1024, depth 5, full path samples).
 
-A secondary probe on the 12-tri test_42 (tiny-BVH upper bound) is reported
-in "extra" to track shading-path throughput separately from traversal.
+Each probe runs in its OWN subprocess: on this TPU tunnel, executing a
+long program pushes the device runtime into an adaptive slow-polling mode
+that persists for the process and contaminates every later measurement
+(measured 0.3 ms -> 1470 ms per pass on the small scene after a large one).
 """
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
-import time
-
 
 BASELINE_MSAMPLES = 9.1  # RX 480, cornell(+teapot), 1024^2 (BASELINE.md)
 
+_PROBE = r"""
+import time, sys, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from hydracore_tpu.scene.scene import load_scene
+from hydracore_tpu.integrators.pt import render_pass
+scene_dir, W, n_pass, depth = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), 5
+scene = jax.device_put(load_scene(scene_dir, width=W, height=W))
+seed = jnp.uint32(777)
+color, rays = render_pass(scene, jnp.uint32(0), seed, max_depth=depth)
+color.block_until_ready()
+t0 = time.perf_counter()
+for i in range(1, n_pass + 1):
+    color, rays = render_pass(scene, jnp.uint32(i), seed, max_depth=depth)
+color.block_until_ready()
+dt = (time.perf_counter() - t0) / n_pass
+print("RESULT %.9f %.1f" % (dt, float(rays)))
+"""
 
-def _mean_pass_time(render_pass, scene, depth, n_pass, seed):
-    import jax
-    import jax.numpy as jnp
 
-    color, rays = render_pass(scene, jnp.uint32(0), seed, max_depth=depth)
-    color.block_until_ready()  # compile + warmup
-    t0 = time.perf_counter()
-    for i in range(1, n_pass + 1):
-        color, rays = render_pass(scene, jnp.uint32(i), seed, max_depth=depth)
-    color.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_pass
-    return dt, float(rays)
+def _probe(scene_dir: str, width: int, n_pass: int):
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE, scene_dir, str(width), str(n_pass)],
+        capture_output=True, text=True, timeout=1800, cwd="/root/repo",
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            _, dt, rays = line.split()
+            return float(dt), float(rays)
+    raise RuntimeError(f"probe failed: {out.stdout[-500:]} {out.stderr[-500:]}")
 
 
 def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    import jax.numpy as jnp
-
-    from hydracore_tpu.integrators.pt import render_pass
-    from hydracore_tpu.scene.scene import load_scene
-
-    W = H = 512
-    depth = 5
-    seed = jnp.uint32(777)
-
-    scene = jax.device_put(load_scene("/root/reference/hydra_app/tests/test_224", width=W, height=H))
-    dt, rays = _mean_pass_time(render_pass, scene, depth, n_pass=4, seed=seed)
-    msamples = W * H / dt / 1e6
+    W = 512
+    dt, rays = _probe("/root/reference/hydra_app/tests/test_224", W, 4)
+    msamples = W * W / dt / 1e6
     mrays = rays / dt / 1e6
 
-    # tiny-scene probe (12 tris): shading-path throughput upper bound
-    tiny = jax.device_put(load_scene("/root/reference/hydra_app/tests/test_42", width=1024, height=1024))
-    dt2, rays2 = _mean_pass_time(render_pass, tiny, depth, n_pass=4, seed=seed)
+    dt2, _ = _probe("/root/reference/hydra_app/tests/test_42", 1024, 8)
     msamples_tiny = 1024 * 1024 / dt2 / 1e6
+
+    import jax
 
     print(
         json.dumps(
