@@ -1,0 +1,196 @@
+"""Eager numpy reference integrator — the executable spec / oracle.
+
+TPU rebuild of the reference's CPU core role (CPUExpLayer +
+IntegratorMISPT, SURVEY.md §4.4: "the CPU reference core as oracle" — the
+same shading code compiled for CPU validates the GPU wavefront). This is a
+deliberately boring, per-ray-recursive, pure-numpy MIS path tracer sharing
+NOTHING with the jax wavefront except the scene tables and the counter-based
+RNG — an independent implementation the production integrator is tested
+against (tests/test_oracle.py).
+
+Slow by construction (python loop over pixels); use tiny resolutions.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rand4(sample_index: int, bounce: int, group: int, seed: int) -> np.ndarray:
+    """Mirror of ops/rng.rand4 for scalar indices (uint32 semantics)."""
+    import jax
+
+    jax_impl = None
+    # pure-numpy PCG3D identical to ops/rng.py
+    def u32(x):
+        return np.uint32(x & 0xFFFFFFFF)
+
+    v = np.array([
+        u32(sample_index),
+        u32(np.uint32(bounce) * np.uint32(0x9E3779B9) ^ np.uint32(group) * np.uint32(0x85EBCA6B)),
+        u32(seed),
+    ], np.uint32)
+    with np.errstate(over="ignore"):
+        v = v * np.uint32(1664525) + np.uint32(1013904223)
+        x, y, z = v
+        x = u32(x + y * z)
+        y = u32(y + z * x)
+        z = u32(z + x * y)
+        x ^= x >> np.uint32(16)
+        y ^= y >> np.uint32(16)
+        z ^= z >> np.uint32(16)
+        x = u32(x + y * z)
+        y = u32(y + z * x)
+        z = u32(z + x * y)
+        w = x ^ y ^ z ^ np.uint32(0x27220A95)
+        w ^= w >> np.uint32(16)
+        w = u32(w * np.uint32(0x7FEB352D))
+        w ^= w >> np.uint32(15)
+        w = u32(w * np.uint32(0x846CA68B))
+        w ^= w >> np.uint32(16)
+    bits = np.array([x, y, z, w], np.uint32)
+    return (bits >> np.uint32(8)).astype(np.float64) / 16777216.0
+
+
+class OracleRenderer:
+    """Per-pixel recursive MISPT over a SceneData pytree (numpy views)."""
+
+    def __init__(self, scene):
+        self.v0 = np.asarray(scene.tri_v0)
+        self.e1 = np.asarray(scene.tri_e1)
+        self.e2 = np.asarray(scene.tri_e2)
+        self.n0 = np.asarray(scene.n0)
+        self.n1 = np.asarray(scene.n1)
+        self.n2 = np.asarray(scene.n2)
+        self.tri_mat = np.asarray(scene.tri_mat)
+        self.tri_light = np.asarray(scene.tri_light)
+        self.mt = scene.materials
+        self.lt = scene.lights
+        self.cam = scene.camera
+        self.env = np.asarray(scene.env_color)
+
+    # ---- geometry
+    def trace(self, o, d, t_max=1e30):
+        from hydracore_tpu.bvh.builder import brute_force_closest_hit
+
+        t, tri, u, v = brute_force_closest_hit(o[None], d[None], self.v0, self.e1, self.e2, t_max)
+        return t[0], int(tri[0]), float(u[0]), float(v[0])
+
+    def occluded(self, o, d, dist):
+        t, tri, _, _ = self.trace(o, d, dist * 0.995)
+        return np.isfinite(t)
+
+    # ---- shading
+    def radiance(self, o, d, sample_index, seed, depth, max_depth, prev_pdf, prev_spec):
+        t, tri, u, v = self.trace(o, d)
+        if not np.isfinite(t):
+            return self.env.astype(np.float64)  # constant env (oracle scenes)
+        w = 1.0 - u - v
+        pos = o + t * d
+        n = w * self.n0[tri] + u * self.n1[tri] + v * self.n2[tri]
+        n = n / max(np.linalg.norm(n), 1e-12)
+        mat = int(self.tri_mat[tri])
+        em = np.asarray(self.mt.em_color)[mat].astype(np.float64)
+        if em.max() > 1e-6:
+            if float(np.dot(n, -d)) <= 0.0:
+                return np.zeros(3)
+            lrow = int(self.tri_light[tri])
+            if prev_spec or lrow < 0:
+                return em
+            # MIS vs the light pdf
+            lp = self._light_pdf_hit(lrow, o, d, pos, n)
+            pick = float(np.asarray(self.lt.pick_cdf)[lrow + 1] - np.asarray(self.lt.pick_cdf)[lrow])
+            wmis = prev_pdf**2 / max(prev_pdf**2 + (lp * pick) ** 2, 1e-20)
+            return em * wmis
+        if depth >= max_depth - 1:
+            return np.zeros(3)
+
+        ns = n if np.dot(n, -d) >= 0 else -n
+        albedo = np.asarray(self.mt.diff_color)[mat].astype(np.float64)
+
+        out = np.zeros(3)
+        # ---- NEE over one light picked by the CDF (lambert materials only:
+        # the oracle's scope is diffuse cross-checks)
+        r_l = _rand4(sample_index, depth, 2, seed)
+        cdf = np.asarray(self.lt.pick_cdf)
+        lrow = int(np.clip(np.searchsorted(cdf, r_l[3], side="right") - 1, 0, len(cdf) - 2))
+        pick = float(cdf[lrow + 1] - cdf[lrow])
+        ltype = int(np.asarray(self.lt.ltype)[lrow])
+        lpos = np.asarray(self.lt.pos)[lrow].astype(np.float64)
+        lnorm = np.asarray(self.lt.norm)[lrow].astype(np.float64)
+        inten = np.asarray(self.lt.intensity)[lrow].astype(np.float64)
+        f_d = albedo / np.pi
+
+        if ltype == 4:  # area rect
+            vx = np.asarray(self.lt.vx)[lrow].astype(np.float64)
+            vy = np.asarray(self.lt.vy)[lrow].astype(np.float64)
+            area = float(np.asarray(self.lt.area)[lrow])
+            p = lpos + (2 * r_l[0] - 1) * vx + (2 * r_l[1] - 1) * vy
+            to_l = p - pos
+            d2 = float(np.dot(to_l, to_l))
+            dist = np.sqrt(d2)
+            wi = to_l / dist
+            cos_l = float(np.dot(lnorm, -wi))
+            cos_s = float(np.dot(wi, ns))
+            if cos_l > 1e-6 and cos_s > 0:
+                pdf_w = d2 / (area * cos_l)
+                sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist):
+                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + (cos_s / np.pi) ** 2, 1e-20)
+                    out += f_d * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
+        elif ltype == 0:  # point
+            to_l = lpos - pos
+            d2 = float(np.dot(to_l, to_l))
+            dist = np.sqrt(d2)
+            wi = to_l / dist
+            cos_s = float(np.dot(wi, ns))
+            if cos_s > 0:
+                sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist):
+                    out += f_d * (inten / d2) * cos_s / max(pick, 1e-12)
+
+        # ---- cosine-sampled diffuse bounce
+        r_b = _rand4(sample_index, depth, 1, seed)
+        ct = np.sqrt(max(r_b[1], 0.0))
+        st = np.sqrt(max(1.0 - r_b[1], 0.0))
+        phi = 2 * np.pi * r_b[2]
+        # Frisvad basis (same as device math3d)
+        sign = 1.0 if ns[2] >= 0 else -1.0
+        a = -1.0 / (sign + ns[2])
+        b = ns[0] * ns[1] * a
+        tb = np.array([1.0 + sign * ns[0] ** 2 * a, sign * b, -sign * ns[0]])
+        bb = np.array([b, sign + ns[1] ** 2 * a, -ns[1]])
+        wi = st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * ns
+        pdf = max(ct / np.pi, 1e-9)
+        ro2 = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
+        lo = self.radiance(ro2, wi, sample_index, seed, depth + 1, max_depth, pdf, False)
+        out += albedo * lo  # f*cos/pdf = albedo for cosine sampling
+        return out
+
+    def render(self, width: int, height: int, spp: int, max_depth: int = 3, seed: int = 777):
+        """(H, W, 3) image; pixel-center rays + per-sample decorrelation
+        identical in STRUCTURE to the production render (not bit-identical:
+        the oracle is an independent estimator)."""
+        import jax.numpy as jnp
+
+        from hydracore_tpu.integrators.pt import make_eye_rays
+
+        img = np.zeros((height, width, 3))
+        pix = np.arange(width * height, dtype=np.uint32)
+        for s in range(spp):
+            jitter = np.random.default_rng(seed * 1000 + s).random((width * height, 2)).astype(np.float32)
+            ro, rd = make_eye_rays(self.cam, jnp.asarray((pix % width).astype(np.int32)),
+                                   jnp.asarray((pix // width).astype(np.int32)),
+                                   jnp.asarray(jitter), jnp.zeros((len(pix), 2), jnp.float32))
+            ro = np.asarray(ro, np.float64)
+            rd = np.asarray(rd, np.float64)
+            for i in range(len(pix)):
+                sample_index = int((np.uint32(pix[i]) * np.uint32(0x9E3779B9)) ^ np.uint32(s))
+                c = self.radiance(ro[i], rd[i], sample_index, seed, 0, max_depth, 0.0, True)
+                img[i // width, i % width] += c
+        return img / spp
+
+    def _light_pdf_hit(self, lrow, o, d, pos, n):
+        area = float(np.asarray(self.lt.area)[lrow])
+        d2 = float(np.dot(pos - o, pos - o))
+        cos_l = max(float(np.dot(n, -d)), 1e-6)
+        return d2 / max(area * cos_l, 1e-9)

@@ -1,0 +1,29 @@
+"""Production wavefront PT vs the independent eager numpy oracle
+(SURVEY.md §4.4: CPU reference core as oracle)."""
+import numpy as np
+import pytest
+
+from hydracore_tpu.integrators.oracle import OracleRenderer
+from hydracore_tpu.integrators.pt import render
+from hydracore_tpu.scene.procedural import SceneBuilder
+
+
+def test_wavefront_matches_oracle():
+    b = SceneBuilder()
+    m = b.lambert([0.6, 0.5, 0.4])
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.rect_light([0, 1.95, 0], 0.5, 0.5, [14.0, 14.0, 14.0])
+    sc = b.build(cam_pos=[0, 0, 5.4], cam_lookat=[0, 0, 0], width=10, height=10, trace_depth=3)
+
+    prod = np.asarray(render(sc, spp=256, seed=3, max_depth=3))
+    oracle = OracleRenderer(sc).render(10, 10, spp=48, max_depth=3, seed=11)
+
+    emit = prod.max(-1) > 5.0  # exclude emitter pixels (oracle sees them too but variance is huge)
+    a = np.where(emit[..., None], 0, prod)
+    c = np.where(emit[..., None], 0, oracle)
+    rel = abs(a.mean() - c.mean()) / max(a.mean(), 1e-9)
+    assert rel < 0.12, f"oracle mismatch: prod={a.mean():.4f} oracle={c.mean():.4f} rel={rel:.3f}"
+    # per-pixel: moderately tight (both are MC estimates at low spp)
+    mask = a.mean(-1) > 0.05
+    perpix = np.abs(a.mean(-1) - c.mean(-1))[mask] / np.maximum(a.mean(-1)[mask], 1e-9)
+    assert np.median(perpix) < 0.25, f"median per-pixel {np.median(perpix):.3f}"
