@@ -311,6 +311,52 @@ def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
 render_pass = jax.jit(render_pass_impl, static_argnames=("max_depth",))
 
 
+@partial(jax.jit, static_argnames=("max_depth", "k_samples"))
+def render_tile_production(scene, pix_ids, pass_base, seed, k_samples: int = 64,
+                           max_depth: int = 5):
+    """Production sampling: K coherent samples per pixel in ONE dispatch,
+    reduced to the per-pixel mean in-kernel (ref RunProductionSamplingMode,
+    GPUOCLLayerOther.cpp:502 — PMPIX_SAMPLES coherent blocks + reduction).
+    pix_ids: (P,) flat pixel ids; returns (P, 3) mean radiance."""
+    cam = scene.camera
+    W = cam.width
+    P = pix_ids.shape[0]
+    pix = jnp.repeat(pix_ids, k_samples)
+    samp = jnp.tile(jnp.arange(k_samples, dtype=jnp.uint32), (P,)) + pass_base
+    px = (pix % W).astype(jnp.int32)
+    py = (pix // W).astype(jnp.int32)
+    sample_idx = pix * jnp.uint32(0x9E3779B9) ^ samp
+    jitter = rng.screen_sample(samp, pix)
+    lens = rng.rand2(sample_idx, 0, DG_LENS, seed)
+    ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
+    has_alpha = bool(scene.settings.has_alpha) if scene.settings is not None else False
+    color, _ = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth,
+                        has_alpha=has_alpha)
+    color = jnp.clip(color, 0.0, 1e6)
+    return color.reshape(P, k_samples, 3).mean(axis=1)
+
+
+def render_production(scene, spp: int, seed: int = 777, max_depth: int | None = None,
+                      tile_pixels: int = 16384):
+    """Offline 'production' render: pixel tiles x coherent sample blocks.
+    Fewer, larger dispatches — also friendlier to runtimes that penalize
+    many small dispatches."""
+    md = max_depth or scene.settings.trace_depth
+    H, W = scene.camera.height, scene.camera.width
+    scene = jax.device_put(scene)
+    k = min(max(spp, 1), 64)
+    n_rounds = max(spp // k, 1)
+    out = jnp.zeros((H * W, 3), jnp.float32)
+    for start in range(0, H * W, tile_pixels):
+        ids = jnp.arange(start, min(start + tile_pixels, H * W), dtype=jnp.uint32)
+        acc = jnp.zeros((ids.shape[0], 3), jnp.float32)
+        for r in range(n_rounds):
+            acc = acc + render_tile_production(scene, ids, jnp.uint32(r * k),
+                                               jnp.uint32(seed), k, md)
+        out = out.at[start : start + ids.shape[0]].set(acc / n_rounds)
+    return out.reshape(H, W, 3)
+
+
 def render(scene, spp: int, seed: int = 777, max_depth: int | None = None, progress=None):
     """Accumulate `spp` passes; returns (H, W, 3) float32 mean radiance.
 

@@ -19,6 +19,7 @@ from hydracore_tpu.ops.texture import sample_bilinear
 from hydracore_tpu.scene.lights import (
     LIGHT_AREA_DISK,
     LIGHT_AREA_RECT,
+    LIGHT_CYLINDER,
     LIGHT_DIRECT,
     LIGHT_POINT,
     LIGHT_SKY,
@@ -140,31 +141,51 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     )
     rad_sky = env_radiance(scene, dir_sky)
 
+    # --- cylinder: sample a point on the lateral surface (area sampling)
+    axis = normalize3(vx)
+    half_h = jnp.sqrt(jnp.maximum(dot3(vx, vx), 1e-12))
+    at, ab = make_orthonormal_basis(axis)
+    phi_c = 2.0 * np.pi * u2
+    radial = jnp.cos(phi_c)[:, None] * at + jnp.sin(phi_c)[:, None] * ab
+    p_cyl = pos + ((2.0 * u1 - 1.0) * half_h)[:, None] * axis + radius[:, None] * radial
+    to_c2 = p_cyl - sp
+    dc2b = jnp.maximum(dot3(to_c2, to_c2), 1e-12)
+    dist_c = jnp.sqrt(dc2b)
+    dir_c = to_c2 / dist_c[:, None]
+    cos_c = dot3(radial, -dir_c)
+    pdf_c = dc2b / (area * jnp.maximum(cos_c, 1e-6))
+    rad_c = jnp.where((cos_c > 1e-6)[:, None], inten, 0.0)
+
     # combine by type
     def sel3(cond, a, b):
         return jnp.where(cond[:, None], a, b)
 
     direction = sel3(is_area, dir_a, dir_p)
     direction = sel3(ltype == LIGHT_SPHERE, dir_s, direction)
+    direction = sel3(ltype == LIGHT_CYLINDER, dir_c, direction)
     direction = sel3(ltype == LIGHT_DIRECT, dir_dir, direction)
     direction = sel3(ltype == LIGHT_SKY, dir_sky, direction)
 
     dist = jnp.where(is_area, dist_a, dc)
     dist = jnp.where(ltype == LIGHT_SPHERE, dist_s, dist)
+    dist = jnp.where(ltype == LIGHT_CYLINDER, dist_c, dist)
     dist = jnp.where((ltype == LIGHT_DIRECT) | (ltype == LIGHT_SKY), FAR_DIST, dist)
 
     radiance = sel3(is_area, rad_a, rad_p)
     radiance = sel3(ltype == LIGHT_SPOT, rad_spot, radiance)
     radiance = sel3(ltype == LIGHT_SPHERE, inten, radiance)
+    radiance = sel3(ltype == LIGHT_CYLINDER, rad_c, radiance)
     radiance = sel3(ltype == LIGHT_DIRECT, rad_dir, radiance)
     radiance = sel3(ltype == LIGHT_SKY, rad_sky, radiance)
 
     pdf_w = jnp.where(is_area, pdf_a, 1.0)
     pdf_w = jnp.where(ltype == LIGHT_SPHERE, pdf_s, pdf_w)
+    pdf_w = jnp.where(ltype == LIGHT_CYLINDER, pdf_c, pdf_w)
     pdf_w = jnp.where(ltype == LIGHT_SKY, pdf_sky, pdf_w)
 
     is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT) | (ltype == LIGHT_DIRECT)
     cos_at_light = jnp.where(is_area, cos_l, 1.0)
+    cos_at_light = jnp.where(ltype == LIGHT_CYLINDER, cos_c, cos_at_light)
 
     return LightSample(
         dir=direction, dist=dist, radiance=radiance, pdf_w=pdf_w,

@@ -20,6 +20,7 @@ LIGHT_SKY = 3
 LIGHT_AREA_RECT = 4
 LIGHT_AREA_DISK = 5
 LIGHT_SPHERE = 6
+LIGHT_CYLINDER = 7  # axis along local Y, radiates radially (ref clight.h cylinder)
 
 
 @struct.dataclass
@@ -151,6 +152,14 @@ def _compile(node, matrix: np.ndarray, lid: int, tex_remap: np.ndarray) -> dict:
         rec["ltype"] = LIGHT_SPHERE
         rec["radius"] = r * float(np.cbrt(max(abs(np.linalg.det(R)), 1e-12)))
         rec["area"] = float(4.0 * np.pi * rec["radius"] ** 2)
+    elif ltype == "cylinder":
+        r = float(size.get("radius", 1.0)) if size is not None else 1.0
+        h = float(size.get("height", size.get("half_length", 1.0))) if size is not None else 1.0
+        rec["ltype"] = LIGHT_CYLINDER
+        rec["radius"] = r
+        rec["norm"] = _safe_normalize(R @ np.array([0, 1, 0], np.float32))  # axis
+        rec["vx"] = (R @ np.array([0, 1, 0], np.float32)) * (h * 0.5)  # half-axis vector
+        rec["area"] = float(2.0 * np.pi * r * h)
     elif ltype == "directional":
         rec["ltype"] = LIGHT_DIRECT
         rec["norm"] = _safe_normalize(R @ np.array([0, -1, 0], np.float32))

@@ -116,3 +116,41 @@ def test_procedural_texture_modulates_diffuse():
         assert (img < 0.02).sum() > 100
     finally:
         clear_registry()
+
+
+def test_production_mode_matches_progressive():
+    from hydracore_tpu.integrators.pt import render, render_production
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.lambert([0.6] * 3)
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.rect_light([0, 1.95, 0], 0.5, 0.5, [12.0] * 3)
+    sc = b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=12, height=12, trace_depth=3)
+    a = np.asarray(render(sc, spp=64, seed=3, max_depth=3))
+    c = np.asarray(render_production(sc, spp=64, seed=3, max_depth=3, tile_pixels=72))
+    emit = a.max(-1) > 4.0
+    am = np.where(emit[..., None], 0, a)
+    cm = np.where(emit[..., None], 0, c)
+    rel = abs(am.mean() - cm.mean()) / max(am.mean(), 1e-9)
+    assert rel < 0.1, f"production vs progressive: {am.mean():.4f} vs {cm.mean():.4f}"
+
+
+def test_cylinder_light_renders():
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.scene.lights import LIGHT_CYLINDER
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.lambert([0.7] * 3)
+    b.add_rect([0, 0, 0], [4, 0, 0], [0, 0, 4], m, flip=True)
+    b.add_light(
+        ltype=LIGHT_CYLINDER, pos=np.array([0, 1.5, 0], np.float32),
+        norm=np.array([0, 1, 0], np.float32), vx=np.array([0, 0.5, 0], np.float32),
+        intensity=np.array([8.0, 8.0, 8.0], np.float32), radius=0.1,
+        area=float(2 * np.pi * 0.1 * 1.0),
+    )
+    sc = b.build(cam_pos=[0, 2.5, 3], cam_lookat=[0, 0, 0], width=16, height=16, trace_depth=2)
+    img = np.asarray(render(sc, spp=48, seed=2, max_depth=2))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.02  # floor is lit by the cylinder
