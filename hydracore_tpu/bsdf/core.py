@@ -57,6 +57,7 @@ class MatParams(NamedTuple):
     thin_walled: jnp.ndarray  # (R,) int
     opacity: jnp.ndarray  # (R,) alpha in [0,1]
     light_id: jnp.ndarray  # (R,) int
+    bump_tex: jnp.ndarray  # (R,) normal-map slot (0 = none)
 
 
 def luminance(c):
@@ -100,7 +101,27 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
         thin_walled=mt.thin_walled[mat_id],
         opacity=op,
         light_id=mt.light_id[mat_id],
+        bump_tex=mt.bump_tex[mat_id],
     )
+
+
+def apply_bump(scene, p: MatParams, n, tang, uv):
+    """Perturb the shading normal by the material's normal map — the shading
+    side of the reference bump pipeline (aux normal map applied in
+    ComputeHit/Shade via the TBN frame). tang: interpolated mesh tangent."""
+    has = p.bump_tex > 0
+    nm = sample_bilinear(scene.texels, scene.tex_table, p.bump_tex, uv)[:, :3] * 2.0 - 1.0
+    t = normalize3(tang - dot3(tang, n)[:, None] * n)
+    b = jnp.stack(
+        [
+            n[:, 1] * t[:, 2] - n[:, 2] * t[:, 1],
+            n[:, 2] * t[:, 0] - n[:, 0] * t[:, 2],
+            n[:, 0] * t[:, 1] - n[:, 1] * t[:, 0],
+        ],
+        -1,
+    )
+    n2 = normalize3(nm[:, 0:1] * t + nm[:, 1:2] * b + nm[:, 2:3] * n)
+    return jnp.where(has[:, None], n2, n)
 
 
 # ----------------------------------------------------------------------------

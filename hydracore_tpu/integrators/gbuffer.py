@@ -48,7 +48,7 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
         t, tri, u, v = closest_hit(scene, ray_o, ray_d)
         hit = tri >= 0
-        pos, n, ng, uv, mat_id, tri_light = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
+        pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         p = fetch_material(scene, mat_id, uv)
         tri_c = jnp.clip(tri, 0, scene.tri_inst.shape[0] - 1)
         inst = jnp.where(hit, scene.tri_inst[tri_c], -1)

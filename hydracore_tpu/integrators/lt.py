@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydracore_tpu.bsdf.core import eval_bsdf, fetch_material, sample_bsdf
+from hydracore_tpu.bsdf.core import apply_bump, eval_bsdf, fetch_material, sample_bsdf
 from hydracore_tpu.integrators.pt import DG_BSDF, DG_LIGHT
 from hydracore_tpu.lights.sampling import sample_light_fwd, select_light
 from hydracore_tpu.ops import rng
@@ -70,8 +70,9 @@ def lt_pass(scene, pass_idx, seed, n_paths: int, max_depth: int = 5):
     for depth in range(max_depth - 1):
         t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         alive = alive & (tri >= 0)
-        pos, n, ng, uv, mat_id, _ = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
+        pos, n, ng, uv, mat_id, _, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         p = fetch_material(scene, mat_id, uv, pos, n)
+        n = apply_bump(scene, p, n, tang, uv)
         # orient normals toward the incoming side (two-sided shading)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ng = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)

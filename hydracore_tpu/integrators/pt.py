@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydracore_tpu.bsdf.core import eval_bsdf, fetch_material, sample_bsdf
+from hydracore_tpu.bsdf.core import apply_bump, eval_bsdf, fetch_material, sample_bsdf
 from hydracore_tpu.lights.sampling import (
     env_radiance,
     light_eval_pdf_from_hit,
@@ -73,7 +73,7 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool):
         if step == MAX_ALPHA_SHADOW_STEPS:  # out of layers: treat as opaque
             occluded = occluded | hit
             break
-        pos, n, ng, uv, mat_id, _ = compute_hit(scene, tri, u, v, o, sdir, t)
+        pos, n, ng, uv, mat_id, _, _ = compute_hit(scene, tri, u, v, o, sdir, t)
         p = fetch_material(scene, mat_id, uv)
         ua = rng.hash_u32(u_alpha + jnp.uint32(step * 0x9E3779B9))
         ua = (ua >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
@@ -134,9 +134,12 @@ def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
     uv = (
         w[:, None] * scene.uv0[tri_c] + u[:, None] * scene.uv1[tri_c] + v[:, None] * scene.uv2[tri_c]
     )
+    tang = normalize3(
+        w[:, None] * scene.t0[tri_c] + u[:, None] * scene.t1[tri_c] + v[:, None] * scene.t2[tri_c]
+    )
     mat = scene.tri_mat[tri_c]
     lgt = scene.tri_light[tri_c]
-    return pos, n, ng, uv, mat, lgt
+    return pos, n, ng, uv, mat, lgt, tang
 
 
 # ----------------------------------------------------------------------------
@@ -187,8 +190,9 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         acc = acc + jnp.where(miss[:, None], throughput * env * w_env[:, None], 0.0)
         alive = alive & hit
 
-        pos, n, ng, uv, mat_id, tri_light = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
+        pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         p = fetch_material(scene, mat_id, uv, pos, n)
+        n = apply_bump(scene, p, n, tang, uv)
 
         # ---- stochastic alpha transparency (ref: alpha-tested traversal
         # BVH4InstTraverseAlphaS + NextTransparentBounce, material.cl:1080):

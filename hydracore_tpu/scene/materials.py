@@ -78,6 +78,8 @@ class MaterialTable:
     skip_shadow: np.ndarray  # (M,) int
     light_id: np.ndarray  # (M,) statefile light id or -1
     diff_proc: np.ndarray  # (M,) procedural texture id (ops/proctex.py) or -1
+    bump_tex: np.ndarray  # (M,) normal-map texture slot (0 = none)
+    bump_amount: np.ndarray  # (M,)
 
 
 _DIST_MAP = {
@@ -144,6 +146,17 @@ def _compile_one(node, rec: dict, tex_remap: np.ndarray):
         rec["opacity_tex"] = tex(op)
         rec["skip_shadow"] = int(get_float(op, "skip_shadow", 0.0))
 
+    # displacement -> normal map (converted at scene build; the reference
+    # bakes aux normal maps in RenderDriverRTE_AuxTextures.cpp)
+    displ = node.find("displacement")
+    if displ is not None and displ.get("type") == "height_bump":
+        hm = displ.find("height_map")
+        if hm is not None:
+            t = hm.find("texture")
+            if t is not None:
+                rec["bump_src_tex"] = int(t.get("id", -1))
+                rec["bump_amount"] = float(hm.get("amount", 1.0))
+
     if node.get("light_id") is not None:
         rec["light_id"] = int(node.get("light_id"))
 
@@ -173,10 +186,15 @@ def _blank_record() -> dict:
         skip_shadow=0,
         light_id=-1,
         diff_proc=-1,
+        bump_tex=0,
+        bump_amount=0.0,
     )
 
 
-def build_material_table(desc: SceneDesc, tex_remap: np.ndarray) -> MaterialTable:
+def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
+                         bump_slots: dict | None = None) -> MaterialTable:
+    """bump_slots: {material_id: normal-map texture slot} from the aux
+    normal-map bake (scene/textures.py)."""
     max_id = max(desc.materials.keys(), default=-1)
     n = max_id + 1
     recs = []
@@ -194,6 +212,8 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray) -> MaterialTabl
                     sid = node.get(sub_id_attr)
                     if sid is not None and int(sid) in desc.materials:
                         _compile_one(desc.materials[int(sid)], rec, tex_remap)
+        if bump_slots and mid in bump_slots:
+            rec["bump_tex"] = bump_slots[mid]
         recs.append(rec)
 
     def stack(key, dtype):
@@ -223,4 +243,6 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray) -> MaterialTabl
         skip_shadow=stack("skip_shadow", np.int32),
         light_id=stack("light_id", np.int32),
         diff_proc=stack("diff_proc", np.int32),
+        bump_tex=stack("bump_tex", np.int32),
+        bump_amount=stack("bump_amount", np.float32),
     )

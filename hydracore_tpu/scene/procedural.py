@@ -216,11 +216,23 @@ class SceneBuilder:
                     r["tex"] = slot
             lights = _stack_lights(self.light_recs)
 
+        n0_arr = np.stack(g(3)).astype(np.float32)
+        # procedural meshes carry no authored tangents: derive a stable
+        # per-vertex frame (Frisvad) from the normal
+        def frisvad(n):
+            sign = np.where(n[:, 2] >= 0, 1.0, -1.0)
+            a = -1.0 / (sign + n[:, 2])
+            b = n[:, 0] * n[:, 1] * a
+            return np.stack([1.0 + sign * n[:, 0] ** 2 * a, sign * b, -sign * n[:, 0]], -1).astype(np.float32)
+
         return SceneData(
             tri_v0=v0[p], tri_e1=(v1 - v0)[p], tri_e2=(v2 - v0)[p],
-            n0=np.stack(g(3)).astype(np.float32),
+            n0=n0_arr,
             n1=np.stack(g(4)).astype(np.float32),
             n2=np.stack(g(5)).astype(np.float32),
+            t0=frisvad(n0_arr),
+            t1=frisvad(np.stack(g(4)).astype(np.float32)),
+            t2=frisvad(np.stack(g(5)).astype(np.float32)),
             uv0=np.stack(g(6)).astype(np.float32),
             uv1=np.stack(g(7)).astype(np.float32),
             uv2=np.stack(g(8)).astype(np.float32),
@@ -257,6 +269,7 @@ def _stack_materials(recs) -> MaterialTable:
         fog_color=stack("fog_color", np.float32), fog_mult=stack("fog_mult", np.float32),
         opacity_tex=stack("opacity_tex", np.int32), skip_shadow=stack("skip_shadow", np.int32),
         light_id=stack("light_id", np.int32), diff_proc=stack("diff_proc", np.int32),
+        bump_tex=stack("bump_tex", np.int32), bump_amount=stack("bump_amount", np.float32),
     )
 
 

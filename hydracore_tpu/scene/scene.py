@@ -30,6 +30,9 @@ class SceneData:
     n0: np.ndarray  # (T,3) shading normals at the 3 vertices
     n1: np.ndarray
     n2: np.ndarray
+    t0: np.ndarray  # (T,3) shading tangents (for bump/aniso frames)
+    t1: np.ndarray
+    t2: np.ndarray
     uv0: np.ndarray  # (T,2)
     uv1: np.ndarray
     uv2: np.ndarray
@@ -70,8 +73,8 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     W = width or st.width
     H = height or st.height
 
-    texels, tex_table, tex_remap = build_texture_storage(desc)
-    materials = build_material_table(desc, tex_remap)
+    texels, tex_table, tex_remap, bump_slots = build_texture_storage(desc)
+    materials = build_material_table(desc, tex_remap, bump_slots)
     lights = build_light_table(desc, tex_remap)
 
     # map statefile light id -> light-table row (area lights; first match)
@@ -83,6 +86,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     # ---- flatten instances to world space
     v0s, e1s, e2s = [], [], []
     n0s, n1s, n2s = [], [], []
+    t0s, t1s, t2s = [], [], []
     uv0s, uv1s, uv2s = [], [], []
     mats, lids, insts = [], [], []
     for inst_id, inst in enumerate(desc.instances):
@@ -96,6 +100,8 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         nrm = mesh.norm[:, :3] @ n_mat.T
         nlen = np.linalg.norm(nrm, axis=1, keepdims=True)
         nrm = nrm / np.maximum(nlen, 1e-12)
+        tng = mesh.tang[:, :3] @ R.T
+        tng = tng / np.maximum(np.linalg.norm(tng, axis=1, keepdims=True), 1e-12)
 
         ia, ib, ic = mesh.indices[:, 0], mesh.indices[:, 1], mesh.indices[:, 2]
         a, b, c = pos[ia], pos[ib], pos[ic]
@@ -105,6 +111,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         n0s.append(nrm[ia])
         n1s.append(nrm[ib])
         n2s.append(nrm[ic])
+        t0s.append(tng[ia])
+        t1s.append(tng[ib])
+        t2s.append(tng[ic])
         uv0s.append(mesh.texcoord[ia])
         uv1s.append(mesh.texcoord[ib])
         uv2s.append(mesh.texcoord[ic])
@@ -130,6 +139,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         n0 = np.concatenate(n0s).astype(np.float32)
         n1 = np.concatenate(n1s).astype(np.float32)
         n2 = np.concatenate(n2s).astype(np.float32)
+        t0 = np.concatenate(t0s).astype(np.float32)
+        t1 = np.concatenate(t1s).astype(np.float32)
+        t2 = np.concatenate(t2s).astype(np.float32)
         uv0 = np.concatenate(uv0s).astype(np.float32)
         uv1 = np.concatenate(uv1s).astype(np.float32)
         uv2 = np.concatenate(uv2s).astype(np.float32)
@@ -141,6 +153,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         tri_e1 = np.zeros((1, 3), np.float32)
         tri_e2 = np.zeros((1, 3), np.float32)
         n0 = n1 = n2 = np.tile(np.array([[0, 1, 0]], np.float32), (1, 1))
+        t0 = t1 = t2 = np.tile(np.array([[1, 0, 0]], np.float32), (1, 1))
         uv0 = uv1 = uv2 = np.zeros((1, 2), np.float32)
         tri_mat = np.zeros(1, np.int32)
         tri_light = np.full(1, -1, np.int32)
@@ -151,6 +164,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     if p.size:
         tri_v0, tri_e1, tri_e2 = tri_v0[p], tri_e1[p], tri_e2[p]
         n0, n1, n2 = n0[p], n1[p], n2[p]
+        t0, t1, t2 = t0[p], t1[p], t2[p]
         uv0, uv1, uv2 = uv0[p], uv1[p], uv2[p]
         tri_mat, tri_light, tri_inst = tri_mat[p], tri_light[p], tri_inst[p]
 
@@ -187,7 +201,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     return SceneData(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
-        n0=n0, n1=n1, n2=n2,
+        n0=n0, n1=n1, n2=n2, t0=t0, t1=t1, t2=t2,
         uv0=uv0, uv1=uv1, uv2=uv2,
         tri_mat=tri_mat, tri_light=tri_light, tri_inst=tri_inst,
         bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,

@@ -76,9 +76,56 @@ class TextureStorage:
         return texels, table
 
 
+def _height_to_normalmap(height: np.ndarray, amount: float) -> np.ndarray:
+    """Numpy Sobel height -> tangent-space normal map, stored remapped to
+    [0,1] (ref: NormalmapFromHeight, shaders/image.cl:37)."""
+    h = height
+
+    def sh(dy, dx):
+        return np.roll(h, (dy, dx), axis=(0, 1))
+
+    gx = (sh(-1, -1) + 2 * sh(0, -1) + sh(1, -1)
+          - sh(-1, 1) - 2 * sh(0, 1) - sh(1, 1)) / 8.0
+    gy = (sh(-1, -1) + 2 * sh(-1, 0) + sh(-1, 1)
+          - sh(1, -1) - 2 * sh(1, 0) - sh(1, 1)) / 8.0
+    n = np.stack([gx * amount, gy * amount, np.ones_like(h)], -1)
+    n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+    out = np.ones(h.shape + (4,), np.float32)
+    out[..., :3] = n * 0.5 + 0.5
+    return out
+
+
+def bake_aux_normalmaps(desc: SceneDesc, storage: "TextureStorage") -> dict:
+    """Convert height_bump displacement maps to normal-map texture slots —
+    the aux-texture pass of the reference (RenderDriverRTE_AuxTextures.cpp
+    GetAuxNormalMapFromDisaplacement, cached per (mat, tex)).
+    Returns {material_id: slot}."""
+    slots: dict[int, int] = {}
+    cache: dict[tuple, int] = {}
+    for mid, node in desc.materials.items():
+        displ = node.find("displacement")
+        if displ is None or displ.get("type") != "height_bump":
+            continue
+        hm = displ.find("height_map")
+        t = hm.find("texture") if hm is not None else None
+        if t is None:
+            continue
+        tid = int(t.get("id", -1))
+        amount = float(hm.get("amount", 1.0))
+        key = (tid, amount)
+        if key not in cache:
+            img = load_texture_array(desc, tid)
+            if img is None:
+                continue
+            height = img[..., :3].mean(-1)
+            cache[key] = storage.add(_height_to_normalmap(height, amount))
+        slots[mid] = cache[key]
+    return slots
+
+
 def build_texture_storage(desc: SceneDesc):
-    """Pack every scene texture; returns (texels, table, id_remap) where
-    id_remap maps statefile texture id -> storage slot (0 = white)."""
+    """Pack every scene texture (+ baked aux normal maps); returns
+    (texels, table, id_remap, bump_slots)."""
     storage = TextureStorage()
     max_id = max(desc.textures.keys(), default=-1)
     remap = np.zeros(max(max_id + 2, 1), np.int32)  # default white
@@ -88,5 +135,6 @@ def build_texture_storage(desc: SceneDesc):
             remap[tid] = 0
         else:
             remap[tid] = storage.add(img)
+    bump_slots = bake_aux_normalmaps(desc, storage)
     texels, table = storage.finalize()
-    return texels, table, remap
+    return texels, table, remap, bump_slots

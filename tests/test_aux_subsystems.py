@@ -154,3 +154,46 @@ def test_cylinder_light_renders():
     img = np.asarray(render(sc, spp=48, seed=2, max_depth=2))
     assert np.isfinite(img).all()
     assert img.mean() > 0.02  # floor is lit by the cylinder
+
+
+def test_bump_mapping_perturbs_shading():
+    """A bumped floor under a point light shades differently from a flat
+    one, and the 014_Bump_height reference scene loads with baked normal
+    maps attached."""
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.scene.procedural import SceneBuilder
+    from hydracore_tpu.scene.textures import TextureStorage, _height_to_normalmap
+
+    rng_ = np.random.default_rng(0)
+    height = (np.sin(np.linspace(0, 4 * np.pi, 32))[None, :] * 0.5 + 0.5).repeat(32, 0)
+    nmap = _height_to_normalmap(height.astype(np.float32), amount=12.0)
+    assert nmap.shape == (32, 32, 4)
+    assert abs(nmap[..., 0].mean() - 0.5) < 0.05  # zero-mean slopes
+
+    def scene(bump_slot):
+        b = SceneBuilder()
+        storage = TextureStorage()
+        slot = storage.add(nmap)
+        m = b.add_material(diff_color=np.array([0.7] * 3, np.float32),
+                           bump_tex=(slot if bump_slot else 0), bump_amount=1.0)
+        b.add_rect([0, 0, 0], [3, 0, 0], [0, 0, 3], m, flip=True)
+        b.point_light([2, 3, 2], [25.0] * 3)
+        sc = b.build(cam_pos=[0, 3.5, 0.01], cam_lookat=[0, 0, 0], width=24, height=24, trace_depth=2)
+        texels, table = storage.finalize()
+        return sc.replace(texels=texels, tex_table=table)
+
+    flat = np.asarray(render(scene(False), spp=48, seed=2, max_depth=2)).mean(-1)
+    bumped = np.asarray(render(scene(True), spp=48, seed=2, max_depth=2)).mean(-1)
+    # bump visibly changes shading (same seeds -> differences are the bump)
+    rel = np.abs(bumped - flat) / np.maximum(flat, 1e-3)
+    assert rel.max() > 0.15, f"max rel change {rel.max():.3f}"
+    assert np.median(rel) > 0.01
+    # and the overall brightness stays in the same ballpark (no energy blowup)
+    assert abs(bumped.mean() - flat.mean()) / flat.mean() < 0.5  # strong bump self-shadows
+
+
+def test_bump_height_reference_scene_loads():
+    from hydracore_tpu.scene.scene import load_scene
+
+    sc = load_scene("/root/reference/hydra_app/tests/014_Bump_height", width=32, height=32)
+    assert (np.asarray(sc.materials.bump_tex) > 0).any(), "no baked normal maps"
