@@ -126,6 +126,19 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     spot_cos = dot3(nrm, -dir_p)  # angle from spot axis
     spot_fall = jnp.clip((spot_cos - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6), 0.0, 1.0)
     rad_p = inten * inv_d2[:, None]
+    # IES photometric profile: spherical lookup of the emitted direction
+    # around the light axis (ref: IES sphere sampling, clight.h:411)
+    tex_slot = lt.tex[l_idx]
+    emit_dir = -dir_p  # light -> surface
+    cos_ax = jnp.clip(dot3(emit_dir, nrm), -1.0, 1.0)
+    theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
+    tb2, bb2 = make_orthonormal_basis(nrm)
+    phi_v = (jnp.arctan2(dot3(emit_dir, bb2), dot3(emit_dir, tb2)) * (0.5 / np.pi)) % 1.0
+    ies_val = sample_bilinear(
+        scene.texels, scene.tex_table, tex_slot, jnp.stack([phi_v, theta_v], -1)
+    )[:, 0]
+    has_ies = (tex_slot > 0) & ((ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT))
+    rad_p = rad_p * jnp.where(has_ies, ies_val, 1.0)[:, None]
     rad_spot = rad_p * spot_fall[:, None]
 
     # --- direct (sun): delta direction

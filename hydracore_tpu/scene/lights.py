@@ -46,7 +46,8 @@ def _lum(c) -> float:
     return float(0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
 
 
-def build_light_table(desc: SceneDesc, tex_remap: np.ndarray) -> LightTable:
+def build_light_table(desc: SceneDesc, tex_remap: np.ndarray,
+                      ies_slots: dict | None = None) -> LightTable:
     recs = []
 
     # sky lights are not instanced in <scenes>; add them directly
@@ -58,7 +59,10 @@ def build_light_table(desc: SceneDesc, tex_remap: np.ndarray) -> LightTable:
         node = desc.lights.get(li.light_id)
         if node is None or node.get("type") == "sky":
             continue
-        recs.append(_compile(node, li.matrix, li.light_id, tex_remap))
+        rec = _compile(node, li.matrix, li.light_id, tex_remap)
+        if ies_slots and li.light_id in ies_slots:
+            rec["tex"] = ies_slots[li.light_id]  # IES spherical profile
+        recs.append(rec)
 
     if not recs:  # keep shapes static: one dummy dark light
         recs.append(_blank())

@@ -73,9 +73,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     W = width or st.width
     H = height or st.height
 
-    texels, tex_table, tex_remap, bump_slots = build_texture_storage(desc)
+    texels, tex_table, tex_remap, bump_slots, ies_slots = build_texture_storage(desc)
     materials = build_material_table(desc, tex_remap, bump_slots)
-    lights = build_light_table(desc, tex_remap)
+    lights = build_light_table(desc, tex_remap, ies_slots)
 
     # map statefile light id -> light-table row (area lights; first match)
     lid_to_row = {}

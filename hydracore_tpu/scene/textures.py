@@ -123,9 +123,36 @@ def bake_aux_normalmaps(desc: SceneDesc, storage: "TextureStorage") -> dict:
     return slots
 
 
+def bake_ies_textures(desc: SceneDesc, storage: "TextureStorage") -> dict:
+    """Load IES photometric profiles referenced by lights into spherical
+    intensity textures (ref IESRender.cpp CreateSphericalTextureFromIES).
+    Returns {light_id: slot}."""
+    import os as _os
+
+    from hydracore_tpu.lights.ies import load_ies_texture
+
+    slots: dict[int, int] = {}
+    for lid, node in desc.lights.items():
+        ies = node.find("ies")
+        path = None
+        if ies is not None:
+            path = ies.get("data") or ies.get("loc")
+        if not path:
+            continue
+        full = path if _os.path.isabs(path) else _os.path.join(desc.lib_dir, path)
+        if not _os.path.exists(full):
+            continue
+        try:
+            tex, _peak = load_ies_texture(full)
+        except Exception:
+            continue
+        slots[lid] = storage.add(tex)
+    return slots
+
+
 def build_texture_storage(desc: SceneDesc):
-    """Pack every scene texture (+ baked aux normal maps); returns
-    (texels, table, id_remap, bump_slots)."""
+    """Pack every scene texture (+ baked aux normal maps + IES profiles);
+    returns (texels, table, id_remap, bump_slots, ies_slots)."""
     storage = TextureStorage()
     max_id = max(desc.textures.keys(), default=-1)
     remap = np.zeros(max(max_id + 2, 1), np.int32)  # default white
@@ -136,5 +163,6 @@ def build_texture_storage(desc: SceneDesc):
         else:
             remap[tid] = storage.add(img)
     bump_slots = bake_aux_normalmaps(desc, storage)
+    ies_slots = bake_ies_textures(desc, storage)
     texels, table = storage.finalize()
-    return texels, table, remap, bump_slots
+    return texels, table, remap, bump_slots, ies_slots

@@ -197,3 +197,33 @@ def test_bump_height_reference_scene_loads():
 
     sc = load_scene("/root/reference/hydra_app/tests/014_Bump_height", width=32, height=32)
     assert (np.asarray(sc.materials.bump_tex) > 0).any(), "no baked normal maps"
+
+
+def test_ies_profile_shapes_point_light():
+    """A point light with a narrow downward IES profile lights the floor
+    below but not the far floor (profile cuts off at 45 deg)."""
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.lights.ies import ies_to_texture, parse_ies
+    from hydracore_tpu.scene.procedural import SceneBuilder
+    from hydracore_tpu.scene.textures import TextureStorage
+
+    v, h, c = parse_ies(IES_SAMPLE)  # 1000 at 0deg -> 0 at 180deg
+    tex, peak = ies_to_texture(v, h, c, n_theta=32, n_phi=8)
+
+    b = SceneBuilder()
+    storage = TextureStorage()
+    slot = storage.add(tex)
+    m = b.lambert([0.8] * 3)
+    b.add_rect([0, 0, 0], [6, 0, 0], [0, 0, 6], m, flip=True)
+    lid = b.point_light([0, 1.5, 0], [10.0] * 3)
+    b.light_recs[lid]["tex"] = slot
+    b.light_recs[lid]["norm"] = np.array([0, -1, 0], np.float32)  # axis down
+    sc = b.build(cam_pos=[0, 5, 0.01], cam_lookat=[0, 0, 0], width=33, height=33, trace_depth=2)
+    texels, table = storage.finalize()
+    sc = sc.replace(texels=texels, tex_table=table)
+
+    img = np.asarray(render(sc, spp=24, seed=4, max_depth=2)).mean(-1)
+    center = img[14:19, 14:19].mean()  # directly under the light (theta~0)
+    edge = img[2:6, 2:6].mean()  # floor far out (theta > 60deg -> profile ~0)
+    assert center > 0.2, f"center {center}"
+    assert edge < center * 0.2, f"edge {edge} vs center {center}"
