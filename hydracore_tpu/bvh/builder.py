@@ -187,3 +187,37 @@ def brute_force_closest_hit(ray_o, ray_d, v0, e1, e2, t_max=1e30):
         u[rr, tri],
         v[rr, tri],
     )
+
+
+def bvh_stats(bvh: FlatBVH) -> dict:
+    """Structural statistics — the PrintBVHStat analogue
+    (RenderDriverRTE_DebugBVH.cpp)."""
+    import numpy as np
+
+    leaf = bvh.count > 0
+    n_leaf = int(leaf.sum())
+    depths = np.zeros(bvh.num_nodes, np.int32)
+    for i in range(1, bvh.num_nodes):
+        pass  # depth via parent walk not stored; compute from children
+    # compute depths by BFS from root
+    depth = {0: 0}
+    stack = [0]
+    max_depth = 0
+    while stack:
+        n = stack.pop()
+        if bvh.count[n] == 0:
+            for c in (int(bvh.left[n]), int(bvh.right[n])):
+                depth[c] = depth[n] + 1
+                max_depth = max(max_depth, depth[c])
+                stack.append(c)
+    d = np.maximum(bvh.bmax - bvh.bmin, 0.0)
+    sa = d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+    return {
+        "nodes": bvh.num_nodes,
+        "leaves": n_leaf,
+        "tris": int(bvh.count[leaf].sum()),
+        "max_leaf": int(bvh.count.max()) if bvh.num_nodes else 0,
+        "avg_leaf": float(bvh.count[leaf].mean()) if n_leaf else 0.0,
+        "max_depth": max_depth,
+        "sah_cost": float((sa[leaf] * bvh.count[leaf]).sum() / max(sa[0], 1e-9)),
+    }

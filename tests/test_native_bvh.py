@@ -67,3 +67,15 @@ def test_native_faster_than_numpy_on_big_input():
     t_numpy = time.perf_counter() - t0
     assert b_native.num_nodes > 0 and b_numpy.num_nodes > 0
     assert t_native < t_numpy, f"native {t_native:.2f}s vs numpy {t_numpy:.2f}s"
+
+
+def test_bvh_stats():
+    from hydracore_tpu.bvh.builder import build_bvh, bvh_stats
+
+    rng = np.random.default_rng(9)
+    v0, v1, v2 = _soup(5000, rng)
+    st = bvh_stats(build_bvh(v0, v1, v2))
+    assert st["tris"] == 5000
+    assert st["max_leaf"] <= 8
+    assert 5 < st["max_depth"] < 64
+    assert st["sah_cost"] > 0
