@@ -196,10 +196,7 @@ def bvh_stats(bvh: FlatBVH) -> dict:
 
     leaf = bvh.count > 0
     n_leaf = int(leaf.sum())
-    depths = np.zeros(bvh.num_nodes, np.int32)
-    for i in range(1, bvh.num_nodes):
-        pass  # depth via parent walk not stored; compute from children
-    # compute depths by BFS from root
+    # compute depths by BFS from root (parents are not stored)
     depth = {0: 0}
     stack = [0]
     max_depth = 0
