@@ -173,6 +173,10 @@ class SceneBuilder:
 
         wbvh = collapse_wide(bvh, v0[p], (v1 - v0)[p], (v2 - v0)[p])
 
+        from hydracore_tpu.ops.traverse_packet import pack_pools
+
+        pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f)
+
         def g(i):
             return [self.tris[j][i] for j in p]
 
@@ -242,6 +246,7 @@ class SceneBuilder:
             bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
             bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
             wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
+            pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,
             camera=cam, env_color=self.env,

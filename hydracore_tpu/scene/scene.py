@@ -45,10 +45,14 @@ class SceneData:
     bvh_left: np.ndarray  # (N,)
     bvh_right: np.ndarray  # (N,)
     bvh_count: np.ndarray  # (N,)
-    # packed 8-wide BVH (production traversal, bvh/wide.py)
+    # packed 8-wide BVH (XLA traversal, bvh/wide.py)
     wbvh_nodes: np.ndarray  # (Nw,8,8)
     wbvh_tri9f: np.ndarray  # (B, LEAF*16) block-row triangle table
     wbvh_slot_tri: np.ndarray  # (B*LEAF,)
+    # packet-kernel pools (ops/traverse_packet.py; row-padded (rows,128))
+    pkt_nodes: np.ndarray  # (Np,128) f32
+    pkt_nodesi: np.ndarray  # (Np,128) i32 view (payload scalar reads)
+    pkt_tris: np.ndarray  # (Bp,128) f32
     # tables
     materials: MaterialTable
     lights: LightTable
@@ -172,6 +176,10 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     wbvh = collapse_wide(bvh, tri_v0, tri_e1, tri_e2)
 
+    from hydracore_tpu.ops.traverse_packet import pack_pools
+
+    pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f)
+
     cam = build_camera(desc.camera, W, H)
 
     # env fallback: sky light color if present else black; build env
@@ -207,6 +215,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
         bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
         wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
+        pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
         camera=cam, env_color=env,
