@@ -22,7 +22,7 @@ import sys
 BASELINE_MSAMPLES = 9.1  # RX 480, cornell(+teapot), 1024^2 (BASELINE.md)
 
 _PROBE = r"""
-import time, sys, jax, jax.numpy as jnp
+import time, sys, jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from hydracore_tpu.scene.scene import load_scene
@@ -31,11 +31,11 @@ scene_dir, W, n_pass, depth = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), 5
 scene = jax.device_put(load_scene(scene_dir, width=W, height=W))
 seed = jnp.uint32(777)
 color, rays = render_pass(scene, jnp.uint32(0), seed, max_depth=depth)
-color.block_until_ready()
+np.asarray(color)  # block_until_ready does NOT block on this backend
 t0 = time.perf_counter()
 for i in range(1, n_pass + 1):
     color, rays = render_pass(scene, jnp.uint32(i), seed, max_depth=depth)
-color.block_until_ready()
+np.asarray(color)  # forced host materialization = true completion
 dt = (time.perf_counter() - t0) / n_pass
 print("RESULT %.9f %.1f" % (dt, float(rays)))
 """

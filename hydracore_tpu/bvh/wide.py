@@ -35,6 +35,7 @@ EMPTY_PAYLOAD = -(2**30)  # sentinel child payload for unused slots
 @dataclass
 class WideBVH:
     nodes: np.ndarray  # (N, 8, 8) float32 (payload bitcast in [:, :, 6])
+    max_depth: int  # wide-tree depth (root = 1); traversals size stacks by it
     tri9: np.ndarray  # (B*LEAF_SIZE, 9) float32
     tri9f: np.ndarray  # (B, LEAF_SIZE*16) float32 — one 128-float row per
     #                    block (9 floats used per tri slot, padded to 16) so
@@ -68,10 +69,13 @@ def collapse_wide(bvh: FlatBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
         blocks.append((int(start), int(count)))
         return len(blocks) - 1
 
-    def build_wide(b2: int) -> int:
+    depth_seen = [1]
+
+    def build_wide(b2: int, depth: int = 1) -> int:
         """Returns wide node id for binary node b2 (must be internal)."""
         my_id = len(nodes)
         nodes.append(np.zeros((WIDTH, 8), np.float32))
+        depth_seen[0] = max(depth_seen[0], depth)
 
         # greedy expansion: keep splitting the largest-area internal entry
         entries = [int(bvh.left[b2]), int(bvh.right[b2])]
@@ -98,7 +102,7 @@ def collapse_wide(bvh: FlatBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
                 blk = add_block(bvh.left[e], bvh.count[e])
                 payload[i] = -(blk + 1)
             else:
-                payload[i] = build_wide(e)
+                payload[i] = build_wide(e, depth + 1)
         rec[:, 6] = payload.view(np.float32)
         nodes[my_id] = rec
         return my_id
@@ -142,6 +146,7 @@ def collapse_wide(bvh: FlatBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
     tri9f[:, :, 0:9] = tri9.reshape(B, LEAF_SIZE, 9)
 
     return WideBVH(
+        max_depth=int(depth_seen[0]),
         nodes=np.stack(nodes).astype(np.float32),
         tri9=tri9,
         tri9f=tri9f.reshape(B, LEAF_SIZE * 16),

@@ -349,7 +349,7 @@ def render_production(scene, spp: int, seed: int = 777, max_depth: int | None = 
     H, W = scene.camera.height, scene.camera.width
     scene = jax.device_put(scene)
     k = min(max(spp, 1), 64)
-    n_rounds = max(spp // k, 1)
+    n_rounds = -(-spp // k)  # ceil: never silently under-sample
     out = jnp.zeros((H * W, 3), jnp.float32)
     for start in range(0, H * W, tile_pixels):
         ids = jnp.arange(start, min(start + tile_pixels, H * W), dtype=jnp.uint32)

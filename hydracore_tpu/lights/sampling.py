@@ -32,6 +32,13 @@ FAR_DIST = 1e8
 INV_4PI = float(1.0 / (4.0 * np.pi))
 
 
+def _smoothstep01(x):
+    """Hermite falloff used by the reference for spot penumbrae
+    (mylocalsmoothstep, clight.h:7, applied at :538/:880)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    return x * x * (3.0 - 2.0 * x)
+
+
 class LightSample(NamedTuple):
     dir: jnp.ndarray  # (R,3) surface -> light
     dist: jnp.ndarray  # (R,)
@@ -124,7 +131,8 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     dir_p = normalize3(to_c)
     inv_d2 = 1.0 / dc2
     spot_cos = dot3(nrm, -dir_p)  # angle from spot axis
-    spot_fall = jnp.clip((spot_cos - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6), 0.0, 1.0)
+    spot_fall = _smoothstep01(
+        (spot_cos - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6))
     rad_p = inten * inv_d2[:, None]
     # IES photometric profile: spherical lookup of the emitted direction
     # around the light axis (ref: IES sphere sampling, clight.h:411)
@@ -216,10 +224,18 @@ class LightSampleFwd(NamedTuple):
     cos_at_light: jnp.ndarray  # (R,)
 
 
+def scene_bounding_sphere(scene):
+    """(center (3,), radius) of the scene, from the BVH root box."""
+    c = (scene.bvh_bmin[0] + scene.bvh_bmax[0]) * 0.5
+    r = jnp.linalg.norm(scene.bvh_bmax[0] - scene.bvh_bmin[0]) * 0.5 + 1e-3
+    return c, r
+
+
 def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
-    """Sample an emission ray (LT path start) — ref LightSampleForward
-    (clight.h:1064): position on the light, then cosine-weighted direction.
-    Supports area rect/disk, sphere, point, spot (diffuse distribution)."""
+    """Sample an emission ray (LT/SBDPT path start) — ref LightSampleForward
+    (clight.h:1064), all light types: area rect/disk, sphere, cylinder,
+    point (+IES), spot (cone + smoothstep falloff + IES), direct(sun) and
+    sky (env-importance direction from a scene-bounds disk)."""
     lt = scene.lights
     ltype = lt.ltype[l_idx]
     pos_c = lt.pos[l_idx]
@@ -229,10 +245,12 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     inten = lt.intensity[l_idx]
     radius = lt.radius[l_idx]
     area = jnp.maximum(lt.area[l_idx], 1e-12)
+    cos_in = lt.cos_in[l_idx]
+    cos_out = lt.cos_out[l_idx]
 
     u1, u2, u3, u4 = rnds[:, 0], rnds[:, 1], rnds[:, 2], rnds[:, 3]
 
-    # position
+    # ---- position on the emitter
     p_rect = pos_c + (2 * u1 - 1)[:, None] * vx + (2 * u2 - 1)[:, None] * vy
     r_d = jnp.sqrt(jnp.clip(u1, 0, 1))
     phi_d = 2 * np.pi * u2
@@ -242,35 +260,98 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     r_ = jnp.sqrt(jnp.clip(1 - z * z, 0, 1))
     sph_n = jnp.stack([r_ * jnp.cos(2 * np.pi * u2), z, r_ * jnp.sin(2 * np.pi * u2)], -1)
     p_sph = pos_c + radius[:, None] * sph_n
+    # cylinder: lateral surface, normal = radial
+    axis = normalize3(vx)
+    half_h = jnp.sqrt(jnp.maximum(dot3(vx, vx), 1e-12))
+    at, ab = make_orthonormal_basis(axis)
+    phi_c = 2 * np.pi * u2
+    cyl_n = jnp.cos(phi_c)[:, None] * at + jnp.sin(phi_c)[:, None] * ab
+    p_cyl = pos_c + ((2 * u1 - 1) * half_h)[:, None] * axis + radius[:, None] * cyl_n
 
     is_rect = ltype == LIGHT_AREA_RECT
     is_disk = ltype == LIGHT_AREA_DISK
     is_sph = ltype == LIGHT_SPHERE
+    is_cyl = ltype == LIGHT_CYLINDER
+    is_point = ltype == LIGHT_POINT
+    is_spot = ltype == LIGHT_SPOT
+    is_dir = ltype == LIGHT_DIRECT
+    is_sky = ltype == LIGHT_SKY
     is_area = is_rect | is_disk
+    surf = is_area | is_sph | is_cyl  # cosine-emitting surfaces
 
     pos = jnp.where(is_rect[:, None], p_rect, jnp.where(is_disk[:, None], p_disk, p_sph))
-    pos = jnp.where((is_area | is_sph)[:, None], pos, pos_c)
+    pos = jnp.where(is_cyl[:, None], p_cyl, pos)
+    pos = jnp.where(surf[:, None], pos, pos_c)
     n = jnp.where(is_sph[:, None], sph_n, jnp.broadcast_to(nrm, sph_n.shape))
+    n = jnp.where(is_cyl[:, None], cyl_n, n)
 
-    # direction: cosine-weighted about n (area/sphere), uniform sphere (point)
+    # ---- direction
+    # cosine-weighted about n (surface emitters)
     t, b = make_orthonormal_basis(n)
     ct = jnp.sqrt(jnp.clip(u3, 0, 1))
     st = jnp.sqrt(jnp.clip(1 - u3, 0, 1))
     ph = 2 * np.pi * u4
     d_cos = (st * jnp.cos(ph))[:, None] * t + (st * jnp.sin(ph))[:, None] * b + ct[:, None] * n
+    # uniform sphere (point)
     z2 = 1.0 - 2.0 * u3
     r2 = jnp.sqrt(jnp.clip(1 - z2 * z2, 0, 1))
     d_uni = jnp.stack([r2 * jnp.cos(2 * np.pi * u4), z2, r2 * jnp.sin(2 * np.pi * u4)], -1)
+    # spot: uniform direction inside the outer cone about the axis (nrm)
+    ct_sp = 1.0 - u3 * (1.0 - jnp.clip(cos_out, -1.0, 1.0))
+    st_sp = jnp.sqrt(jnp.clip(1.0 - ct_sp * ct_sp, 0, 1))
+    ta, ba = make_orthonormal_basis(jnp.broadcast_to(nrm, sph_n.shape))
+    d_spot = (st_sp * jnp.cos(ph))[:, None] * ta + (st_sp * jnp.sin(ph))[:, None] * ba \
+        + ct_sp[:, None] * nrm
+    pdf_spot = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_out), 1e-9)
+    spot_fall = _smoothstep01(
+        (ct_sp - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6))
 
-    surf = is_area | is_sph
     direction = jnp.where(surf[:, None], d_cos, d_uni)
+    direction = jnp.where(is_spot[:, None], d_spot, direction)
 
+    # sky / sun: ray from a disk on the scene bounding sphere, inward
+    from hydracore_tpu.lights.envmap import sample_env_dir
+
+    sky_dir, pdf_sky = sample_env_dir(
+        scene.env_rows_cdf, scene.env_cols_cdf, scene.env_pdf_uv, u3, u4)
+    emit_far = jnp.where(is_sky[:, None], -sky_dir,
+                         jnp.broadcast_to(nrm, sph_n.shape))  # sun emits along nrm
+    cen, rad_s = scene_bounding_sphere(scene)
+    td, bd = make_orthonormal_basis(emit_far)
+    rr = jnp.sqrt(jnp.clip(u1, 0, 1)) * rad_s
+    ph2 = 2 * np.pi * u2
+    p_far = cen[None, :] - emit_far * (rad_s * 1.5) \
+        + (rr * jnp.cos(ph2))[:, None] * td + (rr * jnp.sin(ph2))[:, None] * bd
+    pdf_a_far = 1.0 / jnp.maximum(np.pi * rad_s * rad_s, 1e-12)
+
+    far = is_sky | is_dir
+    pos = jnp.where(far[:, None], p_far, pos)
+    direction = jnp.where(far[:, None], emit_far, direction)
+    n = jnp.where(far[:, None], emit_far, n)
+
+    # ---- pdfs and radiance
     pdf_a = jnp.where(surf, 1.0 / area, 1.0)
+    pdf_a = jnp.where(far, pdf_a_far, pdf_a)
     cos_l = jnp.where(surf, jnp.maximum(ct, 1e-6), 1.0)
     pdf_w = jnp.where(surf, cos_l * (1.0 / np.pi), INV_4PI)
-    # emitted radiance: area lights emit `intensity` as radiance; point
-    # lights: I (radiant intensity) -> treated via pdf_w above
+    pdf_w = jnp.where(is_spot, pdf_spot, pdf_w)
+    pdf_w = jnp.where(is_sky, jnp.maximum(pdf_sky, 1e-12), pdf_w)
+    pdf_w = jnp.where(is_dir, 1.0, pdf_w)  # delta direction
+
     radiance = inten
+    # IES photometric profile applied to the emitted direction for point /
+    # spot (matches sample_light_rev so LT agrees with PT)
+    tex_slot = lt.tex[l_idx]
+    cos_ax = jnp.clip(dot3(direction, nrm), -1.0, 1.0)
+    theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
+    phi_v = (jnp.arctan2(dot3(direction, ba), dot3(direction, ta)) * (0.5 / np.pi)) % 1.0
+    ies_val = sample_bilinear(
+        scene.texels, scene.tex_table, tex_slot, jnp.stack([phi_v, theta_v], -1)
+    )[:, 0]
+    has_ies = (tex_slot > 0) & (is_point | is_spot)
+    radiance = radiance * jnp.where(has_ies, ies_val, 1.0)[:, None]
+    radiance = radiance * jnp.where(is_spot, spot_fall, 1.0)[:, None]
+    radiance = jnp.where(is_sky[:, None], env_radiance(scene, sky_dir), radiance)
 
     return LightSampleFwd(pos=pos, dir=direction, norm=n, radiance=radiance,
                           pdf_a=pdf_a, pdf_w=pdf_w, cos_at_light=cos_l)

@@ -230,13 +230,18 @@ def _packet_traverse(rays8, nodes, nodesi, tris, any_hit_mode=False,
     return out, outi
 
 
-def pack_pools(wbvh_nodes: np.ndarray, wbvh_tri9f: np.ndarray):
+def pack_pools(wbvh_nodes: np.ndarray, wbvh_tri9f: np.ndarray,
+               max_depth: int | None = None):
     """Host-side: pack wide-BVH pools into the kernel's (rows, 128) layout.
 
     Node row: 8 children x 16-stride [bmin.xyz bmax.xyz payload(pad)];
     rows padded to a multiple of 8 with EMPTY payloads / far boxes.
     """
     nodes = np.asarray(wbvh_nodes)
+    if max_depth is not None and max_depth * 7 + 9 > STACK_D:
+        raise ValueError(
+            f"wide-BVH depth {max_depth} needs stack {max_depth * 7 + 9} > "
+            f"STACK_D={STACK_D}; raise STACK_D in traverse_packet")
     N = nodes.shape[0]
     Np = (N + 7) // 8 * 8
     n128 = np.zeros((Np, 128), np.float32)

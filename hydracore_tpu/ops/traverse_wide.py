@@ -32,15 +32,16 @@ import jax.numpy as jnp
 
 from hydracore_tpu.bvh.wide import EMPTY_PAYLOAD, LEAF_SIZE
 
-K_REGS = 16  # ancestor registers = max wide-tree depth supported
+K_REGS = 16  # default ancestor registers; grown per-scene from wbvh_depth
 CHUNK = 8  # traversal iterations between while-cond checks
 BIG = jnp.float32(3.0e38)
 MASK_FULL = 0xFF
 
 
-@partial(jax.jit, static_argnames=("any_hit_mode",))
+@partial(jax.jit, static_argnames=("any_hit_mode", "k_regs"))
 def _traverse_wide(nodes2, tri9f, slot_tri, ray_o, ray_d, t_max, active_in,
-                   any_hit_mode=False):
+                   any_hit_mode=False, k_regs=K_REGS):
+    K_REGS = k_regs  # shadow the default with the scene-sized register bank
     """nodes2: (N, 64) packed wide nodes; tri9f: (B, LEAF*16) leaf rows."""
     R = ray_o.shape[0]
     k8 = jnp.arange(8)[None, :]
@@ -176,7 +177,10 @@ def _traverse_wide(nodes2, tri9f, slot_tri, ray_o, ray_d, t_max, active_in,
 def _prep(scene):
     """Views of the scene BVH in the layouts this kernel wants."""
     nodes2 = scene.wbvh_nodes.reshape(scene.wbvh_nodes.shape[0], 64)
-    return nodes2, scene.wbvh_tri9f, scene.wbvh_slot_tri
+    # register bank must cover the wide-tree depth: a deeper tree would
+    # silently shift ancestors off the bank (missed intersections)
+    k_regs = max(K_REGS, int(getattr(scene, "wbvh_depth", K_REGS)))
+    return nodes2, scene.wbvh_tri9f, scene.wbvh_slot_tri, k_regs
 
 
 def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
@@ -184,9 +188,9 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     if active is None:
         active = jnp.ones(ray_o.shape[0], bool)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
-    nodes2, tri9f, slot_tri = _prep(scene)
+    nodes2, tri9f, slot_tri, k_regs = _prep(scene)
     return _traverse_wide(nodes2, tri9f, slot_tri, ray_o, ray_d, tm, active,
-                          any_hit_mode=False)
+                          any_hit_mode=False, k_regs=k_regs)
 
 
 def any_hit(scene, ray_o, ray_d, t_max, active=None):
@@ -194,7 +198,7 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None):
     if active is None:
         active = jnp.ones(ray_o.shape[0], bool)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
-    nodes2, tri9f, slot_tri = _prep(scene)
+    nodes2, tri9f, slot_tri, k_regs = _prep(scene)
     _, tri, _, _ = _traverse_wide(nodes2, tri9f, slot_tri, ray_o, ray_d, tm, active,
-                                  any_hit_mode=True)
+                                  any_hit_mode=True, k_regs=k_regs)
     return tri >= 0

@@ -143,14 +143,17 @@ def _compile(node, matrix: np.ndarray, lid: int, tex_remap: np.ndarray) -> dict:
             rec["radius"] = r
             rec["vx"] = R @ np.array([r, 0, 0], np.float32)
             rec["vy"] = R @ np.array([0, 0, r], np.float32)
-            rec["area"] = float(np.pi * np.linalg.norm(rec["vx"]) * np.linalg.norm(rec["vy"]))
+            # true sampled-parallelogram area (robust to shear / non-
+            # uniform scale in the instance matrix — the pdf must match the
+            # actually sampled surface): pi * |vx x vy|
+            rec["area"] = float(np.pi * np.linalg.norm(np.cross(rec["vx"], rec["vy"])))
         else:
             hl = float(size.get("half_length", 1.0)) if size is not None else 1.0
             hw = float(size.get("half_width", 1.0)) if size is not None else 1.0
             rec["ltype"] = LIGHT_AREA_RECT
             rec["vx"] = R @ np.array([hl, 0, 0], np.float32)
             rec["vy"] = R @ np.array([0, 0, hw], np.float32)
-            rec["area"] = float(4.0 * np.linalg.norm(rec["vx"]) * np.linalg.norm(rec["vy"]))
+            rec["area"] = float(4.0 * np.linalg.norm(np.cross(rec["vx"], rec["vy"])))
     elif ltype == "sphere":
         r = float(size.get("radius", 1.0)) if size is not None else 1.0
         rec["ltype"] = LIGHT_SPHERE

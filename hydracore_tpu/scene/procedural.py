@@ -12,6 +12,7 @@ from hydracore_tpu.bvh.native import build_bvh_auto
 from hydracore_tpu.scene.camera import CameraParams, build_camera
 from hydracore_tpu.scene.lights import (
     LIGHT_AREA_RECT,
+    LIGHT_CYLINDER,
     LIGHT_POINT,
     LIGHT_SKY,
     LIGHT_SPHERE,
@@ -89,6 +90,33 @@ class SceneBuilder:
         )
         mat = self.emissive(radiance, light_id=lid)
         self.add_sphere(center, radius, mat, light=lid)
+        return lid
+
+    def cylinder_light(self, center, half_height, radius, radiance,
+                       n_seg: int = 24) -> int:
+        """Cylinder light along +Y with emissive lateral-surface geometry
+        (ref: PlainLightConverter.cpp:353 Cylinder)."""
+        c = np.asarray(center, np.float32)
+        axis = np.array([0, 1, 0], np.float32)
+        lid = self.add_light(
+            ltype=LIGHT_CYLINDER, pos=c, norm=axis,
+            vx=axis * float(half_height), radius=float(radius),
+            area=float(2 * np.pi * radius * (2 * half_height)),
+            intensity=np.asarray(radiance, np.float32),
+        )
+        mat = self.emissive(radiance, light_id=lid)
+        for s in range(n_seg):
+            a0 = 2 * np.pi * s / n_seg
+            a1 = 2 * np.pi * (s + 1) / n_seg
+            r0 = np.array([np.cos(a0), 0, np.sin(a0)], np.float32)
+            r1 = np.array([np.cos(a1), 0, np.sin(a1)], np.float32)
+            p00 = c + radius * r0 - half_height * axis
+            p10 = c + radius * r1 - half_height * axis
+            p11 = c + radius * r1 + half_height * axis
+            p01 = c + radius * r0 + half_height * axis
+            n = (r0 + r1) / np.linalg.norm(r0 + r1)
+            self._quad([p00, p10, p11, p01], n.astype(np.float32), mat,
+                       light=lid)
         return lid
 
     # ---- geometry
@@ -175,7 +203,7 @@ class SceneBuilder:
 
         from hydracore_tpu.ops.traverse_packet import pack_pools
 
-        pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f)
+        pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f, wbvh.max_depth)
 
         def g(i):
             return [self.tris[j][i] for j in p]
@@ -246,6 +274,7 @@ class SceneBuilder:
             bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
             bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
             wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
+            wbvh_depth=wbvh.max_depth,
             pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,

@@ -66,6 +66,8 @@ class SceneData:
     env_cols_cdf: np.ndarray  # (Ht, Wt+1)
     env_pdf_uv: np.ndarray  # (Ht, Wt)
     settings: RenderSettings = struct.field(pytree_node=False, default=None)
+    # wide-tree depth (static metadata: traversal register/stack sizing)
+    wbvh_depth: int = struct.field(pytree_node=False, default=16)
 
     @property
     def num_triangles(self) -> int:
@@ -178,7 +180,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     from hydracore_tpu.ops.traverse_packet import pack_pools
 
-    pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f)
+    pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f, wbvh.max_depth)
 
     cam = build_camera(desc.camera, W, H)
 
@@ -215,6 +217,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
         bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
         wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
+        wbvh_depth=wbvh.max_depth,
         pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
