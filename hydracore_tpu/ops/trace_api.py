@@ -13,14 +13,23 @@ from __future__ import annotations
 import jax
 
 from hydracore_tpu.bvh.wide import LEAF_SIZE
-from hydracore_tpu.ops import traverse_dense, traverse_packet, traverse_wide
+from hydracore_tpu.ops import (traverse_cluster, traverse_dense,
+                               traverse_packet, traverse_wide)
 
 # packet-kernel pools must fit VMEM next to ray blocks and outputs
 _PKT_VMEM_BUDGET = 12 * 1024 * 1024
+# cluster pools: (Cp,12,128) f32 tri blocks must fit VMEM
+_CL_MAX_CP = 1024
 
 
 def _use_dense(scene) -> bool:
     return scene.wbvh_tri9f.shape[0] * LEAF_SIZE <= traverse_dense.DENSE_MAX_TRIS * 2
+
+
+def _use_cluster(scene) -> bool:
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return scene.cl_tris.shape[0] <= _CL_MAX_CP
 
 
 def _use_packet(scene) -> bool:
@@ -33,6 +42,8 @@ def _use_packet(scene) -> bool:
 def _pick(scene):
     if _use_dense(scene):
         return traverse_dense
+    if _use_cluster(scene):
+        return traverse_cluster
     if _use_packet(scene):
         return traverse_packet
     return traverse_wide

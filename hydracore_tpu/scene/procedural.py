@@ -205,6 +205,10 @@ class SceneBuilder:
 
         pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f, wbvh.max_depth)
 
+        from hydracore_tpu.bvh.clusters import cut_clusters
+
+        cl = cut_clusters(bvh, v0[p], (v1 - v0)[p], (v2 - v0)[p])
+
         def g(i):
             return [self.tris[j][i] for j in p]
 
@@ -276,6 +280,8 @@ class SceneBuilder:
             wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
             wbvh_depth=wbvh.max_depth,
             pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
+            cl_bounds=cl.bounds_lane, cl_tris=cl.tris,
+            cl_slot_tri=cl.slot_tri,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,
             camera=cam, env_color=self.env,

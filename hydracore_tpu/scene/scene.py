@@ -53,6 +53,10 @@ class SceneData:
     pkt_nodes: np.ndarray  # (Np,128) f32
     pkt_nodesi: np.ndarray  # (Np,128) i32 view (payload scalar reads)
     pkt_tris: np.ndarray  # (Bp,128) f32
+    # cluster-dense pools (ops/traverse_cluster.py / bvh/clusters.py)
+    cl_bounds: np.ndarray  # (8, Cp) f32 lane-form AABBs
+    cl_tris: np.ndarray  # (Cp, 12, 128) f32
+    cl_slot_tri: np.ndarray  # (Cp*128,) i32
     # tables
     materials: MaterialTable
     lights: LightTable
@@ -182,6 +186,10 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f, wbvh.max_depth)
 
+    from hydracore_tpu.bvh.clusters import cut_clusters
+
+    cl = cut_clusters(bvh, tri_v0, tri_e1, tri_e2)
+
     cam = build_camera(desc.camera, W, H)
 
     # env fallback: sky light color if present else black; build env
@@ -219,6 +227,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f, wbvh_slot_tri=wbvh.slot_tri,
         wbvh_depth=wbvh.max_depth,
         pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
+        cl_bounds=cl.bounds_lane, cl_tris=cl.tris, cl_slot_tri=cl.slot_tri,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
         camera=cam, env_color=env,
