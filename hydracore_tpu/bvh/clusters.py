@@ -29,6 +29,8 @@ class ClusterSet:
     bounds_sub: np.ndarray   # (Cp, 8) f32 same data, sublane-indexed
     tris: np.ndarray         # (Cp, 12, 128) f32 rows [v0.xyz e1.xyz e2.xyz pad3]
     slot_tri: np.ndarray     # (Cp*128,) i32 padded slot -> tri id (-1 pad)
+    oct_perm: np.ndarray     # (8, Cp) i32 cluster visit order per dir octant
+    bounds_oct: np.ndarray   # (8, 8, Cp) f32 bounds_lane pre-permuted per octant
     num_clusters: int
 
 
@@ -76,21 +78,67 @@ def cut_clusters(bvh: FlatBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
 
     C = len(ranges)
     Cp = max((C + 127) // 128 * 128, 128)
+    # padded clusters get a far-away POINT box (min == max) so the slab
+    # test rejects them; an inverted box (min > max) would always pass
     bl = np.zeros((8, Cp), np.float32)
-    bl[0:3, :] = 1e30
-    bl[3:6, :] = -1e30
-    tris = np.zeros((Cp, 12, 128), np.float32)
-    tris[:, 0, :] = 1e30  # degenerate padding: v0 far away, e1=e2=0
+    bl[0:6, :] = 1e30
     slot_tri = np.full(Cp * 128, -1, np.int32)
+
+    # Woop-style affine transforms per triangle: rows u/v/w of
+    # A = inv([e1 e2 n]) with n = e1 x e2, plus offsets c = -A v0, stored
+    # as three (4, 128) matmul operands per cluster so the kernel computes
+    # o' = [o 1] @ M and d' = [d 0] @ M on the MXU
+    # (t = -o'w/d'w, u = o'u + t d'u, v = o'v + t d'v).
+    n_all = np.cross(tri_e1, tri_e2)
+    det = np.einsum("ij,ij->i", n_all, n_all)  # |n|^2 = det([e1 e2 n])
+    good = det > 1e-24
+    inv_det = np.where(good, 1.0 / np.where(det == 0, 1.0, det), 0.0)
+    row_u = np.cross(tri_e2, n_all) * inv_det[:, None]
+    row_v = np.cross(n_all, tri_e1) * inv_det[:, None]
+    row_w = n_all * inv_det[:, None]
+    cu = -np.einsum("ij,ij->i", row_u, tri_v0)
+    cv = -np.einsum("ij,ij->i", row_v, tri_v0)
+    cw = -np.einsum("ij,ij->i", row_w, tri_v0)
+    # degenerate: zero rows + cu = -1 make u = -1 fail everywhere
+    cu = np.where(good, cu, -1.0)
+    cv = np.where(good, cv, 0.0)
+    cw = np.where(good, cw, 1.0)
+
+    tris = np.zeros((Cp, 12, 128), np.float32)
+    tris[:, 3, :] = -1.0  # padding slots: u = -1 always
+    tris[:, 11, :] = 1.0
 
     for ci, (start, cnt, node) in enumerate(ranges):
         bl[0:3, ci] = bvh.bmin[node]
         bl[3:6, ci] = bvh.bmax[node]
         sl = slice(start, start + cnt)
-        tris[ci, 0:3, :cnt] = tri_v0[sl].T
-        tris[ci, 3:6, :cnt] = tri_e1[sl].T
-        tris[ci, 6:9, :cnt] = tri_e2[sl].T
+        tris[ci, 0:3, :cnt] = row_u[sl].T
+        tris[ci, 3, :cnt] = cu[sl]
+        tris[ci, 4:7, :cnt] = row_v[sl].T
+        tris[ci, 7, :cnt] = cv[sl]
+        tris[ci, 8:11, :cnt] = row_w[sl].T
+        tris[ci, 11, :cnt] = cw[sl]
         slot_tri[ci * 128 : ci * 128 + cnt] = np.arange(start, start + cnt)
 
+    # front-to-back visit order per direction octant (bit0: dx>0, bit1:
+    # dy>0, bit2: dz>0): ascending signed centroid projection; padded
+    # clusters always sort last
+    center = (bl[0:3, :] + bl[3:6, :]) * 0.5  # (3, Cp)
+    oct_perm = np.zeros((8, Cp), np.int32)
+    pad = np.arange(Cp) >= C
+    for o in range(8):
+        s = np.array([1.0 if o & 1 else -1.0,
+                      1.0 if o & 2 else -1.0,
+                      1.0 if o & 4 else -1.0])
+        key = s @ center
+        key[pad] = np.inf
+        oct_perm[o] = np.argsort(key, kind="stable").astype(np.int32)
+
+    # bounds pre-permuted per octant: stage A's lane order IS visit order
+    bounds_oct = np.zeros((8, 8, Cp), np.float32)
+    for o in range(8):
+        bounds_oct[o] = bl[:, oct_perm[o]]
+
     return ClusterSet(bounds_lane=bl, bounds_sub=np.ascontiguousarray(bl.T),
-                      tris=tris, slot_tri=slot_tri, num_clusters=C)
+                      tris=tris, slot_tri=slot_tri, oct_perm=oct_perm,
+                      bounds_oct=bounds_oct, num_clusters=C)

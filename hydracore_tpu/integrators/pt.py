@@ -35,7 +35,8 @@ from hydracore_tpu.lights.sampling import (
     select_light,
 )
 from hydracore_tpu.ops import rng
-from hydracore_tpu.ops.trace_api import any_hit, closest_hit
+from hydracore_tpu.ops.trace_api import (any_hit, any_hit_sorted,
+                                          closest_hit, closest_hit_sorted)
 from hydracore_tpu.scene.lights import LIGHT_SKY
 from hydracore_tpu.utils.math3d import cross3, dot3, normalize3, offs_ray_pos
 
@@ -61,7 +62,7 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool):
     MAX_ALPHA_SHADOW_STEPS stochastic transparent layers (ref: shadow
     traversal alpha variants, trace.cl:244+ / TransparentShadowKenrel)."""
     if not has_alpha:
-        return any_hit(scene, sray_o, sdir, dist * 0.995, active=active)
+        return any_hit_sorted(scene, sray_o, sdir, dist * 0.995, active=active)
 
     occluded = jnp.zeros(sray_o.shape[0], bool)
     searching = active
@@ -172,7 +173,10 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
 
     for depth in range(max_depth):
         rays_traced = rays_traced + alive.sum()
-        t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
+        # primaries arrive Morton-ordered; secondary wavefronts re-sort by
+        # (octant, origin-Morton) for block-kernel coherence (screen.cl:155)
+        trace = closest_hit if depth == 0 else closest_hit_sorted
+        t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
 
@@ -288,13 +292,34 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
 # Full-frame pass driver (BeginTracingPass analogue, unified sampling)
 # ----------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _morton_pixel_order(W: int, H: int):
+    """Flat pixel ids in Morton (z-curve) order, static per resolution."""
+    ys, xs = np.mgrid[0:H, 0:W]
+    xs = xs.reshape(-1).astype(np.uint64)
+    ys = ys.reshape(-1).astype(np.uint64)
+    key = np.zeros(W * H, np.uint64)
+    for b in range(16):
+        key |= ((xs >> b) & 1) << (2 * b)
+        key |= ((ys >> b) & 1) << (2 * b + 1)
+    order = np.argsort(key)
+    return ((ys[order] * W) + xs[order]).astype(np.uint32)
+
+
 def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
     """One sample for every pixel; returns ((H, W, 3) radiance, ray count).
     Unjitted body — the graft entry point compile-checks this directly."""
     cam = scene.camera
     W, H = cam.width, cam.height
     R = W * H
-    pix = jnp.arange(R, dtype=jnp.uint32)
+    # Morton (z-order) pixel traversal: consecutive 256-ray blocks become
+    # 16x16 screen tiles, the coherence the block traversal kernels need
+    # (MakeEyeRaysUnifiedSampling consumes a Morton-sorted z-index the same
+    # way, screen.cl:280)
+    pix = jnp.asarray(_morton_pixel_order(W, H))
     px = (pix % W).astype(jnp.int32)
     py = (pix // W).astype(jnp.int32)
 
@@ -309,10 +334,29 @@ def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
                            has_alpha=has_alpha)
     # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110)
     color = jnp.clip(color, 0.0, 1e6)
-    return color.reshape(H, W, 3), rays
+    fb = jnp.zeros((R, 3), jnp.float32).at[pix].set(color)
+    return fb.reshape(H, W, 3), rays
 
 
 render_pass = jax.jit(render_pass_impl, static_argnames=("max_depth",))
+
+
+@partial(jax.jit, static_argnames=("n_pass", "max_depth"))
+def render_passes(scene, pass_base, seed, n_pass: int = 8, max_depth: int = 5):
+    """N full-frame passes inside ONE dispatch (lax.fori over the pass
+    index). Amortizes host->device dispatch latency — the analogue of the
+    reference queueing many kernels per BeginTracingPass without host
+    round-trips. Returns (sum of N pass images, total rays)."""
+
+    def body(i, st):
+        fb, rays = st
+        c, r = render_pass_impl(scene, pass_base + i.astype(jnp.uint32), seed,
+                                max_depth=max_depth)
+        return fb + c, rays + r
+
+    H, W = scene.camera.height, scene.camera.width
+    fb0 = jnp.zeros((H, W, 3), jnp.float32)
+    return jax.lax.fori_loop(0, n_pass, body, (fb0, jnp.zeros((), jnp.float32)))
 
 
 @partial(jax.jit, static_argnames=("max_depth", "k_samples"))
@@ -371,9 +415,14 @@ def render(scene, spp: int, seed: int = 777, max_depth: int | None = None, progr
     H, W = scene.camera.height, scene.camera.width
     scene = jax.device_put(scene)  # keep the scene heap device-resident
     fb = jnp.zeros((H, W, 3), jnp.float32)
-    for i in range(spp):
-        color, _ = render_pass(scene, jnp.uint32(i), jnp.uint32(seed), max_depth=md)
+    chunk = min(8, spp)
+    i = 0
+    while i < spp:
+        k = min(chunk, spp - i)
+        color, _ = render_passes(scene, jnp.uint32(i), jnp.uint32(seed),
+                                 n_pass=k, max_depth=md)
         fb = fb + color
+        i += k
         if progress is not None:
-            progress(i)
+            progress(i - 1)
     return fb / spp

@@ -11,6 +11,7 @@ each variant jits once.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from hydracore_tpu.bvh.wide import LEAF_SIZE
 from hydracore_tpu.ops import (traverse_cluster, traverse_dense,
@@ -55,3 +56,66 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
 
 def any_hit(scene, ray_o, ray_d, t_max, active=None):
     return _pick(scene).any_hit(scene, ray_o, ray_d, t_max, active)
+
+
+# ----------------------------------------------------------------------------
+# Coherence-sorted traversal (screen.cl:155 Morton z-index sort analogue):
+# block kernels (cluster/packet) live on per-256-ray-block AABB coherence, so
+# secondary wavefronts are sorted by (direction octant, origin Morton) before
+# traversal and results are scattered back to wavefront order.
+# ----------------------------------------------------------------------------
+
+def _spread10(x):
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def ray_sort_key(scene, ray_o, ray_d):
+    """uint32 coherence key: 3-bit direction octant (major) + 29-bit origin
+    Morton code over the scene bounds. Octant-major wins on block kernels:
+    front-to-back pruning needs a shared octant per block."""
+    q = (ray_o - scene.world_bmin) / scene.world_bext * 1023.0
+    q = jnp.clip(q, 0.0, 1023.0).astype(jnp.uint32)
+    m = (_spread10(q[:, 0]) | (_spread10(q[:, 1]) << 1)
+         | (_spread10(q[:, 2]) << 2))
+    oct_ = ((ray_d[:, 0] > 0).astype(jnp.uint32)
+            | ((ray_d[:, 1] > 0).astype(jnp.uint32) << 1)
+            | ((ray_d[:, 2] > 0).astype(jnp.uint32) << 2))
+    return (oct_ << 29) | (m >> 1)
+
+
+def wants_sorted_rays(scene) -> bool:
+    return _pick(scene) is traverse_cluster
+
+
+def closest_hit_sorted(scene, ray_o, ray_d, t_max=1e30, active=None):
+    if not wants_sorted_rays(scene):
+        return closest_hit(scene, ray_o, ray_d, t_max, active)
+    R = ray_o.shape[0]
+    key = ray_sort_key(scene, ray_o, ray_d)
+    if active is not None:  # dead rays pack into all-dead (floor-cost) blocks
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    _, idx = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+    act = None if active is None else active[idx]
+    t, tri, u, v = closest_hit(scene, ray_o[idx], ray_d[idx], t_max, act)
+    inv = jnp.zeros(R, jnp.int32).at[idx].set(jnp.arange(R, dtype=jnp.int32))
+    return t[inv], tri[inv], u[inv], v[inv]
+
+
+def any_hit_sorted(scene, ray_o, ray_d, t_max, active=None):
+    if not wants_sorted_rays(scene):
+        return any_hit(scene, ray_o, ray_d, t_max, active)
+    R = ray_o.shape[0]
+    key = ray_sort_key(scene, ray_o, ray_d)
+    if active is not None:
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    _, idx = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+    act = None if active is None else active[idx]
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    occ = any_hit(scene, ray_o[idx], ray_d[idx], tm[idx], act)
+    inv = jnp.zeros(R, jnp.int32).at[idx].set(jnp.arange(R, dtype=jnp.int32))
+    return occ[inv]

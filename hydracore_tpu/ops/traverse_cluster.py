@@ -1,25 +1,30 @@
-"""Cluster-dense traversal — the TPU performance path (round 2).
+"""Cluster-dense traversal — the TPU performance path.
 
-Two dense stages per 256-ray block (bvh/clusters.py builds the layout):
+Ideas on top of the cluster layout (bvh/clusters.py):
 
-  A. slab-test the block against ALL cluster AABBs as (256, 128) VPU
-     pair-tiles; per-cluster ray counts fall out of ONE MXU matmul with a
-     ones-column (dot over the ray axis -> sublane-indexed counts, the only
-     layout Mosaic lets the scalar core read back cheaply);
-  B. compact active cluster ids into an SMEM list, then visit each active
-     cluster with a dense 256x128 Moller-Trumbore, folding per-ray best-t
-     with two lane reductions. Any-hit mode early-exits once every active
-     ray is occluded.
+  A. slab-test the 256-ray block against ALL cluster AABBs as (256, 128)
+     VPU pair-tiles. Bounds are pre-permuted per direction octant so lane
+     order IS front-to-back order for the block's rays. Two tiny MXU
+     matmuls turn the (rays x clusters) hit mask into 16-bit occupancy
+     words the scalar core can read back cheaply (24 scalar VMEM reads
+     instead of one per cluster — dynamic scalar VMEM loads cost ~40
+     cycles each and dominated the v1 kernel).
+  B. compact active positions into an SMEM list (bit-scan over the
+     words), then visit clusters with a dense 256x128 Moller-Trumbore,
+     folding per-ray best-t with two lane reductions.
+  C. every K_VISITS visits, re-run stage A against the *current* per-ray
+     t and re-compact the unvisited tail: once the front clusters have
+     resolved the block's hits, everything behind the surface drops out
+     and the loop terminates — the dense analogue of ordered-DFS early
+     termination. Any-hit folds occlusion into t (occluded rays get
+     t = -BIG) so the same refilter retires them.
 
-Replaces per-node DFS traversal (ops/traverse_packet.py) for scenes whose
-cluster pools fit VMEM: measured ~1.4 us/visit + ~2-4 us/block fixed on
-TPU v5e — 43 Mrays/s at 4 active clusters/block, 11 Mrays/s at 16
-(tools/proto_cluster.py). Coherence (= small per-block unions) comes from
-pixel-order primaries and integrator-side ray sorting.
+Coherence (= small per-block AABB unions) comes from Morton-ordered
+primary pixels and integrator-side ray sorting.
 
-Reference analogue: ctrace.h BVH4 traversal / trace.cl kernels — this is a
-ground-up TPU redesign, not a port: no stacks, no per-ray divergence, all
-arithmetic full-width VPU tiles.
+Reference analogue: ctrace.h BVH4 traversal / trace.cl kernels — this is
+a ground-up TPU redesign, not a port: no stacks, no per-ray divergence,
+all arithmetic full-width VPU tiles + MXU occupancy matmuls.
 """
 from __future__ import annotations
 
@@ -32,15 +37,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 R_BLK = 256
+M_SUB = 4  # ray blocks processed per grid step (amortizes step overhead)
 BIG = 3.0e38
 
 
-def _make_kernel(Cp: int, any_hit_mode: bool):
+def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False):
     CT = Cp // 128
-    UNROLL = 16
+    NW = CT * 8  # 16-bit occupancy words
+    K_VISITS = 8  # visits between refilters
 
-    def kernel(ray_ref, cbl_ref, tris_ref, out_ref, outi_ref, anyhit, lst):
-        rays = ray_ref[0]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
+    def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
+               out_ref, outi_ref, cnt, lst):
+        if unroll_sub:  # interpret mode: fori over ref effects miscompiles
+            for m in range(M_SUB):
+                _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
+                               perm_ref, oct_ref, out_ref, outi_ref, cnt, lst)
+            return
+
+        def process(m, _carry):
+            _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
+                           out_ref, outi_ref, cnt, lst)
+            return 0
+
+        jax.lax.fori_loop(0, M_SUB, process, 0)
+
+    def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
+                       out_ref, outi_ref, cnt, lst):
+        rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
         oz = rays[:, 2:3]
@@ -49,91 +72,120 @@ def _make_kernel(Cp: int, any_hit_mode: bool):
         dz = rays[:, 5:6]
         t_lim = rays[:, 6:7]
         act = rays[:, 7:8] > 0.0
-        t_act = jnp.where(act, t_lim, jnp.float32(-BIG))
 
         eps = jnp.float32(1e-12)
         ix = 1.0 / jnp.where(jnp.abs(dx) < eps, jnp.where(dx < 0, -eps, eps), dx)
         iy = 1.0 / jnp.where(jnp.abs(dy) < eps, jnp.where(dy < 0, -eps, eps), dy)
         iz = 1.0 / jnp.where(jnp.abs(dz) < eps, jnp.where(dz < 0, -eps, eps), dz)
+        oxix = ox * ix
+        oyiy = oy * iy
+        oziz = oz * iz
 
-        # ---- stage A ----
+        oct_ = oct_ref[pl.program_id(0) * M_SUB + m]
+
         ones_col = jnp.ones((R_BLK, 1), jnp.float32)
-        for ct in range(CT):
-            s = ct * 128
-            bxm = cbl_ref[0:1, s:s + 128]
-            bym = cbl_ref[1:2, s:s + 128]
-            bzm = cbl_ref[2:3, s:s + 128]
-            bxM = cbl_ref[3:4, s:s + 128]
-            byM = cbl_ref[4:5, s:s + 128]
-            bzM = cbl_ref[5:6, s:s + 128]
-            tx0 = (bxm - ox) * ix
-            tx1 = (bxM - ox) * ix
-            ty0 = (bym - oy) * iy
-            ty1 = (byM - oy) * iy
-            tz0 = (bzm - oz) * iz
-            tz1 = (bzM - oz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                         jnp.minimum(ty0, ty1)),
-                             jnp.minimum(tz0, tz1))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                         jnp.maximum(ty0, ty1)),
-                             jnp.maximum(tz0, tz1))
-            hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_act)  # (R, 128)
-            cnt = jax.lax.dot_general(
-                hit.astype(jnp.float32), ones_col,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (128, 1)
-            anyhit[s:s + 128, 0:1] = cnt.astype(jnp.int32)
+        # word-packing matrix: P[j, c] = 2^(c & 15) where c >> 4 == j
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        packm = jnp.where((lanes >> 4) == rows8,
+                          (1 << (lanes & 15)).astype(jnp.float32), 0.0)
 
-        # ---- compaction ----
-        def cbody(i, n):
-            c0 = i * UNROLL
-            for k in range(UNROLL):
-                a = anyhit[c0 + k, 0]
+        def stage_a(t_act):
+            """16-bit occupancy words (in front-to-back lane order) of
+            clusters whose slab interval beats some ray's t_act."""
+            for ct in range(CT):
+                s = ct * 128
+                bxm = cblo_ref[oct_, 0:1, s:s + 128]
+                bym = cblo_ref[oct_, 1:2, s:s + 128]
+                bzm = cblo_ref[oct_, 2:3, s:s + 128]
+                bxM = cblo_ref[oct_, 3:4, s:s + 128]
+                byM = cblo_ref[oct_, 4:5, s:s + 128]
+                bzM = cblo_ref[oct_, 5:6, s:s + 128]
+                tx0 = bxm * ix - oxix
+                tx1 = bxM * ix - oxix
+                ty0 = bym * iy - oyiy
+                ty1 = byM * iy - oyiy
+                tz0 = bzm * iz - oziz
+                tz1 = bzM * iz - oziz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_act)  # (R, 128)
+                c = jax.lax.dot_general(
+                    hit.astype(jnp.float32), ones_col,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (128, 1)
+                flags = (c > 0.0).astype(jnp.float32)
+                words = jax.lax.dot_general(
+                    packm, flags, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (8, 1)
+                cnt[ct * 8:ct * 8 + 8, 0:1] = words.astype(jnp.int32)
 
-                @pl.when(a > 0)
-                def _(n=n, k=k):
-                    lst[n] = c0 + k
+        # closest-hit caps t at t_lim so inactive rays never match; any-hit
+        # folds occlusion in by dropping t to -BIG once a ray is occluded
+        t0 = jnp.where(act, jnp.minimum(t_lim, jnp.float32(BIG)),
+                       jnp.float32(-BIG))
+        stage_a(t0)
 
-                n = n + (a > 0).astype(jnp.int32)
-            return n
+        # ---- initial compaction: bit-scan words into the SMEM list ----
+        def cbody(w, n):
+            word = cnt[w, 0]
 
-        n_act = jax.lax.fori_loop(0, Cp // UNROLL, cbody, jnp.int32(0))
+            @pl.when(word != 0)
+            def _():
+                def bbody(b, m):
+                    bit = (word >> b) & 1
 
-        # ---- stage B ----
+                    @pl.when(bit != 0)
+                    def _(m=m, b=b):
+                        lst[m] = w * 16 + b
+
+                    return m + bit
+
+                lst[Cp] = jax.lax.fori_loop(0, 16, bbody, n)
+
+            @pl.when(word == 0)
+            def _():
+                lst[Cp] = n
+
+            return lst[Cp]
+
+        n0 = jax.lax.fori_loop(0, NW, cbody, jnp.int32(0))
+
+
+        # ---- visit loop with periodic refilter ----
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         big = jnp.float32(BIG)
 
-        def visit(state):
-            i, t_cur, slot = state
-            c = lst[i]
-            blk = tris_ref[c]  # (12, 128)
-            v0x = blk[0:1]
-            v0y = blk[1:2]
-            v0z = blk[2:3]
-            e1x = blk[3:4]
-            e1y = blk[4:5]
-            e1z = blk[5:6]
-            e2x = blk[6:7]
-            e2y = blk[7:8]
-            e2z = blk[8:9]
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv = jnp.where(jnp.abs(det) > 1e-12,
-                            1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
-            sx = ox - v0x
-            sy = oy - v0y
-            sz = oz - v0z
-            u = (sx * px + sy * py + sz * pz) * inv
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            hit = (inv != 0.0) & (u >= 0) & (v >= 0) & (u + v <= 1.0) \
-                & (t > 1e-5) & (t < t_cur)
+        ro4 = jnp.concatenate([ox, oy, oz, ones_col], axis=1)  # (R, 4)
+        rd4 = jnp.concatenate([dx, dy, dz, ones_col * 0.0], axis=1)
+
+        def _mm(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        def visit_one(pos, t_cur, slot):
+            c = perm_ref[oct_, pos]  # true cluster id (SMEM, cheap)
+            blk = tris_ref[c]  # (12, 128): Woop rows [Mu | Mv | Mw]
+            mu = blk[0:4]
+            mv = blk[4:8]
+            mw = blk[8:12]
+            ow = _mm(ro4, mw)
+            dw = _mm(rd4, mw)
+            t = -ow / dw  # +-inf/nan on parallel rays -> comparisons fail
+            ou = _mm(ro4, mu)
+            du = _mm(rd4, mu)
+            ov = _mm(ro4, mv)
+            dv = _mm(rd4, mv)
+            u = ou + t * du
+            v = ov + t * dv
+            hit = (t > 1e-5) & (t < t_cur) & (u >= 0) & (v >= 0) \
+                & (u + v <= 1.0)
             tm = jnp.where(hit, t, big)
             tmin = jnp.min(tm, axis=1, keepdims=True)  # (R, 1)
             sl = jnp.where(tm == tmin, c * 128 + lane, -1)
@@ -142,23 +194,58 @@ def _make_kernel(Cp: int, any_hit_mode: bool):
             t_cur = jnp.where(better, tmin, t_cur)
             slot = jnp.where(better, smax, slot)
             if any_hit_mode:
-                # whole block done once every active ray is occluded
-                pend = act & (slot < 0)
-                n_pend = jnp.max(pend.astype(jnp.int32))
-                i = jnp.where(n_pend < 1, jnp.int32(1 << 30), i)
-            return i + 1, t_cur, slot
+                # occluded rays retire: refilter sees them as dead lanes
+                t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
+            return t_cur, slot
 
-        # closest-hit caps t at t_act so inactive rays never match
-        t0 = jnp.where(act, jnp.minimum(t_lim, big), jnp.float32(-BIG))
         s0 = jnp.full((R_BLK, 1), -1, jnp.int32)
-        _, t_best, slot = jax.lax.while_loop(
-            lambda st: st[0] < n_act, visit, (jnp.int32(0), t0, s0))
 
-        nact_f = jnp.broadcast_to(n_act.astype(jnp.float32), (R_BLK, 1))
-        out_ref[0] = jnp.concatenate(
-            [t_best, nact_f, t_best, t_best, t_best, t_best, t_best, t_best],
-            axis=1)
-        outi_ref[0] = jnp.broadcast_to(slot, (R_BLK, 8))
+        def outer_body(st):
+            ptr, n, t_cur, slot = st
+            end = jnp.minimum(ptr + K_VISITS, n)
+
+            def inner(st2):
+                i, t_cur, slot = st2
+                t_cur, slot = visit_one(lst[i], t_cur, slot)
+                return i + 1, t_cur, slot
+
+            i_end, t_cur, slot = jax.lax.while_loop(
+                lambda s2: s2[0] < end, inner, (ptr, t_cur, slot))
+            ptr = jnp.minimum(i_end, n)
+
+            @pl.when(ptr < n)
+            def _():
+                stage_a(t_cur)
+
+                def rbody(j, m):
+                    pos = lst[j]
+                    bit = (cnt[pos >> 4, 0] >> (pos & 15)) & 1
+
+                    @pl.when(bit != 0)
+                    def _(m=m, pos=pos):
+                        lst[m] = pos
+
+                    return m + bit
+
+                lst[Cp] = jax.lax.fori_loop(ptr, n, rbody, ptr)
+
+            @pl.when(ptr >= n)
+            def _():
+                lst[Cp] = n
+
+            return ptr, lst[Cp], t_cur, slot
+
+        ptr_end, _, t_best, slot = jax.lax.while_loop(
+            lambda st: st[0] < st[1], outer_body,
+            (jnp.int32(0), n0, t0, s0))
+
+        # column stores (8-way lane concats cost relayouts)
+        out_ref[m, :, 0:1] = t_best
+        # diagnostics: visits performed + initial actives / 1024
+        out_ref[m, :, 1:2] = jnp.broadcast_to(
+            ptr_end.astype(jnp.float32) + n0.astype(jnp.float32) / 1024.0,
+            (R_BLK, 1))
+        outi_ref[m, :, 0:1] = slot
 
     return kernel
 
@@ -168,25 +255,35 @@ INTERPRET = False
 
 
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret"))
-def _cluster_traverse(rays, cbl, tris, any_hit_mode=False, interpret=False):
-    """rays: (G, R_BLK, 8). Returns (t (G,R_BLK), slot (G,R_BLK))."""
+def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
+                      interpret=False):
+    """rays: (G, R_BLK, 8). Returns (t (G,R_BLK), slot (G,R_BLK), diag)."""
     G = rays.shape[0]
-    Cp = cbl.shape[1]
+    assert G % M_SUB == 0, "pad ray blocks to a multiple of M_SUB"
+    Cp = cbl_oct.shape[2]
+    d0 = rays[:, 0, 3:6]  # block octant from its first ray's direction
+    oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
+            + 2 * (d0[:, 1] > 0).astype(jnp.int32)
+            + 4 * (d0[:, 2] > 0).astype(jnp.int32))
     out, outi = pl.pallas_call(
-        _make_kernel(Cp, any_hit_mode),
+        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret),
         interpret=interpret,
-        grid=(G,),
+        grid=(G // M_SUB,),
         in_specs=[
-            pl.BlockSpec((1, R_BLK, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((M_SUB, R_BLK, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(cbl.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cbl_oct.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(perm.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((G,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, R_BLK, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((M_SUB, R_BLK, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R_BLK, 8), lambda i: (i, 0, 0),
+            pl.BlockSpec((M_SUB, R_BLK, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -194,18 +291,19 @@ def _cluster_traverse(rays, cbl, tris, any_hit_mode=False, interpret=False):
             jax.ShapeDtypeStruct((G, R_BLK, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Cp, 8), jnp.int32),
-            pltpu.SMEM((Cp + 8,), jnp.int32),
+            pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
+            pltpu.SMEM((Cp + 16,), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(rays, cbl, tris)
-    return out[:, :, 0], outi[:, :, 0]
+            dimension_semantics=("parallel",)),
+    )(rays, cbl_oct, tris, perm, oct_)
+    return out[:, :, 0], outi[:, :, 0], out[:, :, 1]
 
 
 def _to_blocks(ro, rd, t_max, active):
     R = ro.shape[0]
-    Rp = (R + R_BLK - 1) // R_BLK * R_BLK
+    step = R_BLK * M_SUB
+    Rp = (R + step - 1) // step * step
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     ac = jnp.ones(R, bool) if active is None else active
     r = jnp.zeros((Rp, 8), jnp.float32)
@@ -219,8 +317,9 @@ def _to_blocks(ro, rd, t_max, active):
 def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     """Returns (t, tri_id, u, v); t = +inf on miss (trace_api contract)."""
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
-    t, slot = _cluster_traverse(rays, scene.cl_bounds, scene.cl_tris,
-                                any_hit_mode=False, interpret=INTERPRET)
+    t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, scene.cl_tris,
+                                   scene.cl_oct_perm,
+                                   any_hit_mode=False, interpret=INTERPRET)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
@@ -248,6 +347,7 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
 def any_hit(scene, ray_o, ray_d, t_max, active=None):
     """Shadow traversal: True where occluded."""
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
-    _, slot = _cluster_traverse(rays, scene.cl_bounds, scene.cl_tris,
-                                any_hit_mode=True, interpret=INTERPRET)
+    _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, scene.cl_tris,
+                                   scene.cl_oct_perm,
+                                   any_hit_mode=True, interpret=INTERPRET)
     return slot.reshape(-1)[:R] >= 0

@@ -209,6 +209,10 @@ class SceneBuilder:
 
         cl = cut_clusters(bvh, v0[p], (v1 - v0)[p], (v2 - v0)[p])
 
+        pts = np.concatenate([v0, v1, v2], 0)
+        wb_min = pts.min(0).astype(np.float32)
+        wb_ext = np.maximum(pts.max(0) - pts.min(0), 1e-6).astype(np.float32)
+
         def g(i):
             return [self.tris[j][i] for j in p]
 
@@ -281,7 +285,9 @@ class SceneBuilder:
             wbvh_depth=wbvh.max_depth,
             pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
             cl_bounds=cl.bounds_lane, cl_tris=cl.tris,
-            cl_slot_tri=cl.slot_tri,
+            cl_slot_tri=cl.slot_tri, cl_oct_perm=cl.oct_perm,
+            cl_bounds_oct=cl.bounds_oct,
+            world_bmin=wb_min, world_bext=wb_ext,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,
             camera=cam, env_color=self.env,

@@ -57,6 +57,10 @@ class SceneData:
     cl_bounds: np.ndarray  # (8, Cp) f32 lane-form AABBs
     cl_tris: np.ndarray  # (Cp, 12, 128) f32
     cl_slot_tri: np.ndarray  # (Cp*128,) i32
+    cl_oct_perm: np.ndarray  # (8, Cp) i32 per-octant front-to-back order
+    cl_bounds_oct: np.ndarray  # (8, 8, Cp) f32 bounds pre-permuted per octant
+    world_bmin: np.ndarray  # (3,) f32 scene AABB (ray-coherence Morton keys)
+    world_bext: np.ndarray  # (3,) f32 scene AABB extent (>= eps)
     # tables
     materials: MaterialTable
     lights: LightTable
@@ -190,6 +194,10 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     cl = cut_clusters(bvh, tri_v0, tri_e1, tri_e2)
 
+    pts = np.concatenate([tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2], 0)
+    wb_min = pts.min(0).astype(np.float32)
+    wb_ext = np.maximum(pts.max(0) - pts.min(0), 1e-6).astype(np.float32)
+
     cam = build_camera(desc.camera, W, H)
 
     # env fallback: sky light color if present else black; build env
@@ -228,6 +236,8 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         wbvh_depth=wbvh.max_depth,
         pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
         cl_bounds=cl.bounds_lane, cl_tris=cl.tris, cl_slot_tri=cl.slot_tri,
+        cl_oct_perm=cl.oct_perm, cl_bounds_oct=cl.bounds_oct,
+        world_bmin=wb_min, world_bext=wb_ext,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
         camera=cam, env_color=env,
