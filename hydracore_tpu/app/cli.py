@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-spp", type=int, default=None)
     p.add_argument("-width", type=int, default=None)
     p.add_argument("-height", type=int, default=None)
-    p.add_argument("-method", default=None, help="pathtracing (more transports landing)")
+    p.add_argument("-method", default=None, help="pathtracing | lt | sbdpt | ibpt | mlt")
     p.add_argument("-seed", type=int, default=777)
     p.add_argument("-saveinterval", type=float, default=0.0, help="seconds between snapshots")
     p.add_argument("-gamma", type=float, default=2.2)
@@ -82,6 +82,14 @@ def main(argv=None) -> int:
         from hydracore_tpu.integrators.mlt import render_mlt
 
         img = render_mlt(scene, n_passes=max(spp // 4, 8), seed=args.seed, max_depth=md)
+    elif method in ("sbdpt", "bdpt"):
+        from hydracore_tpu.integrators.bdpt import render_bdpt
+
+        img = np.asarray(render_bdpt(scene, n_passes=spp, seed=args.seed, max_depth=md))
+    elif method in ("ibpt", "3way"):
+        from hydracore_tpu.integrators.bdpt import render_ibpt
+
+        img = np.asarray(render_ibpt(scene, n_passes=spp, seed=args.seed, max_depth=md))
     elif args.multichip:
         from hydracore_tpu.parallel.mesh import make_mesh, render_distributed
 
