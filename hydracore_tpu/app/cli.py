@@ -78,7 +78,11 @@ def main(argv=None) -> int:
         from hydracore_tpu.integrators.lt import render_lt
 
         img = np.asarray(render_lt(scene, n_passes=spp, seed=args.seed, max_depth=md))
-    elif method in ("mmlt", "mlt", "pssmlt"):
+    elif method == "mmlt":
+        from hydracore_tpu.integrators.mmlt import render_mmlt
+
+        img = render_mmlt(scene, n_passes=max(spp // 4, 8), seed=args.seed, max_depth=md)
+    elif method in ("mlt", "pssmlt", "kmlt"):
         from hydracore_tpu.integrators.mlt import render_mlt
 
         img = render_mlt(scene, n_passes=max(spp // 4, 8), seed=args.seed, max_depth=md)

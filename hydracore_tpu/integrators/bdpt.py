@@ -353,44 +353,36 @@ def _mis_weight(pf, pl, spec, can, t_strat: int, n_splat, y0_hittable,
 # The pass
 # ----------------------------------------------------------------------------
 
-def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,
-                   strategies: str = "full"):
-    """One SBDPT sample per pixel -> (H, W, 3) image for this pass.
-
-    strategies: "full" (all s-t connections) or "3way" (the reference's
-    IBPT subset: implicit s'=0, NEE s'=1, connect-to-eye t'=1, MIS-combined
-    — RenderDriverRTE.cpp:1819-1855 + material.cl:64)."""
+def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
+               max_depth: int, strategies: str = "full",
+               k_only: int | None = None):
+    """Evaluate SBDPT strategies for a wavefront of camera+light
+    subpaths. Returns a list of (flat_pix (R,), color (R,3)) contributions
+    — one entry per (s, t) strategy evaluated. k_only restricts to paths
+    with exactly k vertices (MMLT's per-depth chains)."""
     cam = scene.camera
     W, H = cam.width, cam.height
-    R = W * H
+    R = ray_o.shape[0]
     three_way = strategies == "3way"
-    from hydracore_tpu.integrators.pt import _morton_pixel_order
 
-    pix = jnp.asarray(_morton_pixel_order(W, H))
-    px = (pix % W).astype(jnp.int32)
-    py = (pix // W).astype(jnp.int32)
-    sample_idx = pix * jnp.uint32(0x9E3779B9) ^ (
-        jnp.uint32(pass_idx) * jnp.uint32(0x85EBCA6B))
-
-    def rand_fn(depth, group):
-        return rng.rand4(sample_idx, depth, group, seed)
-
-    jitter = rng.screen_sample(jnp.broadcast_to(jnp.uint32(pass_idx), (R,)), pix)
-    lens = rng.rand2(sample_idx, 0, DG_BD_LENS, seed)
-    ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
-
-    NC = max_depth        # camera surface vertices z_1..z_NC
-    NL = max_depth - 1    # light surface vertices y_1..y_NL
+    if k_only is None:
+        NC = max_depth        # camera surface vertices z_1..z_NC
+        NL = max_depth - 1    # light surface vertices y_1..y_NL
+    else:
+        NC = k_only - 1
+        NL = max(k_only - 2, 1)
     zs = trace_camera_subpath(scene, ray_o, ray_d, rand_fn, NC)
     y0, ys = trace_light_subpath(scene, rand_fn, NL)
-    always = jnp.ones((R,), bool)
 
-    fb = jnp.zeros((R, 3), jnp.float32)      # own-pixel strategies (t>=2)
-    splat = jnp.zeros((R, 3), jnp.float32)   # t=1 strategies
-    n_splat = jnp.float32(R)
+    out = []
+
+    def keep(t, s):
+        return k_only is None or (s + t) == k_only
 
     # ---- s = 0: camera path hits an emitter (PT implicit)
     for t in range(2, NC + 2):
+        if not keep(t, 0):
+            continue
         z = zs[t - 2]
         on_light = z.valid & (z.em_color.max(axis=-1) > 1e-6) & (z.light_row >= 0)
         front = dot3(z.ns, z.wo) > 0.0
@@ -426,10 +418,13 @@ def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,
         w = _mis_weight(pf, pl, spec, on_light, t, n_splat,
                         y0_here.hittable, three_way)
         contrib = z.beta * z.em_color * w[:, None]
-        fb = fb + jnp.where((on_light & front)[:, None], contrib, 0.0)
+        out.append((own_pix, jnp.where((on_light & front)[:, None],
+                                       contrib, 0.0)))
 
     # ---- s = 1: NEE from every camera vertex to y0
     for t in range(2, NC + 1):
+        if not keep(t, 1):
+            continue
         z = zs[t - 2]
         d = y0.pos - z.pos
         d2 = jnp.maximum(dot3(d, d), 1e-12)
@@ -455,10 +450,13 @@ def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,
         pf, pl, spec = _assemble(R, zs, ys, y0, t, 1, junc)
         w = _mis_weight(pf, pl, spec, can, t, n_splat, y0.hittable,
                         three_way)
-        fb = fb + jnp.where((can & ~occ)[:, None], c_unw * w[:, None], 0.0)
+        out.append((own_pix, jnp.where((can & ~occ)[:, None],
+                                       c_unw * w[:, None], 0.0)))
 
     # ---- t = 1: connect light vertices to the camera (LT splat)
     for s in range(2, NL + 2):
+        if not keep(1, s):
+            continue
         y = ys[s - 2]
         flat, on, w_cam, dist, cos_cam = project_to_screen(cam, y.pos)
         _, d_img = _camera_data(cam)
@@ -483,13 +481,13 @@ def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,
         w = _mis_weight(pf, pl, spec, can, 1, n_splat, y0.hittable,
                         three_way)
         amt = jnp.where((can & ~occ)[:, None], c_unw * w[:, None], 0.0)
-        splat = splat.at[flat].add(amt, mode="drop")
+        out.append((flat, amt))
 
     # ---- s >= 2, t >= 2: inner connections (full SBDPT only)
     if not three_way:
         for t in range(2, NC + 1):
             for s in range(2, NL + 2):
-                if (s + t - 1) > max_depth:
+                if (s + t - 1) > max_depth or not keep(t, s):
                     continue
                 z = zs[t - 2]
                 y = ys[s - 2]
@@ -524,10 +522,42 @@ def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,
                 pf, pl, spec = _assemble(R, zs, ys, y0, t, s, junc)
                 w = _mis_weight(pf, pl, spec, can, t, n_splat, y0.hittable,
                                 False)
-                fb = fb + jnp.where((can & ~occ)[:, None],
-                                    c_unw * w[:, None], 0.0)
+                out.append((own_pix, jnp.where((can & ~occ)[:, None],
+                                               c_unw * w[:, None], 0.0)))
 
-    img = jnp.zeros((R, 3), jnp.float32).at[pix].set(fb) + splat
+    return out
+
+
+def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,
+                   strategies: str = "full"):
+    """One SBDPT sample per pixel -> (H, W, 3) image for this pass.
+
+    strategies: "full" (all s-t connections) or "3way" (the reference's
+    IBPT subset: implicit s'=0, NEE s'=1, connect-to-eye t'=1, MIS-combined
+    — RenderDriverRTE.cpp:1819-1855 + material.cl:64)."""
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    R = W * H
+    from hydracore_tpu.integrators.pt import _morton_pixel_order
+
+    pix = jnp.asarray(_morton_pixel_order(W, H))
+    px = (pix % W).astype(jnp.int32)
+    py = (pix // W).astype(jnp.int32)
+    sample_idx = pix * jnp.uint32(0x9E3779B9) ^ (
+        jnp.uint32(pass_idx) * jnp.uint32(0x85EBCA6B))
+
+    def rand_fn(depth, group):
+        return rng.rand4(sample_idx, depth, group, seed)
+
+    jitter = rng.screen_sample(jnp.broadcast_to(jnp.uint32(pass_idx), (R,)), pix)
+    lens = rng.rand2(sample_idx, 0, DG_BD_LENS, seed)
+    ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
+
+    contribs = _bdpt_core(scene, ray_o, ray_d, rand_fn, pix.astype(jnp.int32),
+                          jnp.float32(R), max_depth, strategies)
+    img = jnp.zeros((R, 3), jnp.float32)
+    for flat, amt in contribs:
+        img = img.at[flat].add(amt, mode="drop")
     return jnp.clip(img, 0.0, 1e6).reshape(H, W, 3)
 
 

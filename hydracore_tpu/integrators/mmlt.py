@@ -1,0 +1,186 @@
+"""MMLT — Metropolis light transport over the bidirectional (SBDPT) target
+with per-depth chain groups.
+
+TPU rebuild of the reference MMLT (GPUOCLLayerAdvanced.cpp:395 MMLT_Pass,
+:518 MMLTInitSplitDataUniform, :640 MMLT_BurningIn; mlt.cl:339
+MMLTMakeProposal / :205 MMLTAcceptReject / :1472 MMLTConnect; SURVEY §8.7):
+
+  * chains are split by total path length k (vertex count) — the per-depth
+    thread allocation of MMLTInitSplitDataUniform, so deep transport gets
+    its own stationary distribution and normalization;
+  * each chain holds a primary-sample vector driving pixel/lens, the
+    camera subpath and the light subpath randoms; a mutation is a Kelemen
+    large/small step (MMLTMakeProposal semantics);
+  * the target is the MIS-weighted sum of the k-length SBDPT strategies
+    (evaluated batched by integrators/bdpt._bdpt_core with k_only=k) —
+    every mutation re-traces both subpaths, exactly as MMLT_Pass calls
+    EvalSBDPT on the proposal;
+  * both current and proposal states splat with Veach (1-a)/a weights
+    (MMLTAcceptReject contributes x and y);
+  * burn-in: states start from contribution-proportional resampling and
+    the per-depth normalization constant b_k is estimated from large-step
+    proposals (MMLT_BurningIn's average brightness, per depth — the
+    reference's per-depth scale table, GPUOCLLayerAdvanced.cpp:859).
+
+Final image = sum_k  splat_k * b_k * (W*H) / n_samples_k.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydracore_tpu.integrators.bdpt import _bdpt_core
+from hydracore_tpu.integrators.mlt import _lum, _mutate
+from hydracore_tpu.integrators.pt import make_eye_rays
+from hydracore_tpu.ops import rng
+
+DG = {"cam": 0, "emit": 1, "lgt": 2}
+
+
+def psv_dims(k: int) -> int:
+    """[2 pixel + 2 lens] + (k-1) camera bounces x4 + emit x4 +
+    max(k-2,1) light bounces x4."""
+    return 4 + 4 * (k - 1) + 4 + 4 * max(k - 2, 1)
+
+
+def _contribs_k(scene, psv, k: int, max_depth: int):
+    """All k-vertex SBDPT strategy contributions for PSS states psv.
+
+    Returns (list of (flat_pix, color), own_pix)."""
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    R = psv.shape[0]
+    fx = psv[:, 0] * W
+    fy = psv[:, 1] * H
+    px = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, W - 1)
+    py = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, H - 1)
+    jitter = jnp.stack([fx - px, fy - py], -1)
+    lens = psv[:, 2:4]
+    ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
+    own_pix = py * W + px
+
+    cam_base = 4
+    emit_base = cam_base + 4 * (k - 1)
+    lgt_base = emit_base + 4
+
+    def rand_fn(depth, group):
+        from hydracore_tpu.integrators.bdpt import (DG_BD_CAM_BSDF,
+                                                    DG_BD_LGT_BSDF,
+                                                    DG_BD_LGT_EMIT)
+        if group == DG_BD_CAM_BSDF:
+            base = cam_base + 4 * depth
+        elif group == DG_BD_LGT_EMIT:
+            base = emit_base
+        else:  # light bsdf at depth j+1 -> slice j
+            base = lgt_base + 4 * (depth - 1)
+        return psv[:, base:base + 4]
+
+    out = _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix,
+                     jnp.float32(1.0), max_depth, "full", k_only=k)
+    return out, own_pix
+
+
+@partial(jax.jit, static_argnames=("k", "max_depth"))
+def _eval_state(scene, psv, k: int, max_depth: int):
+    """Stacked (pix (R,S), colors (R,S,3), f (R,)) for PSS states."""
+    out, _ = _contribs_k(scene, psv, k, max_depth)
+    pix = jnp.stack([p for p, _ in out], axis=1)
+    col = jnp.stack([c for _, c in out], axis=1)
+    f = _lum(col).sum(axis=1)
+    return pix, col, f
+
+
+@partial(jax.jit, static_argnames=("k", "max_depth"))
+def mmlt_step(scene, fb, u, f, pix_s, col_s, step_idx, seed,
+              k: int, max_depth: int):
+    """One mutation for the k-group chains; splats both states into fb.
+    Returns (fb, u, f, pix_s, col_s, b_acc, b_cnt)."""
+    R = u.shape[0]
+    key_idx = jnp.arange(R, dtype=jnp.uint32) + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF)
+
+    prop_u, large = _mutate(u, key_idx, step_idx, seed)
+    p_pix, p_col, p_f = _eval_state(scene, prop_u, k, max_depth)
+
+    b_acc = jnp.where(large, p_f, 0.0).sum()
+    b_cnt = large.sum().astype(jnp.float32)
+
+    a = jnp.clip(p_f / jnp.maximum(f, 1e-12), 0.0, 1.0)
+    w_old = jnp.where(f > 0, (1.0 - a) / jnp.maximum(f, 1e-12), 0.0)
+    w_new = jnp.where(p_f > 0, a / jnp.maximum(p_f, 1e-12), 0.0)
+    S = p_col.shape[1]
+    fb = fb.at[pix_s.reshape(-1)].add(
+        (col_s * w_old[:, None, None]).reshape(R * S, 3), mode="drop")
+    fb = fb.at[p_pix.reshape(-1)].add(
+        (p_col * w_new[:, None, None]).reshape(R * S, 3), mode="drop")
+
+    u_acc = rng.rand1(key_idx, step_idx, 17, seed ^ jnp.uint32(0x5BD1E995))
+    acc = u_acc < a
+    u = jnp.where(acc[:, None], prop_u, u)
+    f = jnp.where(acc, p_f, f)
+    pix_s = jnp.where(acc[:, None], p_pix, pix_s)
+    col_s = jnp.where(acc[:, None, None], p_col, col_s)
+    return fb, u, f, pix_s, col_s, b_acc, b_cnt
+
+
+def render_mmlt(scene, n_passes: int, n_chains: int | None = None,
+                mutations_per_pass: int = 16, seed: int = 777,
+                max_depth: int | None = None, burn_in: int = 6,
+                k_min: int = 2):
+    """Multiplexed-style Metropolis over SBDPT -> (H, W, 3)."""
+    md = max_depth or scene.settings.trace_depth
+    H, W = scene.camera.height, scene.camera.width
+    ks = list(range(k_min, md + 2))  # path vertex counts
+    R_total = n_chains or (W * H)
+    Rk = max(R_total // len(ks), 256)
+    scene = jax.device_put(scene)
+
+    img = np.zeros((H * W, 3), np.float64)
+    n_steps = n_passes * mutations_per_pass
+    n_burn = burn_in * mutations_per_pass
+
+    for k in ks:
+        D = psv_dims(k)
+        key = jnp.arange(Rk, dtype=jnp.uint32)
+        dims = jnp.arange(D, dtype=jnp.uint32)[None, :]
+        h = rng.pcg3d(jnp.stack([
+            jnp.broadcast_to(key[:, None], (Rk, D)),
+            jnp.broadcast_to(dims, (Rk, D)) + jnp.uint32((k * 977) & 0xFFFFFFFF),
+            jnp.full((Rk, D), np.uint32(seed), jnp.uint32)], axis=-1))
+        u = (h[..., 0] >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        pix_s, col_s, f = _eval_state(scene, u, k, md)
+
+        # burn-in: contribution-proportional state selection
+        f_np = np.asarray(f, np.float64)
+        if f_np.sum() > 0:
+            cdf = np.cumsum(f_np)
+            cdf /= cdf[-1]
+            rs = np.random.default_rng(seed + k).random(Rk)
+            pick = np.searchsorted(cdf, rs).clip(0, Rk - 1).astype(np.int32)
+            u = u[pick]
+            f = f[pick]
+            pix_s = pix_s[pick]
+            col_s = col_s[pick]
+        else:
+            continue  # no transport at this depth
+
+        fb = jnp.zeros((H * W, 3), jnp.float32)
+        b_sum, b_n, total_mut = 0.0, 0.0, 0
+        for s in range(n_steps):
+            fb_in = fb if s >= n_burn else jnp.zeros_like(fb)
+            fb_out, u, f, pix_s, col_s, ba, bc = mmlt_step(
+                scene, fb_in, u, f, pix_s, col_s,
+                jnp.uint32(s), jnp.uint32((seed + 131 * k) & 0xFFFFFFFF), k, md)
+            if s >= n_burn:
+                fb = fb_out
+                total_mut += 1
+            b_sum += float(ba)
+            b_n += float(bc)
+
+        b_k = b_sum / max(b_n, 1.0)
+        n_samples = total_mut * Rk
+        img += np.asarray(fb, np.float64) * (b_k * W * H / max(n_samples, 1))
+
+    return img.reshape(H, W, 3).astype(np.float32)
