@@ -58,17 +58,17 @@ class MatParams(NamedTuple):
     opacity: jnp.ndarray  # (R,) alpha in [0,1]
     light_id: jnp.ndarray  # (R,) int
     bump_tex: jnp.ndarray  # (R,) normal-map slot (0 = none)
+    transl_color: jnp.ndarray  # (R,3) diffuse transmission
+    transp_alpha: jnp.ndarray  # (R,) rough-glass microfacet alpha (0=delta)
+    refl_aniso: jnp.ndarray  # (R,)
+    refl_aniso_rot: jnp.ndarray  # (R,)
 
 
 def luminance(c):
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
-def fetch_material(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
-    """Gather material record + modulate by textures (ref: materialLeafEval
-    texture fetch path via SWTexSampler, cmaterial.h/cfetch.h). Registered
-    procedural textures (ops/proctex.py) modulate the diffuse color when
-    `pos` is supplied."""
+def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
     mt = scene.materials
     tx, tt = scene.texels, scene.tex_table
 
@@ -86,6 +86,7 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
         dc = dc * jnp.where((proc >= 0)[:, None], eval_proc_tex(proc, uv, pos, nn), 1.0)
     rc = mt.refl_color[mat_id] * tex_rgb(mt.refl_tex[mat_id])
     op = sample_bilinear(tx, tt, mt.opacity_tex[mat_id], uv)[:, 0]
+    tg = mt.transp_gloss[mat_id]
     return MatParams(
         em_color=em,
         diff_color=dc,
@@ -102,7 +103,56 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
         opacity=op,
         light_id=mt.light_id[mat_id],
         bump_tex=mt.bump_tex[mat_id],
+        transl_color=mt.transl_color[mat_id] * tex_rgb(mt.transl_tex[mat_id]),
+        transp_alpha=jnp.where(tg < 0.999,
+                               jnp.maximum(1.0 - tg, 1e-3), 0.0),
+        refl_aniso=mt.refl_aniso[mat_id],
+        refl_aniso_rot=mt.refl_aniso_rot[mat_id],
     )
+
+
+def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatParams:
+    """Gather material record + modulate by textures (ref: materialLeafEval
+    texture fetch path via SWTexSampler, cmaterial.h/cfetch.h). Registered
+    procedural textures (ops/proctex.py) modulate the diffuse color when
+    `pos` is supplied.
+
+    Blend materials (PlainMaterialConverter.cpp:750 BlendMask): the record
+    holds the TOP leaf; blend_node points at the bottom leaf; the per-ray
+    top weight comes from the blend type — mask texture luminance, Fresnel
+    of the view angle, or falloff — and the two leaves are lerped
+    field-wise (ints switch at w=0.5). The vectorized equivalent of
+    materialRandomWalkBRDF's tree descent for one-level trees."""
+    mt = scene.materials
+    p_top = _fetch_leaf(scene, mat_id, uv, pos, normal)
+    bn = mt.blend_node[mat_id]
+    btype = mt.blend_type[mat_id]
+    has = bn >= 0
+    bot_id = jnp.where(has, jnp.clip(bn, 0, mt.blend_node.shape[0] - 1), mat_id)
+    p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal)
+
+    mask = sample_bilinear(scene.texels, scene.tex_table,
+                           mt.blend_tex[mat_id], uv)[:, :3]
+    w_mask = luminance(mask)
+    if normal is not None and wo is not None:
+        cos_v = jnp.abs(dot3(normal, wo))
+    elif normal is not None and pos is not None:
+        cos_v = jnp.abs(dot3(normal, normalize3(pos)))  # weak fallback
+    else:
+        cos_v = jnp.full(w_mask.shape, 0.5)
+    w_fres = fresnel_dielectric(cos_v, jnp.maximum(mt.blend_ior[mat_id], 1.0 + 1e-4))
+    w_fall = 1.0 - cos_v
+    w = jnp.where(btype == 2, w_fres, jnp.where(btype == 3, w_fall, w_mask))
+    w = jnp.where(has, jnp.clip(w, 0.0, 1.0), 1.0)
+
+    def lerp(a, b):
+        if a.ndim == 2:
+            return a * w[:, None] + b * (1.0 - w[:, None])
+        if a.dtype in (jnp.int32, jnp.uint32):
+            return jnp.where(w >= 0.5, a, b)
+        return a * w + b * (1.0 - w)
+
+    return MatParams(*[lerp(a, b) for a, b in zip(p_top, p_bot)])
 
 
 def apply_bump(scene, p: MatParams, n, tang, uv):
@@ -179,7 +229,8 @@ def _beckmann_d(cos_h, alpha):
 
 
 def _lobe_weights(p: MatParams, wo, n):
-    """Mixture probabilities (kd, ks, kt) for one-sample lobe selection."""
+    """Mixture probabilities (kd, ks, kt, kl) for one-sample lobe selection
+    (diffuse / glossy-mirror / glass / translucent)."""
     cos_o = jnp.abs(dot3(wo, n))
     kd = luminance(p.diff_color)
     f_apx = jnp.where(
@@ -187,9 +238,60 @@ def _lobe_weights(p: MatParams, wo, n):
     )
     ks = luminance(p.refl_color) * jnp.where(p.fresnel_on > 0.5, jnp.maximum(f_apx, 0.1), 1.0)
     kt = luminance(p.transp_color)
-    total = kd + ks + kt
+    kl = luminance(p.transl_color)
+    total = kd + ks + kt + kl
     safe = jnp.maximum(total, EPS_PDF)
-    return kd / safe, ks / safe, kt / safe, total
+    return kd / safe, ks / safe, kt / safe, kl / safe, total
+
+
+_GGX_E = None
+
+
+def _ggx_energy_tables():
+    """(E (64,64), E_avg (64,)) as jnp constants — the reference fetches the
+    baked GGX2017 multiscatter table per shade (cfetch.h:78, cmaterial.h
+    GetMultiscatteringFrom2dTable)."""
+    global _GGX_E
+    if _GGX_E is None:
+        from hydracore_tpu.bsdf.energy_tables import get_ggx_albedo_table
+        E = np.asarray(get_ggx_albedo_table(), np.float32)  # rows alpha, cols mu
+        mu = (np.arange(E.shape[1]) + 0.5) / E.shape[1]
+        e_avg = 2.0 * (E * mu[None, :]).mean(axis=1)  # int 2 mu E dmu
+        # cache NUMPY (a cached jnp array born inside a trace would leak)
+        _GGX_E = (E, e_avg.astype(np.float32))
+    return jnp.asarray(_GGX_E[0]), jnp.asarray(_GGX_E[1])
+
+
+def _ggx_E(alpha, mu):
+    E, _ = _ggx_energy_tables()
+    n = E.shape[0]
+    ai = jnp.clip((alpha * n - 0.5).astype(jnp.int32), 0, n - 1)
+    mi = jnp.clip((mu * n - 0.5).astype(jnp.int32), 0, n - 1)
+    return E[ai, mi]
+
+
+def _ggx_E_avg(alpha):
+    _, ea = _ggx_energy_tables()
+    n = ea.shape[0]
+    ai = jnp.clip((alpha * n - 0.5).astype(jnp.int32), 0, n - 1)
+    return ea[ai]
+
+
+def _aniso_frame(ns, rot):
+    """Tangent frame for anisotropy, rotated by `rot` turns about ns."""
+    t, b = make_orthonormal_basis(ns)
+    c = jnp.cos(2.0 * np.pi * rot)[..., None]
+    sn = jnp.sin(2.0 * np.pi * rot)[..., None]
+    return c * t + sn * b, -sn * t + c * b
+
+
+def _ggx_d_aniso(h, ns, t, b, ax, ay):
+    hx = dot3(h, t)
+    hy = dot3(h, b)
+    hz = jnp.maximum(dot3(h, ns), 0.0)
+    d = hx * hx / jnp.maximum(ax * ax, 1e-12) \
+        + hy * hy / jnp.maximum(ay * ay, 1e-12) + hz * hz
+    return 1.0 / jnp.maximum(np.pi * ax * ay * d * d, 1e-12)
 
 
 def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i):
@@ -206,10 +308,23 @@ def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i):
     phong_f = (pw + 2.0) * (0.5 * INV_PI) * jnp.power(cos_r, pw)
     phong_pdf = (pw + 1.0) * (0.5 * INV_PI) * jnp.power(cos_r, pw)
 
-    # ggx (Smith separable G)
-    d_ggx = _ggx_d(cos_h, p.refl_alpha)
+    # ggx (Smith separable G); anisotropic D when requested (TRGGX,
+    # PlainMaterialConverter.cpp:568)
+    d_iso = _ggx_d(cos_h, p.refl_alpha)
+    ax = p.refl_alpha * (1.0 + p.refl_aniso)
+    ay = p.refl_alpha * jnp.maximum(1.0 - p.refl_aniso, 1e-3)
+    ta, ba = _aniso_frame(ns, p.refl_aniso_rot)
+    d_an = _ggx_d_aniso(h, ns, ta, ba, ax, ay)
+    d_ggx = jnp.where(p.refl_aniso > 1e-3, d_an, d_iso)
     g = _ggx_g1(cos_o, p.refl_alpha) * _ggx_g1(cos_i, p.refl_alpha)
     ggx_f = d_ggx * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
+    # Kulla-Conty multiscatter compensation from the baked albedo table
+    E_o = _ggx_E(p.refl_alpha, cos_o)
+    E_i = _ggx_E(p.refl_alpha, jnp.maximum(cos_i, 1e-3))
+    E_avg = _ggx_E_avg(p.refl_alpha)
+    f_ms = (1.0 - E_o) * (1.0 - E_i) / jnp.maximum(
+        np.pi * (1.0 - E_avg), 1e-3)
+    ggx_f = ggx_f + jnp.where(p.refl_alpha > 0.05, f_ms, 0.0)
     ggx_pdf = d_ggx * cos_h / (4.0 * cos_oh)
 
     # beckmann (use ggx G as approximation for shadowing)
@@ -243,12 +358,14 @@ def eval_bsdf(p: MatParams, wo, wi, n):
     Ref semantics: materialEval (cmaterial.h:2554) — returns
     (f (R,3), pdf_fwd (R,)). Reflection-side only (transmission eval comes
     with rough glass)."""
-    ns = jnp.where(dot3(n, wo)[..., None] >= 0.0, n, -n)  # face the viewer
+    facing = dot3(n, wo) >= 0.0
+    ns = jnp.where(facing[..., None], n, -n)  # face the viewer
     cos_o = jnp.maximum(dot3(ns, wo), 0.0)
     cos_i = dot3(ns, wi)
 
-    kd, ks, _, total = _lobe_weights(p, wo, ns)
+    kd, ks, kt, kl, total = _lobe_weights(p, wo, ns)
     refl_side = cos_i > 0.0
+    trans_side = cos_i < 0.0
 
     # diffuse
     on = _orennayar_factor(p.diff_rough, ns, wo, wi, cos_o, jnp.maximum(cos_i, 0.0))
@@ -262,9 +379,52 @@ def eval_bsdf(p: MatParams, wo, wi, n):
     f_s = jnp.where(refl_side[..., None], f_s, 0.0)
     pdf_s = jnp.where(refl_side, pdf_s, 0.0)
 
+    # translucency: Lambert transmission (ref Translucent,
+    # PlainMaterialConverter.cpp:182)
+    f_l = jnp.where(trans_side[..., None], p.transl_color * INV_PI, 0.0)
+    pdf_l = jnp.where(trans_side, jnp.abs(cos_i) * INV_PI, 0.0)
+
+    # rough glass: GGX microfacet transmission + reflection (Walter 2007;
+    # ref Glass, PlainMaterialConverter.cpp:359). Delta glass (alpha 0)
+    # stays a specular lobe handled by sample_bsdf.
+    rough_glass = (p.transp_alpha > 1e-4) & (p.thin_walled == 0)
+    eta = jnp.where(facing, p.transp_ior, 1.0 / jnp.maximum(p.transp_ior, 1e-4))
+    a_t = jnp.maximum(p.transp_alpha, 1e-3)
+    # transmission half vector: ht ∝ -(wo + eta * wi), oriented along ns
+    ht = -(wo + eta[..., None] * wi)
+    ht = normalize3(ht)
+    ht = jnp.where(dot3(ht, ns)[..., None] < 0.0, -ht, ht)
+    woh_t = dot3(wo, ht)
+    wih_t = dot3(wi, ht)
+    F_t = fresnel_dielectric(jnp.abs(woh_t), eta)
+    d_t = _ggx_d(jnp.maximum(dot3(ht, ns), 0.0), a_t)
+    g_t = _ggx_g1(cos_o, a_t) * _ggx_g1(jnp.abs(cos_i), a_t)
+    denom_t = woh_t + eta * wih_t
+    jac_t = eta * eta * jnp.abs(wih_t) / jnp.maximum(denom_t * denom_t, 1e-9)
+    f_gt_s = (jnp.abs(woh_t * wih_t) / jnp.maximum(cos_o * jnp.abs(cos_i), 1e-6)
+              * eta * eta * (1.0 - F_t) * d_t * g_t
+              / jnp.maximum(denom_t * denom_t, 1e-9))
+    f_gt = jnp.where((rough_glass & trans_side)[..., None],
+                     p.transp_color * f_gt_s[..., None], 0.0)
+    pdf_gt = jnp.where(rough_glass & trans_side,
+                       (1.0 - F_t) * d_t * jnp.maximum(dot3(ht, ns), 0.0)
+                       * jac_t, 0.0)
+    # glass reflection side (same lobe, F weight)
+    hr = normalize3(wo + wi)
+    woh_r = jnp.maximum(dot3(wo, hr), 1e-6)
+    F_r = fresnel_dielectric(woh_r, eta)
+    d_r = _ggx_d(jnp.maximum(dot3(hr, ns), 0.0), a_t)
+    f_gr_s = d_r * g_t * F_r / jnp.maximum(4.0 * cos_o * jnp.abs(cos_i), 1e-6)
+    f_gr = jnp.where((rough_glass & refl_side)[..., None],
+                     p.transp_color * f_gr_s[..., None], 0.0)
+    pdf_gr = jnp.where(rough_glass & refl_side,
+                       F_r * d_r * jnp.maximum(dot3(hr, ns), 0.0)
+                       / (4.0 * woh_r), 0.0)
+
     alive = total > EPS_PDF
-    f = jnp.where(alive[..., None], f_d + f_s, 0.0)
-    pdf = jnp.where(alive, kd * pdf_d + ks * pdf_s, 0.0)
+    f = jnp.where(alive[..., None], f_d + f_s + f_l + f_gt + f_gr, 0.0)
+    pdf = jnp.where(alive, kd * pdf_d + ks * pdf_s + kl * pdf_l
+                    + kt * (pdf_gt + pdf_gr), 0.0)
     return f, pdf
 
 
@@ -329,12 +489,13 @@ def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
     ns = jnp.where(facing[..., None], n, -n)
     cos_o = jnp.maximum(dot3(ns, wo), 1e-6)
 
-    kd, ks, kt, total = _lobe_weights(p, wo, ns)
+    kd, ks, kt, kl, total = _lobe_weights(p, wo, ns)
     alive = total > EPS_PDF
     u_lobe = rands[:, 0]
     pick_d = u_lobe < kd
     pick_s = (~pick_d) & (u_lobe < kd + ks)
-    pick_t = (~pick_d) & (~pick_s) & alive
+    pick_t = (~pick_d) & (~pick_s) & (u_lobe < kd + ks + kt) & alive
+    pick_l = (~pick_d) & (~pick_s) & (~pick_t) & alive
 
     u1, u2, u3 = rands[:, 1], rands[:, 2], rands[:, 3]
 
@@ -358,29 +519,40 @@ def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
     wi_s = jnp.where(is_mirror[..., None], r_dir, wi_s)
     wi_s = normalize3(wi_s)
 
-    # --- transparency (delta glass / thin glass)
+    # --- transparency (glass): microfacet half-vector when rough
+    # (Walter 2007; ref Glass PlainMaterialConverter.cpp:359), the shading
+    # normal itself when delta / thin-walled
     entering = facing
+    rough_glass = (p.transp_alpha > 1e-4) & (p.thin_walled == 0)
+    h_glass = _sample_ggx_h(ns, jnp.maximum(p.transp_alpha, 1e-3), u1, u2)
+    hh = jnp.where(rough_glass[..., None], h_glass, ns)
+    hh = jnp.where(dot3(hh, wo)[..., None] < 0.0, ns, hh)  # degenerate guard
     eta_pair = jnp.where(entering, p.transp_ior, 1.0 / jnp.maximum(p.transp_ior, 1e-4))
-    cos_i_o = jnp.clip(dot3(ns, wo), 0.0, 1.0)
+    cos_i_o = jnp.clip(dot3(hh, wo), 0.0, 1.0)
     F = fresnel_dielectric(cos_i_o, eta_pair)
     thin = p.thin_walled > 0
-    # refraction direction (Snell, against ns)
+    # refraction direction (Snell, against hh)
     inv_eta = 1.0 / jnp.maximum(eta_pair, 1e-6)
     cos_t2 = 1.0 - inv_eta * inv_eta * (1.0 - cos_i_o * cos_i_o)
     tir = cos_t2 < 0.0
     cos_t = jnp.sqrt(jnp.clip(cos_t2, 0.0, 1.0))
     wt = normalize3(
-        (-inv_eta)[..., None] * wo + (inv_eta * cos_i_o - cos_t)[..., None] * ns
+        (-inv_eta)[..., None] * wo + (inv_eta * cos_i_o - cos_t)[..., None] * hh
     )
     refl_choice = (u3 < F) | tir
-    wi_t = jnp.where(refl_choice[..., None], reflect3(-wo, ns), jnp.where(thin[..., None], -wo, wt))
+    wi_t = jnp.where(refl_choice[..., None], reflect3(-wo, hh),
+                     jnp.where(thin[..., None], -wo, wt))
     # thin glass: passes straight through (ref ThinGlass class)
 
-    # --- combine
-    wi = jnp.where(pick_d[..., None], wi_d, jnp.where(pick_s[..., None], wi_s, wi_t))
+    # --- translucency: cosine hemisphere on the BACK side
+    wi_l = -wi_d
 
-    spec = (pick_s & is_mirror) | pick_t
-    is_transmission = pick_t & ~refl_choice
+    # --- combine
+    wi = jnp.where(pick_d[..., None], wi_d, jnp.where(pick_s[..., None], wi_s,
+                   jnp.where(pick_t[..., None], wi_t, wi_l)))
+
+    spec = (pick_s & is_mirror) | (pick_t & ~rough_glass)
+    is_transmission = (pick_t & ~refl_choice) | pick_l
 
     # weights
     f_mix, pdf_mix = eval_bsdf(p, wo, wi, ns)
@@ -403,7 +575,7 @@ def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
         w_glossy,
     )
     pdf = jnp.where(spec, 0.0, pdf_mix)
-    dead = ~(pick_d | pick_s | pick_t)
+    dead = ~(pick_d | pick_s | pick_t | pick_l)
     weight = jnp.where(dead[..., None] | ~alive[..., None], 0.0, weight)
 
     return BsdfSample(wi=wi, weight=weight, pdf=pdf, is_specular=spec, is_transmission=is_transmission)

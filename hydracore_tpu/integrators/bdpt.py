@@ -45,11 +45,12 @@ from hydracore_tpu.bsdf.core import (apply_bump, eval_bsdf, fetch_material,
 from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays
 from hydracore_tpu.lights.sampling import sample_light_fwd, select_light
 from hydracore_tpu.scene.lights import (LIGHT_AREA_DISK, LIGHT_AREA_RECT,
-                                        LIGHT_CYLINDER, LIGHT_SPHERE)
+                                        LIGHT_CYLINDER, LIGHT_MESH,
+                                        LIGHT_SPHERE)
 
 # light types a camera ray can land on (s'=0 strategies exist)
 HITTABLE_TYPES = (LIGHT_AREA_RECT, LIGHT_AREA_DISK, LIGHT_SPHERE,
-                  LIGHT_CYLINDER)
+                  LIGHT_CYLINDER, LIGHT_MESH)
 from hydracore_tpu.ops import rng
 from hydracore_tpu.ops.trace_api import (any_hit_sorted, closest_hit,
                                          closest_hit_sorted)
@@ -154,7 +155,7 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int):
         hit = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(
             scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
         n = apply_bump(scene, p, n, tang, uv)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ng_o = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
@@ -226,7 +227,7 @@ def trace_light_subpath(scene, rand_fn, n_surf: int):
         hit = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, _, tang = compute_hit(
             scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
         n = apply_bump(scene, p, n, tang, uv)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ng_o = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)

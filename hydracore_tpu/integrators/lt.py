@@ -71,7 +71,7 @@ def lt_pass(scene, pass_idx, seed, n_paths: int, max_depth: int = 5):
         t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         alive = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, _, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
         n = apply_bump(scene, p, n, tang, uv)
         # orient normals toward the incoming side (two-sided shading)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)

@@ -195,7 +195,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         alive = alive & hit
 
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
         n = apply_bump(scene, p, n, tang, uv)
 
         # ---- stochastic alpha transparency (ref: alpha-tested traversal

@@ -17,6 +17,7 @@ import numpy as np
 
 from hydracore_tpu.ops.texture import sample_bilinear
 from hydracore_tpu.scene.lights import (
+    LIGHT_MESH,
     LIGHT_AREA_DISK,
     LIGHT_AREA_RECT,
     LIGHT_CYLINDER,
@@ -26,7 +27,7 @@ from hydracore_tpu.scene.lights import (
     LIGHT_SPHERE,
     LIGHT_SPOT,
 )
-from hydracore_tpu.utils.math3d import dot3, make_orthonormal_basis, normalize3
+from hydracore_tpu.utils.math3d import cross3, dot3, make_orthonormal_basis, normalize3
 
 FAR_DIST = 1e8
 INV_4PI = float(1.0 / (4.0 * np.pi))
@@ -162,6 +163,28 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     )
     rad_sky = env_radiance(scene, dir_sky)
 
+    # --- mesh light: pick a triangle by area CDF, then a uniform point
+    # (ref MeshLight + CalcTrianglePickProbTable, PlainLightConverter.cpp:724)
+    mrow = jnp.clip(lt.mesh_row[l_idx], 0, scene.ml_cdf.shape[0] - 1)
+    cdf_rows = scene.ml_cdf[mrow]  # (R, TMAX)
+    ti = jnp.sum((cdf_rows < u1[:, None]).astype(jnp.int32), axis=1)
+    ti = jnp.clip(ti, 0, scene.ml_tri.shape[1] - 1)
+    tri = jnp.clip(scene.ml_tri[mrow, ti], 0, scene.tri_v0.shape[0] - 1)
+    u3m = rnds[:, 2]
+    r1 = jnp.sqrt(jnp.clip(u2, 0.0, 1.0))
+    b1 = r1 * (1.0 - u3m)
+    b2 = r1 * u3m
+    p_mesh = (scene.tri_v0[tri] + b1[:, None] * scene.tri_e1[tri]
+              + b2[:, None] * scene.tri_e2[tri])
+    n_mesh = normalize3(cross3(scene.tri_e1[tri], scene.tri_e2[tri]))
+    to_m = p_mesh - sp
+    dm2 = jnp.maximum(dot3(to_m, to_m), 1e-12)
+    dist_m = jnp.sqrt(dm2)
+    dir_m = to_m / dist_m[:, None]
+    cos_m = jnp.abs(dot3(n_mesh, -dir_m))  # two-sided emission
+    pdf_m = dm2 / (area * jnp.maximum(cos_m, 1e-6))
+    rad_m = jnp.where((cos_m > 1e-6)[:, None], inten, 0.0)
+
     # --- cylinder: sample a point on the lateral surface (area sampling)
     axis = normalize3(vx)
     half_h = jnp.sqrt(jnp.maximum(dot3(vx, vx), 1e-12))
@@ -182,17 +205,25 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
         return jnp.where(cond[:, None], a, b)
 
     direction = sel3(is_area, dir_a, dir_p)
+    direction = sel3(ltype == LIGHT_MESH, dir_m, direction)
     direction = sel3(ltype == LIGHT_SPHERE, dir_s, direction)
     direction = sel3(ltype == LIGHT_CYLINDER, dir_c, direction)
     direction = sel3(ltype == LIGHT_DIRECT, dir_dir, direction)
     direction = sel3(ltype == LIGHT_SKY, dir_sky, direction)
 
     dist = jnp.where(is_area, dist_a, dc)
+    dist = jnp.where(ltype == LIGHT_MESH, dist_m, dist)
     dist = jnp.where(ltype == LIGHT_SPHERE, dist_s, dist)
     dist = jnp.where(ltype == LIGHT_CYLINDER, dist_c, dist)
     dist = jnp.where((ltype == LIGHT_DIRECT) | (ltype == LIGHT_SKY), FAR_DIST, dist)
 
+    # sky portals re-emit the environment seen through the opening
+    # (SkyPortal, PlainLightConverter.cpp:304)
+    portal = (lt.is_portal[l_idx] > 0)
+    rad_a = jnp.where(portal[:, None], rad_a * env_radiance(scene, dir_a), rad_a)
+
     radiance = sel3(is_area, rad_a, rad_p)
+    radiance = sel3(ltype == LIGHT_MESH, rad_m, radiance)
     radiance = sel3(ltype == LIGHT_SPOT, rad_spot, radiance)
     radiance = sel3(ltype == LIGHT_SPHERE, inten, radiance)
     radiance = sel3(ltype == LIGHT_CYLINDER, rad_c, radiance)
@@ -200,12 +231,14 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     radiance = sel3(ltype == LIGHT_SKY, rad_sky, radiance)
 
     pdf_w = jnp.where(is_area, pdf_a, 1.0)
+    pdf_w = jnp.where(ltype == LIGHT_MESH, pdf_m, pdf_w)
     pdf_w = jnp.where(ltype == LIGHT_SPHERE, pdf_s, pdf_w)
     pdf_w = jnp.where(ltype == LIGHT_CYLINDER, pdf_c, pdf_w)
     pdf_w = jnp.where(ltype == LIGHT_SKY, pdf_sky, pdf_w)
 
     is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT) | (ltype == LIGHT_DIRECT)
     cos_at_light = jnp.where(is_area, cos_l, 1.0)
+    cos_at_light = jnp.where(ltype == LIGHT_MESH, cos_m, cos_at_light)
     cos_at_light = jnp.where(ltype == LIGHT_CYLINDER, cos_c, cos_at_light)
 
     return LightSample(
@@ -272,18 +305,37 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     is_disk = ltype == LIGHT_AREA_DISK
     is_sph = ltype == LIGHT_SPHERE
     is_cyl = ltype == LIGHT_CYLINDER
+    is_mesh = ltype == LIGHT_MESH
     is_point = ltype == LIGHT_POINT
     is_spot = ltype == LIGHT_SPOT
     is_dir = ltype == LIGHT_DIRECT
     is_sky = ltype == LIGHT_SKY
     is_area = is_rect | is_disk
-    surf = is_area | is_sph | is_cyl  # cosine-emitting surfaces
+    surf = is_area | is_sph | is_cyl | is_mesh  # cosine-emitting surfaces
+
+    # mesh light: triangle by area CDF + uniform point (MeshLight fwd)
+    mrow = jnp.clip(lt.mesh_row[l_idx], 0, scene.ml_cdf.shape[0] - 1)
+    cdf_rows = scene.ml_cdf[mrow]
+    ti = jnp.clip(jnp.sum((cdf_rows < u1[:, None]).astype(jnp.int32), axis=1),
+                  0, scene.ml_tri.shape[1] - 1)
+    trim = jnp.clip(scene.ml_tri[mrow, ti], 0, scene.tri_v0.shape[0] - 1)
+    # uniform barycentric point: sub-bin bits of u1/u2 (below the CDF
+    # quantization) serve as two fresh uniforms
+    ub1 = (u1 * 4096.0) % 1.0
+    ub2 = (u2 * 4096.0) % 1.0
+    r1m = jnp.sqrt(jnp.clip(ub1, 0.0, 1.0))
+    p_mesh = (scene.tri_v0[trim]
+              + (r1m * (1.0 - ub2))[:, None] * scene.tri_e1[trim]
+              + (r1m * ub2)[:, None] * scene.tri_e2[trim])
+    mesh_n = normalize3(cross3(scene.tri_e1[trim], scene.tri_e2[trim]))
 
     pos = jnp.where(is_rect[:, None], p_rect, jnp.where(is_disk[:, None], p_disk, p_sph))
     pos = jnp.where(is_cyl[:, None], p_cyl, pos)
+    pos = jnp.where(is_mesh[:, None], p_mesh, pos)
     pos = jnp.where(surf[:, None], pos, pos_c)
     n = jnp.where(is_sph[:, None], sph_n, jnp.broadcast_to(nrm, sph_n.shape))
     n = jnp.where(is_cyl[:, None], cyl_n, n)
+    n = jnp.where(is_mesh[:, None], mesh_n, n)
 
     # ---- direction
     # cosine-weighted about n (surface emitters)

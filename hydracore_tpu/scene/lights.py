@@ -21,6 +21,7 @@ LIGHT_AREA_RECT = 4
 LIGHT_AREA_DISK = 5
 LIGHT_SPHERE = 6
 LIGHT_CYLINDER = 7  # axis along local Y, radiates radially (ref clight.h cylinder)
+LIGHT_MESH = 8  # arbitrary emissive mesh (ref PlainLightConverter.cpp:724)
 
 
 @struct.dataclass
@@ -38,6 +39,8 @@ class LightTable:
     cos_in: np.ndarray  # (L,) spot inner cone cos
     cos_out: np.ndarray  # (L,) spot outer cone cos
     tex: np.ndarray  # (L,) sky texture slot (0 = none/white)
+    mesh_row: np.ndarray  # (L,) row into the scene's mesh-light CDF tables
+    is_portal: np.ndarray  # (L,) area light is a sky portal (clight SkyPortal)
     pick_cdf: np.ndarray  # (L+1,) prefix CDF over pick probability
     statefile_id: np.ndarray  # (L,) original light id
 
@@ -70,20 +73,7 @@ def build_light_table(desc: SceneDesc, tex_remap: np.ndarray,
     def stack(key, dtype):
         return np.asarray([r[key] for r in recs], dtype)
 
-    # pick probability ~ emitted power heuristic (the reference uses a
-    # CalcLightPickProbTable over light "importance")
-    powers = []
-    for r in recs:
-        p = _lum(r["intensity"])
-        if r["ltype"] in (LIGHT_AREA_RECT, LIGHT_AREA_DISK, LIGHT_SPHERE):
-            p *= max(r["area"], 1e-6) * np.pi
-        elif r["ltype"] == LIGHT_SKY:
-            p *= 4.0 * np.pi
-        powers.append(max(p, 1e-8))
-    powers = np.asarray(powers, np.float64)
-    probs = powers / powers.sum()
-    cdf = np.concatenate([[0.0], np.cumsum(probs)]).astype(np.float32)
-    cdf[-1] = 1.0
+    cdf = compute_pick_cdf(recs)
 
     return LightTable(
         ltype=stack("ltype", np.int32),
@@ -97,6 +87,8 @@ def build_light_table(desc: SceneDesc, tex_remap: np.ndarray,
         cos_in=stack("cos_in", np.float32),
         cos_out=stack("cos_out", np.float32),
         tex=stack("tex", np.int32),
+        mesh_row=stack("mesh_row", np.int32),
+        is_portal=stack("is_portal", np.int32),
         pick_cdf=cdf,
         statefile_id=stack("statefile_id", np.int32),
     )
@@ -115,6 +107,8 @@ def _blank() -> dict:
         cos_in=1.0,
         cos_out=1.0,
         tex=0,
+        mesh_row=-1,
+        is_portal=0,
         statefile_id=-1,
     )
 
@@ -136,7 +130,16 @@ def _compile(node, matrix: np.ndarray, lid: int, tex_remap: np.ndarray) -> dict:
     rec["norm"] = _safe_normalize(R @ np.array([0, -1, 0], np.float32))
 
     size = node.find("size")
-    if ltype == "area" or ltype == "mesh":
+    if shape == "mesh" or ltype == "mesh":
+        # emissive mesh light: the geometry arrives through the instanced
+        # mesh (tri_light rows); the per-triangle area CDF is built in
+        # scene assembly once triangles are flattened
+        rec["ltype"] = LIGHT_MESH
+        rec["area"] = 1.0
+    elif ltype == "area":
+        portal = node.find("sky_portal")
+        if portal is not None and int(float(portal.get("val", 0))) == 1:
+            rec["is_portal"] = 1
         if shape == "disk" or (size is not None and size.get("radius") is not None):
             r = float(size.get("radius", 1.0)) if size is not None else 1.0
             rec["ltype"] = LIGHT_AREA_DISK
@@ -201,3 +204,26 @@ def _safe_normalize(v: np.ndarray) -> np.ndarray:
 
 # re-export for statefile synthesized meshes
 parse_floats = parse_floats
+
+
+def compute_pick_cdf(recs) -> np.ndarray:
+    """Light pick CDF ~ emitted power (CalcLightPickProbTable analogue,
+    RenderDriverRTE.cpp:1499-1520). Sky portals REPLACE the sky dome for
+    NEE (the reference swaps SkyPortalLight in for indoor scenes,
+    PlainLightConverter.cpp:304): with any portal present the sky row gets
+    (near-)zero pick probability."""
+    has_portal = any(r.get("is_portal", 0) for r in recs)
+    powers = []
+    for r in recs:
+        p = _lum(r["intensity"])
+        if r["ltype"] in (LIGHT_AREA_RECT, LIGHT_AREA_DISK, LIGHT_SPHERE,
+                          LIGHT_CYLINDER, LIGHT_MESH):
+            p *= max(r["area"], 1e-6) * np.pi
+        elif r["ltype"] == LIGHT_SKY:
+            p *= 0.0 if has_portal else 4.0 * np.pi
+        powers.append(max(p, 1e-8))
+    powers = np.asarray(powers, np.float64)
+    probs = powers / powers.sum()
+    cdf = np.concatenate([[0.0], np.cumsum(probs)]).astype(np.float32)
+    cdf[-1] = 1.0
+    return cdf

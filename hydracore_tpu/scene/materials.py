@@ -80,6 +80,14 @@ class MaterialTable:
     diff_proc: np.ndarray  # (M,) procedural texture id (ops/proctex.py) or -1
     bump_tex: np.ndarray  # (M,) normal-map texture slot (0 = none)
     bump_amount: np.ndarray  # (M,)
+    transl_color: np.ndarray  # (M,3) diffuse-transmission (translucency)
+    transl_tex: np.ndarray  # (M,)
+    refl_aniso: np.ndarray  # (M,) anisotropy in [0,1)
+    refl_aniso_rot: np.ndarray  # (M,) rotation of the aniso frame (turns)
+    blend_node: np.ndarray  # (M,) bottom material id of a blend, or -1
+    blend_type: np.ndarray  # (M,) 0 none / 1 mask / 2 fresnel / 3 falloff
+    blend_tex: np.ndarray  # (M,) mask texture slot (1 = white)
+    blend_ior: np.ndarray  # (M,) fresnel-blend ior
 
 
 _DIST_MAP = {
@@ -119,6 +127,10 @@ def _compile_one(node, rec: dict, tex_remap: np.ndarray):
     if refl is not None:
         rec["refl_color"] = get_color(refl, "color")
         rec["refl_tex"] = tex(refl)
+        an = refl.find("anisotropy")
+        if an is not None:
+            rec["refl_aniso"] = float(an.get("val", 0.0))
+            rec["refl_aniso_rot"] = float(an.get("rot", 0.0))
         gloss = get_float(refl, "glossiness", 1.0)
         rec["refl_gloss"] = gloss
         rec["refl_cospow"] = cos_power_from_gloss(gloss)
@@ -145,6 +157,12 @@ def _compile_one(node, rec: dict, tex_remap: np.ndarray):
     if op is not None:
         rec["opacity_tex"] = tex(op)
         rec["skip_shadow"] = int(get_float(op, "skip_shadow", 0.0))
+
+    tl = node.find("translucency")
+    if tl is not None:
+        mult = get_float(tl, "multiplier", 1.0)
+        rec["transl_color"] = get_color(tl, "color") * mult
+        rec["transl_tex"] = tex(tl)
 
     # displacement -> normal map (converted at scene build; the reference
     # bakes aux normal maps in RenderDriverRTE_AuxTextures.cpp)
@@ -188,6 +206,14 @@ def _blank_record() -> dict:
         diff_proc=-1,
         bump_tex=0,
         bump_amount=0.0,
+        transl_color=np.zeros(3, np.float32),
+        transl_tex=0,
+        refl_aniso=0.0,
+        refl_aniso_rot=0.0,
+        blend_node=-1,
+        blend_type=0,
+        blend_tex=0,
+        blend_ior=1.5,
     )
 
 
@@ -206,12 +232,31 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
             if mtype in ("hydra_material", "shadow_catcher"):
                 _compile_one(node, rec, tex_remap)
             elif mtype == "hydra_blend":
-                # fold the two sides weighted 50/50 for now (true blend-tree
-                # walk comes with the full material pass)
-                for sub_id_attr in ("node_top", "node_bottom"):
-                    sid = node.get(sub_id_attr)
-                    if sid is not None and int(sid) in desc.materials:
-                        _compile_one(desc.materials[int(sid)], rec, tex_remap)
+                # blend node (PlainMaterialConverter.cpp:750 BlendMask):
+                # THIS record compiles the top leaf; blend_node points to
+                # the bottom leaf's own record; the per-ray weight comes
+                # from the blend type (mask texture / fresnel / falloff)
+                # at fetch time (bsdf/core.fetch_material)
+                top = node.get("node_top")
+                bot = node.get("node_bottom")
+                if top is not None and int(top) in desc.materials:
+                    _compile_one(desc.materials[int(top)], rec, tex_remap)
+                if bot is not None:
+                    rec["blend_node"] = int(bot)
+                bl = node.find("blend")
+                btype = (bl.get("type") if bl is not None else "") or ""
+                rec["blend_type"] = {"mask_blend": 1, "fresnel_blend": 2,
+                                     "faloff_blend": 3,
+                                     "falloff_blend": 3}.get(btype, 1)
+                if bl is not None:
+                    rec["blend_ior"] = get_float(bl, "fresnel_ior", 1.5)
+                    mask = bl.find("mask")
+                    if mask is not None:
+                        t = mask.find("texture")
+                        if t is not None:
+                            tid = int(t.get("id", -1))
+                            if 0 <= tid < len(tex_remap):
+                                rec["blend_tex"] = int(tex_remap[tid])
         if bump_slots and mid in bump_slots:
             rec["bump_tex"] = bump_slots[mid]
         recs.append(rec)
@@ -245,4 +290,12 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
         diff_proc=stack("diff_proc", np.int32),
         bump_tex=stack("bump_tex", np.int32),
         bump_amount=stack("bump_amount", np.float32),
+        transl_color=stack("transl_color", np.float32),
+        transl_tex=stack("transl_tex", np.int32),
+        refl_aniso=stack("refl_aniso", np.float32),
+        refl_aniso_rot=stack("refl_aniso_rot", np.float32),
+        blend_node=stack("blend_node", np.int32),
+        blend_type=stack("blend_type", np.int32),
+        blend_tex=stack("blend_tex", np.int32),
+        blend_ior=stack("blend_ior", np.float32),
     )

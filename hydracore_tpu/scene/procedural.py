@@ -82,6 +82,15 @@ class SceneBuilder:
         self._quad(quad, np.array([0, -1, 0], np.float32), mat, light=lid)
         return lid
 
+    def mesh_light(self, radiance) -> int:
+        """Declare a mesh light; attach geometry by passing light=<id>
+        (and an emissive material) to add_rect/add_sphere afterwards."""
+        from hydracore_tpu.scene.lights import LIGHT_MESH
+
+        return self.add_light(ltype=LIGHT_MESH,
+                              intensity=np.asarray(radiance, np.float32),
+                              area=1.0)
+
     def sphere_light(self, center, radius, radiance) -> int:
         lid = self.add_light(
             ltype=LIGHT_SPHERE, pos=np.asarray(center, np.float32),
@@ -224,6 +233,11 @@ class SceneBuilder:
         mats = _stack_materials(self.mat_recs)
         lights = _stack_lights(self.light_recs)
 
+        from hydracore_tpu.scene.scene import build_mesh_light_tables
+        tri_light_arr = np.asarray(g(10), np.int32)
+        lights, ml_cdf, ml_tri = build_mesh_light_tables(
+            lights, tri_light_arr, v0[p], (v1 - v0)[p], (v2 - v0)[p])
+
         cam = build_camera(
             CameraDesc(
                 fov=fov,
@@ -288,6 +302,7 @@ class SceneBuilder:
             cl_slot_tri=cl.slot_tri, cl_oct_perm=cl.oct_perm,
             cl_bounds_oct=cl.bounds_oct,
             world_bmin=wb_min, world_bext=wb_ext,
+            ml_cdf=ml_cdf, ml_tri=ml_tri,
             materials=mats, lights=lights,
             texels=texels, tex_table=tex_table,
             camera=cam, env_color=self.env,
@@ -316,6 +331,14 @@ def _stack_materials(recs) -> MaterialTable:
         opacity_tex=stack("opacity_tex", np.int32), skip_shadow=stack("skip_shadow", np.int32),
         light_id=stack("light_id", np.int32), diff_proc=stack("diff_proc", np.int32),
         bump_tex=stack("bump_tex", np.int32), bump_amount=stack("bump_amount", np.float32),
+        transl_color=stack("transl_color", np.float32),
+        transl_tex=stack("transl_tex", np.int32),
+        refl_aniso=stack("refl_aniso", np.float32),
+        refl_aniso_rot=stack("refl_aniso_rot", np.float32),
+        blend_node=stack("blend_node", np.int32),
+        blend_type=stack("blend_type", np.int32),
+        blend_tex=stack("blend_tex", np.int32),
+        blend_ior=stack("blend_ior", np.float32),
     )
 
 
@@ -323,20 +346,13 @@ def _stack_lights(recs) -> LightTable:
     def stack(key, dtype):
         return np.asarray([r[key] for r in recs], dtype)
 
-    powers = []
-    for r in recs:
-        c = r["intensity"]
-        p = float(0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
-        if r["ltype"] in (LIGHT_AREA_RECT, LIGHT_SPHERE):
-            p *= max(r["area"], 1e-6) * np.pi
-        elif r["ltype"] == LIGHT_SKY:
-            p *= 4 * np.pi
-        powers.append(max(p, 1e-8))
-    powers = np.asarray(powers, np.float64)
-    cdf = np.concatenate([[0.0], np.cumsum(powers / powers.sum())]).astype(np.float32)
-    cdf[-1] = 1.0
+    from hydracore_tpu.scene.lights import compute_pick_cdf
+
+    cdf = compute_pick_cdf(recs)
 
     return LightTable(
+        mesh_row=stack("mesh_row", np.int32),
+        is_portal=stack("is_portal", np.int32),
         ltype=stack("ltype", np.int32), pos=stack("pos", np.float32),
         norm=stack("norm", np.float32), vx=stack("vx", np.float32),
         vy=stack("vy", np.float32), intensity=stack("intensity", np.float32),

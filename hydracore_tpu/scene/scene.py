@@ -61,6 +61,9 @@ class SceneData:
     cl_bounds_oct: np.ndarray  # (8, 8, Cp) f32 bounds pre-permuted per octant
     world_bmin: np.ndarray  # (3,) f32 scene AABB (ray-coherence Morton keys)
     world_bext: np.ndarray  # (3,) f32 scene AABB extent (>= eps)
+    # mesh-light sampling tables (lights with ltype LIGHT_MESH)
+    ml_cdf: np.ndarray  # (ML, TMAX) f32 per-light area CDF over triangles
+    ml_tri: np.ndarray  # (ML, TMAX) i32 global triangle ids (-1 pad)
     # tables
     materials: MaterialTable
     lights: LightTable
@@ -200,6 +203,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     cam = build_camera(desc.camera, W, H)
 
+    lights, ml_cdf, ml_tri = build_mesh_light_tables(
+        lights, tri_light, tri_v0, tri_e1, tri_e2)
+
     # env fallback: sky light color if present else black; build env
     # importance tables from the sky texture (constant-sky fallback table)
     from hydracore_tpu.lights.envmap import build_env_pdf
@@ -238,6 +244,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         cl_bounds=cl.bounds_lane, cl_tris=cl.tris, cl_slot_tri=cl.slot_tri,
         cl_oct_perm=cl.oct_perm, cl_bounds_oct=cl.bounds_oct,
         world_bmin=wb_min, world_bext=wb_ext,
+        ml_cdf=ml_cdf, ml_tri=ml_tri,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table,
         camera=cam, env_color=env,
@@ -249,3 +256,51 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 def load_scene(lib_dir: str, width: int | None = None, height: int | None = None) -> SceneData:
     """Load a HydraAPI scene library directory into a device-ready pytree."""
     return assemble(load_statefile(lib_dir), width, height)
+
+
+def build_mesh_light_tables(lights, tri_light, tri_v0, tri_e1, tri_e2):
+    """Per-mesh-light triangle area CDFs (CalcTrianglePickProbTable
+    analogue, PlainLightConverter.cpp:745): rows index via
+    lights.mesh_row; total surface area lands in lights.area so the
+    standard area-light pdf path covers mesh lights."""
+    from hydracore_tpu.scene.lights import LIGHT_MESH, compute_pick_cdf
+
+    ltypes = np.asarray(lights.ltype)
+    mesh_rows = np.where(ltypes == LIGHT_MESH)[0]
+    if len(mesh_rows) == 0:
+        return lights, np.ones((1, 8), np.float32), np.full((1, 8), -1, np.int32)
+
+    areas_all = 0.5 * np.linalg.norm(np.cross(tri_e1, tri_e2), axis=1)
+    tmax = 8
+    per_row = []
+    for lrow in mesh_rows:
+        tids = np.where(np.asarray(tri_light) == lrow)[0]
+        tmax = max(tmax, len(tids))
+        per_row.append(tids)
+    tmax = int(2 ** np.ceil(np.log2(max(tmax, 8))))
+
+    ML = len(mesh_rows)
+    ml_cdf = np.ones((ML, tmax), np.float32)
+    ml_tri = np.full((ML, tmax), -1, np.int32)
+    new_area = np.asarray(lights.area).copy()
+    new_mesh_row = np.asarray(lights.mesh_row).copy()
+    for mi, (lrow, tids) in enumerate(zip(mesh_rows, per_row)):
+        a = areas_all[tids] if len(tids) else np.zeros(1)
+        tot = max(float(a.sum()), 1e-12)
+        if len(tids):
+            ml_cdf[mi, : len(tids)] = np.cumsum(a) / tot
+            ml_tri[mi, : len(tids)] = tids
+            ml_tri[mi, len(tids):] = tids[-1]
+        ml_cdf[mi, len(tids):] = 2.0  # unreachable
+        new_area[lrow] = tot
+        new_mesh_row[lrow] = mi
+
+    recs = [dict(ltype=int(ltypes[i]),
+                 intensity=np.asarray(lights.intensity)[i],
+                 area=float(new_area[i]),
+                 is_portal=int(np.asarray(lights.is_portal)[i]))
+            for i in range(len(ltypes))]
+    cdf = compute_pick_cdf(recs)
+    return lights.replace(area=new_area.astype(np.float32),
+                          mesh_row=new_mesh_row.astype(np.int32),
+                          pick_cdf=cdf), ml_cdf, ml_tri
