@@ -8,10 +8,12 @@ missing the teapot chunk (chunk_00003.vsgf), so the honest equivalent is
 test_224 (same box + teapot present). Baseline to beat: 9.1 Msamples/s
 (RX 480, 1024x1024, depth 5, full path samples).
 
-Each probe runs in its OWN subprocess: on this TPU tunnel, executing a
-long program pushes the device runtime into an adaptive slow-polling mode
-that persists for the process and contaminates every later measurement
-(measured 0.3 ms -> 1470 ms per pass on the small scene after a large one).
+Measurement notes:
+- render_passes() runs N full passes inside ONE dispatch (lax.fori), so
+  the tunnel's multi-ms per-dispatch latency does not contaminate the
+  number; host materialization only at the end.
+- each probe runs in its OWN subprocess: long programs push this device
+  runtime into an adaptive slow-polling mode that persists per process.
 """
 from __future__ import annotations
 
@@ -26,25 +28,24 @@ import time, sys, jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from hydracore_tpu.scene.scene import load_scene
-from hydracore_tpu.integrators.pt import render_pass
+from hydracore_tpu.integrators.pt import render_passes
 scene_dir, W, n_pass, depth = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), 5
 scene = jax.device_put(load_scene(scene_dir, width=W, height=W))
 seed = jnp.uint32(777)
-color, rays = render_pass(scene, jnp.uint32(0), seed, max_depth=depth)
-np.asarray(color)  # block_until_ready does NOT block on this backend
+fb, rays = render_passes(scene, jnp.uint32(0), seed, n_pass=n_pass, max_depth=depth)
+np.asarray(fb)  # forced host materialization = true completion
 t0 = time.perf_counter()
-for i in range(1, n_pass + 1):
-    color, rays = render_pass(scene, jnp.uint32(i), seed, max_depth=depth)
-np.asarray(color)  # forced host materialization = true completion
+fb, rays = render_passes(scene, jnp.uint32(n_pass), seed, n_pass=n_pass, max_depth=depth)
+np.asarray(fb)
 dt = (time.perf_counter() - t0) / n_pass
-print("RESULT %.9f %.1f" % (dt, float(rays)))
+print("RESULT %.9f %.1f" % (dt, float(rays) / n_pass))
 """
 
 
 def _probe(scene_dir: str, width: int, n_pass: int):
     out = subprocess.run(
         [sys.executable, "-c", _PROBE, scene_dir, str(width), str(n_pass)],
-        capture_output=True, text=True, timeout=1800, cwd="/root/repo",
+        capture_output=True, text=True, timeout=3000, cwd="/root/repo",
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
@@ -55,7 +56,7 @@ def _probe(scene_dir: str, width: int, n_pass: int):
 
 def main():
     W = 512
-    dt, rays = _probe("/root/reference/hydra_app/tests/test_224", W, 4)
+    dt, rays = _probe("/root/reference/hydra_app/tests/test_224", W, 8)
     msamples = W * W / dt / 1e6
     mrays = rays / dt / 1e6
 

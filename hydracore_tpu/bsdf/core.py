@@ -68,12 +68,34 @@ def luminance(c):
     return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
 
 
+FEATS_ALL = ("glass", "transl", "aniso", "mscomp")
+
+
+def scene_feats(scene) -> tuple:
+    """Static material-feature set for this scene — lets jit drop unused
+    lobe code (compile-size guard; semantics unchanged since the flags are
+    derived from the material table)."""
+    st = scene.settings
+    if st is None:
+        return FEATS_ALL
+    out = []
+    if getattr(st, "has_rough_glass", True):
+        out.append("glass")
+    if getattr(st, "has_transl", True):
+        out.append("transl")
+    if getattr(st, "has_aniso", True):
+        out.append("aniso")
+    if getattr(st, "has_ms_comp", True):
+        out.append("mscomp")
+    return tuple(out)
+
+
 def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
     mt = scene.materials
     tx, tt = scene.texels, scene.tex_table
 
     def tex_rgb(tex_ids):
-        return sample_bilinear(tx, tt, tex_ids, uv)[:, :3]
+        return sample_bilinear(tx, tt, tex_ids, uv, scene.tex_sampler)[:, :3]
 
     em = mt.em_color[mat_id] * tex_rgb(mt.em_tex[mat_id])
     dc = mt.diff_color[mat_id] * tex_rgb(mt.diff_tex[mat_id])
@@ -85,7 +107,7 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
         nn = normal if normal is not None else jnp.zeros_like(pos)
         dc = dc * jnp.where((proc >= 0)[:, None], eval_proc_tex(proc, uv, pos, nn), 1.0)
     rc = mt.refl_color[mat_id] * tex_rgb(mt.refl_tex[mat_id])
-    op = sample_bilinear(tx, tt, mt.opacity_tex[mat_id], uv)[:, 0]
+    op = sample_bilinear(tx, tt, mt.opacity_tex[mat_id], uv, scene.tex_sampler)[:, 0]
     tg = mt.transp_gloss[mat_id]
     return MatParams(
         em_color=em,
@@ -103,7 +125,9 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
         opacity=op,
         light_id=mt.light_id[mat_id],
         bump_tex=mt.bump_tex[mat_id],
-        transl_color=mt.transl_color[mat_id] * tex_rgb(mt.transl_tex[mat_id]),
+        transl_color=(mt.transl_color[mat_id] * tex_rgb(mt.transl_tex[mat_id])
+                      if scene.settings is None or scene.settings.has_transl
+                      else mt.transl_color[mat_id]),
         transp_alpha=jnp.where(tg < 0.999,
                                jnp.maximum(1.0 - tg, 1e-3), 0.0),
         refl_aniso=mt.refl_aniso[mat_id],
@@ -125,6 +149,9 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
     materialRandomWalkBRDF's tree descent for one-level trees."""
     mt = scene.materials
     p_top = _fetch_leaf(scene, mat_id, uv, pos, normal)
+    # static fast path: no blend materials in the scene -> single fetch
+    if scene.settings is not None and not scene.settings.has_blend:
+        return p_top
     bn = mt.blend_node[mat_id]
     btype = mt.blend_type[mat_id]
     has = bn >= 0
@@ -132,7 +159,7 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
     p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal)
 
     mask = sample_bilinear(scene.texels, scene.tex_table,
-                           mt.blend_tex[mat_id], uv)[:, :3]
+                           mt.blend_tex[mat_id], uv, scene.tex_sampler)[:, :3]
     w_mask = luminance(mask)
     if normal is not None and wo is not None:
         cos_v = jnp.abs(dot3(normal, wo))
@@ -160,7 +187,8 @@ def apply_bump(scene, p: MatParams, n, tang, uv):
     side of the reference bump pipeline (aux normal map applied in
     ComputeHit/Shade via the TBN frame). tang: interpolated mesh tangent."""
     has = p.bump_tex > 0
-    nm = sample_bilinear(scene.texels, scene.tex_table, p.bump_tex, uv)[:, :3] * 2.0 - 1.0
+    nm = sample_bilinear(scene.texels, scene.tex_table, p.bump_tex, uv,
+                         scene.tex_sampler)[:, :3] * 2.0 - 1.0
     t = normalize3(tang - dot3(tang, n)[:, None] * n)
     b = jnp.stack(
         [
@@ -294,7 +322,8 @@ def _ggx_d_aniso(h, ns, t, b, ax, ay):
     return 1.0 / jnp.maximum(np.pi * ax * ay * d * d, 1e-12)
 
 
-def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i):
+def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i, aniso=True,
+                 mscomp=True):
     """Evaluate the (non-delta, reflective) glossy lobe: phong / ggx / beckmann.
     Returns (f (R,3), pdf (R,)) — zero for mirror/none."""
     h = normalize3(wo + wi)
@@ -310,21 +339,24 @@ def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i):
 
     # ggx (Smith separable G); anisotropic D when requested (TRGGX,
     # PlainMaterialConverter.cpp:568)
-    d_iso = _ggx_d(cos_h, p.refl_alpha)
-    ax = p.refl_alpha * (1.0 + p.refl_aniso)
-    ay = p.refl_alpha * jnp.maximum(1.0 - p.refl_aniso, 1e-3)
-    ta, ba = _aniso_frame(ns, p.refl_aniso_rot)
-    d_an = _ggx_d_aniso(h, ns, ta, ba, ax, ay)
-    d_ggx = jnp.where(p.refl_aniso > 1e-3, d_an, d_iso)
+    d_ggx = _ggx_d(cos_h, p.refl_alpha)
+    if aniso:
+        ax = p.refl_alpha * (1.0 + p.refl_aniso)
+        ay = p.refl_alpha * jnp.maximum(1.0 - p.refl_aniso, 1e-3)
+        ta, ba = _aniso_frame(ns, p.refl_aniso_rot)
+        d_an = _ggx_d_aniso(h, ns, ta, ba, ax, ay)
+        d_ggx = jnp.where(p.refl_aniso > 1e-3, d_an, d_ggx)
     g = _ggx_g1(cos_o, p.refl_alpha) * _ggx_g1(cos_i, p.refl_alpha)
     ggx_f = d_ggx * g / jnp.maximum(4.0 * cos_o * cos_i, 1e-6)
     # Kulla-Conty multiscatter compensation from the baked albedo table
-    E_o = _ggx_E(p.refl_alpha, cos_o)
-    E_i = _ggx_E(p.refl_alpha, jnp.maximum(cos_i, 1e-3))
-    E_avg = _ggx_E_avg(p.refl_alpha)
-    f_ms = (1.0 - E_o) * (1.0 - E_i) / jnp.maximum(
-        np.pi * (1.0 - E_avg), 1e-3)
-    ggx_f = ggx_f + jnp.where(p.refl_alpha > 0.05, f_ms, 0.0)
+    # (static skip when no rough-GGX materials exist: mscomp feat)
+    if mscomp:
+        E_o = _ggx_E(p.refl_alpha, cos_o)
+        E_i = _ggx_E(p.refl_alpha, jnp.maximum(cos_i, 1e-3))
+        E_avg = _ggx_E_avg(p.refl_alpha)
+        f_ms = (1.0 - E_o) * (1.0 - E_i) / jnp.maximum(
+            np.pi * (1.0 - E_avg), 1e-3)
+        ggx_f = ggx_f + jnp.where(p.refl_alpha > 0.05, f_ms, 0.0)
     ggx_pdf = d_ggx * cos_h / (4.0 * cos_oh)
 
     # beckmann (use ggx G as approximation for shadowing)
@@ -352,7 +384,7 @@ def _eval_glossy(p: MatParams, wo, wi, ns, cos_o, cos_i):
     return f, pdf
 
 
-def eval_bsdf(p: MatParams, wo, wi, n):
+def eval_bsdf(p: MatParams, wo, wi, n, feats=FEATS_ALL):
     """Evaluate all non-delta lobes + mixture pdf (for NEE / MIS).
 
     Ref semantics: materialEval (cmaterial.h:2554) — returns
@@ -375,18 +407,30 @@ def eval_bsdf(p: MatParams, wo, wi, n):
     )
     pdf_d = jnp.where(refl_side, jnp.maximum(cos_i, 0.0) * INV_PI, 0.0)
 
-    f_s, pdf_s = _eval_glossy(p, wo, wi, ns, cos_o, jnp.maximum(cos_i, 0.0))
+    f_s, pdf_s = _eval_glossy(p, wo, wi, ns, cos_o, jnp.maximum(cos_i, 0.0),
+                              aniso="aniso" in feats,
+                              mscomp="mscomp" in feats)
     f_s = jnp.where(refl_side[..., None], f_s, 0.0)
     pdf_s = jnp.where(refl_side, pdf_s, 0.0)
 
     # translucency: Lambert transmission (ref Translucent,
     # PlainMaterialConverter.cpp:182)
-    f_l = jnp.where(trans_side[..., None], p.transl_color * INV_PI, 0.0)
-    pdf_l = jnp.where(trans_side, jnp.abs(cos_i) * INV_PI, 0.0)
+    if "transl" in feats:
+        f_l = jnp.where(trans_side[..., None], p.transl_color * INV_PI, 0.0)
+        pdf_l = jnp.where(trans_side, jnp.abs(cos_i) * INV_PI, 0.0)
+    else:
+        f_l = jnp.zeros_like(f_s)
+        pdf_l = jnp.zeros_like(pdf_s)
 
     # rough glass: GGX microfacet transmission + reflection (Walter 2007;
     # ref Glass, PlainMaterialConverter.cpp:359). Delta glass (alpha 0)
     # stays a specular lobe handled by sample_bsdf.
+    if "glass" not in feats:
+        alive = total > EPS_PDF
+        f = jnp.where(alive[..., None], f_d + f_s + f_l, 0.0)
+        pdf = jnp.where(alive, kd * pdf_d + ks * pdf_s + kl * pdf_l, 0.0)
+        return f, pdf
+
     rough_glass = (p.transp_alpha > 1e-4) & (p.thin_walled == 0)
     eta = jnp.where(facing, p.transp_ior, 1.0 / jnp.maximum(p.transp_ior, 1e-4))
     a_t = jnp.maximum(p.transp_alpha, 1e-3)
@@ -476,7 +520,7 @@ def _sample_phong_wi(r_dir, pw, u1, u2):
     )
 
 
-def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
+def sample_bsdf(p: MatParams, wo, n, rands, feats=FEATS_ALL) -> BsdfSample:
     """One-sample-MIS lobe sampling. rands: (R,4) uniforms.
 
     Ref semantics: MaterialSampleAndEvalBxDF + NextBounce
@@ -523,10 +567,14 @@ def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
     # (Walter 2007; ref Glass PlainMaterialConverter.cpp:359), the shading
     # normal itself when delta / thin-walled
     entering = facing
-    rough_glass = (p.transp_alpha > 1e-4) & (p.thin_walled == 0)
-    h_glass = _sample_ggx_h(ns, jnp.maximum(p.transp_alpha, 1e-3), u1, u2)
-    hh = jnp.where(rough_glass[..., None], h_glass, ns)
-    hh = jnp.where(dot3(hh, wo)[..., None] < 0.0, ns, hh)  # degenerate guard
+    if "glass" in feats:
+        rough_glass = (p.transp_alpha > 1e-4) & (p.thin_walled == 0)
+        h_glass = _sample_ggx_h(ns, jnp.maximum(p.transp_alpha, 1e-3), u1, u2)
+        hh = jnp.where(rough_glass[..., None], h_glass, ns)
+        hh = jnp.where(dot3(hh, wo)[..., None] < 0.0, ns, hh)  # degenerate
+    else:
+        rough_glass = jnp.zeros(facing.shape, bool)
+        hh = ns
     eta_pair = jnp.where(entering, p.transp_ior, 1.0 / jnp.maximum(p.transp_ior, 1e-4))
     cos_i_o = jnp.clip(dot3(hh, wo), 0.0, 1.0)
     F = fresnel_dielectric(cos_i_o, eta_pair)
@@ -555,7 +603,7 @@ def sample_bsdf(p: MatParams, wo, n, rands) -> BsdfSample:
     is_transmission = (pick_t & ~refl_choice) | pick_l
 
     # weights
-    f_mix, pdf_mix = eval_bsdf(p, wo, wi, ns)
+    f_mix, pdf_mix = eval_bsdf(p, wo, wi, ns, feats)
     cos_i = jnp.abs(dot3(ns, wi))
     w_glossy = f_mix * (cos_i / jnp.maximum(pdf_mix, EPS_PDF))[..., None]
 

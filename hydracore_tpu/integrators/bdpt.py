@@ -40,8 +40,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydracore_tpu.bsdf.core import (apply_bump, eval_bsdf, fetch_material,
-                                     sample_bsdf)
+from hydracore_tpu.bsdf.core import (apply_bump, fetch_material, scene_feats)
+from hydracore_tpu.bsdf.core import eval_bsdf as _eval_bsdf_raw
+from hydracore_tpu.bsdf.core import sample_bsdf as _sample_bsdf_raw
+
+_SCENE_FEATS = [None]  # set by _bdpt_core for the duration of a trace
+
+
+def eval_bsdf(p, wo, wi, n):
+    feats = _SCENE_FEATS[0]
+    return _eval_bsdf_raw(p, wo, wi, n) if feats is None else \
+        _eval_bsdf_raw(p, wo, wi, n, feats)
+
+
+def sample_bsdf(p, wo, n, rands):
+    feats = _SCENE_FEATS[0]
+    return _sample_bsdf_raw(p, wo, n, rands) if feats is None else \
+        _sample_bsdf_raw(p, wo, n, rands, feats)
 from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays
 from hydracore_tpu.lights.sampling import sample_light_fwd, select_light
 from hydracore_tpu.scene.lights import (LIGHT_AREA_DISK, LIGHT_AREA_RECT,
@@ -366,6 +381,7 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
     R = ray_o.shape[0]
     three_way = strategies == "3way"
 
+    _SCENE_FEATS[0] = scene_feats(scene)
     if k_only is None:
         NC = max_depth        # camera surface vertices z_1..z_NC
         NL = max_depth - 1    # light surface vertices y_1..y_NL

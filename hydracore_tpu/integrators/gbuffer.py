@@ -16,9 +16,11 @@ import jax
 import jax.numpy as jnp
 
 from hydracore_tpu.bsdf.core import fetch_material
-from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays
+from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays, shadow_trace
+from hydracore_tpu.lights.sampling import sample_light_rev, select_light
 from hydracore_tpu.ops import rng
 from hydracore_tpu.ops.trace_api import closest_hit
+from hydracore_tpu.utils.math3d import dot3, offs_ray_pos
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
@@ -37,6 +39,8 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
     norm_acc = jnp.zeros((R, 3), jnp.float32)
     tex_acc = jnp.zeros((R, 3), jnp.float32)
     cover_acc = jnp.zeros((R,), jnp.float32)
+    shadow_acc = jnp.zeros((R,), jnp.float32)
+    alpha_acc = jnp.zeros((R,), jnp.float32)
     mat_first = jnp.full((R,), -1, jnp.int32)
     inst_first = jnp.full((R,), -1, jnp.int32)
     t_center = jnp.full((R,), jnp.inf, jnp.float32)
@@ -57,6 +61,22 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         norm_acc = norm_acc + jnp.where(hit[:, None], n, 0.0)
         tex_acc = tex_acc + jnp.where(hit[:, None], p.diff_color, 0.0)
         cover_acc = cover_acc + hit.astype(jnp.float32)
+        # shadow layer: NEE occlusion of the first hit (the gray first-
+        # bounce shadow the reference packs to pathShadow8B,
+        # material.cl:728-735)
+        r_l = rng.rand4(sample_idx, 0, 12, seed)
+        l_idx, _ = select_light(scene.lights, r_l[:, 3])
+        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
+        sray_o = offs_ray_pos(pos, ngs, ls.dir)
+        occ = shadow_trace(scene, sray_o, ls.dir, ls.dist, hit,
+                           (r_l[:, 0] * 16777216.0).astype(jnp.uint32),
+                           bool(scene.settings.has_alpha)
+                           if scene.settings is not None else False)
+        shadow_acc = shadow_acc + jnp.where(hit & ~occ, 1.0, 0.0)
+        # alpha layer: surface opacity at the hit (PutAlphaToGBuffer
+        # analogue, material.cl:1475)
+        alpha_acc = alpha_acc + jnp.where(hit, p.opacity, 0.0)
         if s == 0:  # center sample defines ids + canonical depth
             mat_first = jnp.where(hit, mat_id, -1)
             inst_first = inst
@@ -68,7 +88,72 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         "normal": (norm_acc / denom[:, None]).reshape(H, W, 3),
         "texcolor": (tex_acc / denom[:, None]).reshape(H, W, 3),
         "coverage": (cover_acc / n_samples).reshape(H, W),
+        "shadow": (shadow_acc / denom).reshape(H, W),
+        "alpha": (alpha_acc / denom).reshape(H, W),
         "mat_id": mat_first.reshape(H, W),
         "inst_id": inst_first.reshape(H, W),
         "depth_center": t_center.reshape(H, W),
     }
+
+
+def noise_map(fb_sum, fb_sq_sum, n):
+    """Per-pixel relative-variance estimate from accumulated sum and
+    sum-of-squares images (the noise extraction the reference's adaptive
+    path uses, CPUExp_GBuffer.cpp / CPUExp_Integrators.h:227-234)."""
+    mean = fb_sum / jnp.maximum(n, 1.0)
+    var = jnp.maximum(fb_sq_sum / jnp.maximum(n, 1.0) - mean * mean, 0.0)
+    lum_m = 0.2126 * mean[..., 0] + 0.7152 * mean[..., 1] + 0.0722 * mean[..., 2]
+    lum_v = 0.2126 * var[..., 0] + 0.7152 * var[..., 1] + 0.0722 * var[..., 2]
+    return jnp.sqrt(lum_v) / jnp.maximum(lum_m, 1e-3)
+
+
+def render_adaptive(scene, spp_base: int, spp_max: int, seed: int = 777,
+                    max_depth: int | None = None, noise_threshold: float = 0.15,
+                    tile_pixels: int = 16384):
+    """Noise-driven adaptive sampling on top of production tiles: every
+    pixel gets spp_base samples; pixels whose noise estimate exceeds the
+    threshold get topped up toward spp_max (reference adaptivity:
+    MISPTLoop2Adapt + noise spreading, CPUExp_Integrators.h:450/227)."""
+    import numpy as np
+
+    from hydracore_tpu.integrators.pt import render_tile_production
+
+    md = max_depth or scene.settings.trace_depth
+    H, W = scene.camera.height, scene.camera.width
+    scene_d = jax.device_put(scene)
+    R = H * W
+
+    # base pass: accumulate sum and sum-of-squares per pixel
+    fb = jnp.zeros((R, 3), jnp.float32)
+    fb2 = jnp.zeros((R, 3), jnp.float32)
+    k = min(max(spp_base, 1), 32)
+    rounds = -(-spp_base // k)
+    for start in range(0, R, tile_pixels):
+        ids = jnp.arange(start, min(start + tile_pixels, R), dtype=jnp.uint32)
+        for r in range(rounds):
+            c = render_tile_production(scene_d, ids, jnp.uint32(r * k),
+                                       jnp.uint32(seed), k, md)
+            fb = fb.at[ids].add(c)
+            fb2 = fb2.at[ids].add(c * c)
+    n_base = float(rounds)
+    noise = np.asarray(noise_map(fb.reshape(H, W, 3), fb2.reshape(H, W, 3),
+                                 n_base)).reshape(-1)
+
+    # top-up pass for noisy pixels
+    counts = np.full(R, n_base, np.float32)
+    noisy = np.where(noise > noise_threshold)[0]
+    extra_rounds = max(int(np.ceil((spp_max - spp_base) / k)), 0)
+    if len(noisy) and extra_rounds > 0:
+        pad = (-len(noisy)) % tile_pixels
+        noisy_p = np.concatenate([noisy, np.full(pad, noisy[-1])]) if pad else noisy
+        for start in range(0, len(noisy_p), tile_pixels):
+            ids = jnp.asarray(noisy_p[start:start + tile_pixels].astype(np.uint32))
+            for r in range(extra_rounds):
+                c = render_tile_production(scene_d, ids,
+                                           jnp.uint32((rounds + r) * k),
+                                           jnp.uint32(seed), k, md)
+                fb = fb.at[ids].add(c)
+        # duplicate pad ids receive duplicate adds: count them exactly
+        np.add.at(counts, noisy_p, float(extra_rounds))
+    img = np.asarray(fb).reshape(H, W, 3) / counts.reshape(H, W, 1)
+    return img.astype(np.float32)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydracore_tpu.bsdf.core import apply_bump, eval_bsdf, fetch_material, sample_bsdf
+from hydracore_tpu.bsdf.core import (apply_bump, eval_bsdf, fetch_material,
+                                     sample_bsdf, scene_feats)
 from hydracore_tpu.integrators.pt import DG_BSDF, DG_LIGHT
 from hydracore_tpu.lights.sampling import sample_light_fwd, select_light
 from hydracore_tpu.ops import rng
@@ -49,6 +50,7 @@ def lt_pass(scene, pass_idx, seed, n_paths: int, max_depth: int = 5):
     tan_half = cam.mProjInv[1, 1]  # proj[1,1] = 1/tan(fovy/2)
     d_img = H / (2.0 * tan_half)  # image-plane distance in PIXEL units
 
+    feats = scene_feats(scene)
     pidx = jnp.arange(n_paths, dtype=jnp.uint32)
     sample_idx = pidx * jnp.uint32(0x9E3779B9) ^ (jnp.uint32(pass_idx) * jnp.uint32(0x85EBCA6B))
 
@@ -94,7 +96,7 @@ def lt_pass(scene, pass_idx, seed, n_paths: int, max_depth: int = 5):
         py = jnp.floor((1.0 - sy) * 0.5 * H).astype(jnp.int32)
         on_screen = in_front & (px >= 0) & (px < W) & (py >= 0) & (py < H)
 
-        f_adj, _ = eval_bsdf(p, -ray_d, w_cam, n)
+        f_adj, _ = eval_bsdf(p, -ray_d, w_cam, n, feats)
         cos_x = jnp.abs(dot3(w_cam, n))
         cos_cam = jnp.maximum(z / dist, 1e-6)  # angle at the pinhole
         img_factor = (d_img / cos_cam) ** 2 / cos_cam
@@ -113,7 +115,7 @@ def lt_pass(scene, pass_idx, seed, n_paths: int, max_depth: int = 5):
 
         # ---- next bounce
         r_b = rng.rand4(sample_idx, depth, DG_LT_BSDF, seed)
-        bs = sample_bsdf(p, -ray_d, n, r_b)
+        bs = sample_bsdf(p, -ray_d, n, r_b, feats)
         T = T * bs.weight
         alive = alive & (T.max(axis=-1) > 1e-7)
         n_off = jnp.where(bs.is_transmission[:, None], -ng, ng)

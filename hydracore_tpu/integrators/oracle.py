@@ -106,10 +106,20 @@ class OracleRenderer:
 
         ns = n if np.dot(n, -d) >= 0 else -n
         albedo = np.asarray(self.mt.diff_color)[mat].astype(np.float64)
+        refl = np.asarray(self.mt.refl_color)[mat].astype(np.float64)
+        rdist = int(np.asarray(self.mt.refl_dist)[mat])
+        ralpha = float(np.asarray(self.mt.refl_alpha)[mat])
+
+        def lum(c):
+            return 0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2]
+
+        kd_, ks_ = lum(albedo), lum(refl)
+        ktot = kd_ + ks_
+        is_mirror = rdist == 4
 
         out = np.zeros(3)
-        # ---- NEE over one light picked by the CDF (lambert materials only:
-        # the oracle's scope is diffuse cross-checks)
+        # ---- NEE over one light picked by the CDF (diffuse + GGX lobes;
+        # pure mirrors skip NEE)
         r_l = _rand4(sample_index, depth, 2, seed)
         cdf = np.asarray(self.lt.pick_cdf)
         lrow = int(np.clip(np.searchsorted(cdf, r_l[3], side="right") - 1, 0, len(cdf) - 2))
@@ -118,6 +128,30 @@ class OracleRenderer:
         lpos = np.asarray(self.lt.pos)[lrow].astype(np.float64)
         lnorm = np.asarray(self.lt.norm)[lrow].astype(np.float64)
         inten = np.asarray(self.lt.intensity)[lrow].astype(np.float64)
+        def eval_f_pdf(wi):
+            """mixture (f, pdf) for NEE MIS: diffuse + GGX reflection."""
+            cos_i = float(np.dot(wi, ns))
+            if cos_i <= 0 or ktot <= 0:
+                return np.zeros(3), 0.0
+            f = albedo / np.pi
+            pdf = (kd_ / ktot) * cos_i / np.pi
+            if ks_ > 0 and rdist == 2 and not is_mirror:  # GGX
+                wo = -d
+                h = wo + wi
+                h = h / max(np.linalg.norm(h), 1e-12)
+                ch = max(float(np.dot(h, ns)), 0.0)
+                coh = max(float(np.dot(wo, h)), 1e-6)
+                co = max(float(np.dot(wo, ns)), 1e-6)
+                a2 = ralpha * ralpha
+                dd = ch * ch * (a2 - 1.0) + 1.0
+                D = a2 / max(np.pi * dd * dd, 1e-12)
+                def g1(c):
+                    return 2 * c / max(c + np.sqrt(a2 + (1 - a2) * c * c), 1e-12)
+                G = g1(co) * g1(cos_i)
+                f = f + refl * D * G / max(4 * co * cos_i, 1e-6)
+                pdf += (ks_ / ktot) * D * ch / (4 * coh)
+            return f, pdf
+
         f_d = albedo / np.pi
 
         if ltype == 4:  # area rect
@@ -135,36 +169,97 @@ class OracleRenderer:
                 pdf_w = d2 / (area * cos_l)
                 sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
                 if not self.occluded(sro, wi, dist):
-                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + (cos_s / np.pi) ** 2, 1e-20)
-                    out += f_d * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
-        elif ltype == 0:  # point
+                    fv, pdf_b = eval_f_pdf(wi)
+                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
+                    out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
+        elif ltype == 6:  # sphere: cone sampling toward the center
+            rad = float(np.asarray(self.lt.radius)[lrow])
+            to_c = lpos - pos
+            dc2 = float(np.dot(to_c, to_c))
+            dc = np.sqrt(dc2)
+            sin2 = min(rad * rad / dc2, 0.9999)
+            cos_max = np.sqrt(1 - sin2)
+            cos_t = 1 - r_l[0] * (1 - cos_max)
+            sin_t = np.sqrt(max(1 - cos_t * cos_t, 0.0))
+            phi = 2 * np.pi * r_l[1]
+            wd = to_c / dc
+            sign = 1.0 if wd[2] >= 0 else -1.0
+            aa = -1.0 / (sign + wd[2])
+            bb_ = wd[0] * wd[1] * aa
+            tb2 = np.array([1 + sign * wd[0] ** 2 * aa, sign * bb_, -sign * wd[0]])
+            bb2 = np.array([bb_, sign + wd[1] ** 2 * aa, -wd[1]])
+            wi = sin_t * np.cos(phi) * tb2 + sin_t * np.sin(phi) * bb2 + cos_t * wd
+            wi /= max(np.linalg.norm(wi), 1e-12)
+            cos_s = float(np.dot(wi, ns))
+            b_ = float(np.dot(wi, to_c))
+            disc = max(b_ * b_ - dc2 + rad * rad, 0.0)
+            dist = b_ - np.sqrt(disc)
+            if cos_s > 0 and dist > 1e-5:
+                pdf_w = 1.0 / max(2 * np.pi * (1 - cos_max), 1e-9)
+                sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist):
+                    fv, pdf_b = eval_f_pdf(wi)
+                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
+                    out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
+        elif ltype in (0, 1):  # point / spot (delta)
             to_l = lpos - pos
             d2 = float(np.dot(to_l, to_l))
             dist = np.sqrt(d2)
             wi = to_l / dist
             cos_s = float(np.dot(wi, ns))
-            if cos_s > 0:
+            fall = 1.0
+            if ltype == 1:  # spot smoothstep falloff (clight.h:7 semantics)
+                ci = float(np.asarray(self.lt.cos_in)[lrow])
+                co_ = float(np.asarray(self.lt.cos_out)[lrow])
+                sc = float(np.dot(lnorm, -wi))
+                x = np.clip((sc - co_) / max(ci - co_, 1e-6), 0.0, 1.0)
+                fall = x * x * (3 - 2 * x)
+            if cos_s > 0 and fall > 0:
                 sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
                 if not self.occluded(sro, wi, dist):
-                    out += f_d * (inten / d2) * cos_s / max(pick, 1e-12)
+                    fv, _ = eval_f_pdf(wi)
+                    out += fv * (inten * fall / d2) * cos_s / max(pick, 1e-12)
 
-        # ---- cosine-sampled diffuse bounce
+        # ---- bounce: one-sample mixture over diffuse / mirror / GGX
+        if ktot <= 0:
+            return out
         r_b = _rand4(sample_index, depth, 1, seed)
-        ct = np.sqrt(max(r_b[1], 0.0))
-        st = np.sqrt(max(1.0 - r_b[1], 0.0))
-        phi = 2 * np.pi * r_b[2]
+        pick_d = r_b[0] < kd_ / ktot
+        ro2 = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
         # Frisvad basis (same as device math3d)
         sign = 1.0 if ns[2] >= 0 else -1.0
         a = -1.0 / (sign + ns[2])
         b = ns[0] * ns[1] * a
         tb = np.array([1.0 + sign * ns[0] ** 2 * a, sign * b, -sign * ns[0]])
         bb = np.array([b, sign + ns[1] ** 2 * a, -ns[1]])
-        wi = st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * ns
-        pdf = max(ct / np.pi, 1e-9)
-        ro2 = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
-        lo = self.radiance(ro2, wi, sample_index, seed, depth + 1, max_depth, pdf, False)
-        out += albedo * lo  # f*cos/pdf = albedo for cosine sampling
-        return out
+        if pick_d:
+            ct = np.sqrt(max(r_b[1], 0.0))
+            st = np.sqrt(max(1.0 - r_b[1], 0.0))
+            phi = 2 * np.pi * r_b[2]
+            wi = st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * ns
+        elif is_mirror:
+            wi = d - 2 * float(np.dot(d, ns)) * ns
+            lo = self.radiance(ro2, wi, sample_index, seed, depth + 1,
+                               max_depth, 0.0, True)
+            return out + refl * (ktot / max(ks_, 1e-9)) * lo
+        else:  # GGX half-vector sampling
+            a2 = ralpha * ralpha
+            ct2 = (1 - r_b[1]) / max(1 + (a2 - 1) * r_b[1], 1e-12)
+            ct = np.sqrt(np.clip(ct2, 0, 1))
+            st = np.sqrt(np.clip(1 - ct2, 0, 1))
+            phi = 2 * np.pi * r_b[2]
+            h = st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * ns
+            wi = d - 2 * float(np.dot(d, h)) * h
+            wi /= max(np.linalg.norm(wi), 1e-12)
+        cos_i = float(np.dot(wi, ns))
+        if cos_i <= 0:
+            return out
+        fv, pdf = eval_f_pdf(wi)
+        if pdf <= 0:
+            return out
+        lo = self.radiance(ro2, wi, sample_index, seed, depth + 1, max_depth,
+                           pdf, False)
+        return out + fv * cos_i / pdf * lo
 
     def render(self, width: int, height: int, spp: int, max_depth: int = 3, seed: int = 777):
         """(H, W, 3) image; pixel-center rays + per-sample decorrelation
@@ -190,6 +285,14 @@ class OracleRenderer:
         return img / spp
 
     def _light_pdf_hit(self, lrow, o, d, pos, n):
+        ltype = int(np.asarray(self.lt.ltype)[lrow])
+        if ltype == 6:  # sphere: cone-sampling pdf (matches sampling.py)
+            lpos = np.asarray(self.lt.pos)[lrow].astype(np.float64)
+            rad = float(np.asarray(self.lt.radius)[lrow])
+            dc2 = max(float(np.dot(lpos - o, lpos - o)), 1e-12)
+            sin2 = min(rad * rad / dc2, 0.9999)
+            cos_max = np.sqrt(1 - sin2)
+            return 1.0 / max(2 * np.pi * (1 - cos_max), 1e-9)
         area = float(np.asarray(self.lt.area)[lrow])
         d2 = float(np.dot(pos - o, pos - o))
         cos_l = max(float(np.dot(n, -d)), 1e-6)

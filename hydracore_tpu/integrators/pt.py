@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hydracore_tpu.bsdf.core import apply_bump, eval_bsdf, fetch_material, sample_bsdf
+from hydracore_tpu.bsdf.core import (apply_bump, eval_bsdf, fetch_material,
+                                     sample_bsdf, scene_feats)
 from hydracore_tpu.lights.sampling import (
     env_radiance,
     light_eval_pdf_from_hit,
@@ -163,6 +164,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     prev_pdf = jnp.zeros((R,), jnp.float32)  # bsdf pdf of previous bounce
     prev_spec = jnp.ones((R,), bool)  # camera vertex counts as specular
 
+    feats = scene_feats(scene)
     has_sky = (scene.lights.ltype == LIGHT_SKY).any()
     sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
     sky_pick = jnp.where(
@@ -238,7 +240,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
         u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
         occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh, has_alpha)
-        f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns)
+        f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
         cos_s = jnp.maximum(dot3(ls.dir, ns), 0.0)
         w_l = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf_w * pick_prob, pdf_fwd))
         contrib = (
@@ -252,7 +254,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
         r_b = rand_fn(depth, DG_BSDF)
-        bs = sample_bsdf(p, -ray_d, ns, r_b)
+        bs = sample_bsdf(p, -ray_d, ns, r_b, feats)
         # alpha pass-through: direction and throughput unchanged, treated as
         # a specular event for MIS
         wi = jnp.where(passthru[:, None], ray_d, bs.wi)
@@ -309,22 +311,30 @@ def _morton_pixel_order(W: int, H: int):
     return ((ys[order] * W) + xs[order]).astype(np.uint32)
 
 
-def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
-    """One sample for every pixel; returns ((H, W, 3) radiance, ray count).
-    Unjitted body — the graft entry point compile-checks this directly."""
+# megablock: max rays per dispatch — decouples image size from compile
+# size / device footprint (CalcMegaBlockSize, GPUOCLLayer.cpp:841-876)
+MEGABLOCK = 1 << 18
+
+
+def render_band_impl(scene, pass_idx, seed, max_depth: int = 5,
+                     band: tuple[int, int] | None = None):
+    """Trace one sample for the Morton-ordered pixel band [start, end);
+    returns (colors (B,3), pix ids (B,), ray count)."""
     cam = scene.camera
     W, H = cam.width, cam.height
     R = W * H
+    start, end = band if band is not None else (0, R)
     # Morton (z-order) pixel traversal: consecutive 256-ray blocks become
     # 16x16 screen tiles, the coherence the block traversal kernels need
     # (MakeEyeRaysUnifiedSampling consumes a Morton-sorted z-index the same
     # way, screen.cl:280)
-    pix = jnp.asarray(_morton_pixel_order(W, H))
+    pix = jnp.asarray(_morton_pixel_order(W, H)[start:end])
     px = (pix % W).astype(jnp.int32)
     py = (pix // W).astype(jnp.int32)
+    B = end - start
 
     sample_idx = pix * jnp.uint32(0x9E3779B9) ^ jnp.uint32(pass_idx)
-    qmc_idx = jnp.broadcast_to(jnp.uint32(pass_idx), (R,))
+    qmc_idx = jnp.broadcast_to(jnp.uint32(pass_idx), (B,))
     jitter = rng.screen_sample(qmc_idx, pix)
     lens = rng.rand2(sample_idx, 0, DG_LENS, seed)
 
@@ -333,30 +343,58 @@ def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
     color, rays = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth,
                            has_alpha=has_alpha)
     # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110)
-    color = jnp.clip(color, 0.0, 1e6)
-    fb = jnp.zeros((R, 3), jnp.float32).at[pix].set(color)
+    return jnp.clip(color, 0.0, 1e6), pix, rays
+
+
+def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
+    """One sample for every pixel; returns ((H, W, 3) radiance, ray count).
+    Unjitted body — the graft entry point compile-checks this directly."""
+    H, W = scene.camera.height, scene.camera.width
+    color, pix, rays = render_band_impl(scene, pass_idx, seed, max_depth)
+    fb = jnp.zeros((H * W, 3), jnp.float32).at[pix].set(color)
     return fb.reshape(H, W, 3), rays
 
 
 render_pass = jax.jit(render_pass_impl, static_argnames=("max_depth",))
 
 
-@partial(jax.jit, static_argnames=("n_pass", "max_depth"))
-def render_passes(scene, pass_base, seed, n_pass: int = 8, max_depth: int = 5):
-    """N full-frame passes inside ONE dispatch (lax.fori over the pass
-    index). Amortizes host->device dispatch latency — the analogue of the
-    reference queueing many kernels per BeginTracingPass without host
-    round-trips. Returns (sum of N pass images, total rays)."""
+@partial(jax.jit, static_argnames=("n_pass", "max_depth", "band"))
+def render_passes_band(scene, pass_base, seed, n_pass: int = 8,
+                       max_depth: int = 5, band: tuple[int, int] | None = None):
+    """N passes over one megablock band inside ONE dispatch (lax.fori over
+    the pass index). Returns (colors sum (B,3), pix (B,), total rays)."""
 
     def body(i, st):
-        fb, rays = st
-        c, r = render_pass_impl(scene, pass_base + i.astype(jnp.uint32), seed,
-                                max_depth=max_depth)
-        return fb + c, rays + r
+        acc, rays = st
+        c, pix, r = render_band_impl(scene, pass_base + i.astype(jnp.uint32),
+                                     seed, max_depth=max_depth, band=band)
+        return acc + c, rays + r
 
     H, W = scene.camera.height, scene.camera.width
-    fb0 = jnp.zeros((H, W, 3), jnp.float32)
-    return jax.lax.fori_loop(0, n_pass, body, (fb0, jnp.zeros((), jnp.float32)))
+    start, end = band if band is not None else (0, H * W)
+    acc0 = jnp.zeros((end - start, 3), jnp.float32)
+    acc, rays = jax.lax.fori_loop(0, n_pass, body,
+                                  (acc0, jnp.zeros((), jnp.float32)))
+    pix = jnp.asarray(_morton_pixel_order(W, H)[start:end])
+    return acc, pix, rays
+
+
+def render_passes(scene, pass_base, seed, n_pass: int = 8, max_depth: int = 5):
+    """N full-frame passes, megablock-banded when the frame exceeds
+    MEGABLOCK rays (CalcMegaBlockSize semantics: dispatch size decoupled
+    from resolution). Returns (sum of N pass images (H,W,3), total rays)."""
+    H, W = scene.camera.height, scene.camera.width
+    R = H * W
+    fb = jnp.zeros((R, 3), jnp.float32)
+    rays = jnp.zeros((), jnp.float32)
+    step = min(MEGABLOCK, R)
+    for start in range(0, R, step):
+        end = min(start + step, R)
+        acc, pix, r = render_passes_band(scene, pass_base, seed, n_pass,
+                                         max_depth, (start, end))
+        fb = fb.at[pix].set(acc)
+        rays = rays + r
+    return fb.reshape(H, W, 3), rays
 
 
 @partial(jax.jit, static_argnames=("max_depth", "k_samples"))

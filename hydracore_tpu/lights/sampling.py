@@ -67,7 +67,7 @@ def env_radiance(scene, d):
     tex = lt.tex[sky_row]
     u = 0.5 + jnp.arctan2(d[:, 0], -d[:, 2]) * (0.5 / np.pi)
     v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) * (1.0 / np.pi)
-    texc = sample_bilinear(scene.texels, scene.tex_table, jnp.broadcast_to(tex, (d.shape[0],)), jnp.stack([u, v], -1))[:, :3]
+    texc = sample_bilinear(scene.texels, scene.tex_table, jnp.broadcast_to(tex, (d.shape[0],)), jnp.stack([u, v], -1), scene.tex_sampler)[:, :3]
     base = jnp.where(has_sky, lt.intensity[sky_row], scene.env_color)
     return base[None, :] * jnp.where(has_sky & (tex > 0), texc, jnp.ones_like(texc))
 
@@ -144,7 +144,8 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     tb2, bb2 = make_orthonormal_basis(nrm)
     phi_v = (jnp.arctan2(dot3(emit_dir, bb2), dot3(emit_dir, tb2)) * (0.5 / np.pi)) % 1.0
     ies_val = sample_bilinear(
-        scene.texels, scene.tex_table, tex_slot, jnp.stack([phi_v, theta_v], -1)
+        scene.texels, scene.tex_table, tex_slot,
+        jnp.stack([phi_v, theta_v], -1), scene.tex_sampler
     )[:, 0]
     has_ies = (tex_slot > 0) & ((ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT))
     rad_p = rad_p * jnp.where(has_ies, ies_val, 1.0)[:, None]
@@ -398,7 +399,8 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
     phi_v = (jnp.arctan2(dot3(direction, ba), dot3(direction, ta)) * (0.5 / np.pi)) % 1.0
     ies_val = sample_bilinear(
-        scene.texels, scene.tex_table, tex_slot, jnp.stack([phi_v, theta_v], -1)
+        scene.texels, scene.tex_table, tex_slot,
+        jnp.stack([phi_v, theta_v], -1), scene.tex_sampler
     )[:, 0]
     has_ies = (tex_slot > 0) & (is_point | is_spot)
     radiance = radiance * jnp.where(has_ies, ies_val, 1.0)[:, None]

@@ -1,24 +1,45 @@
 """Texture fetch from the packed heap (ops analogue of cfetch.h SWTexSampler
-+ read_imagef: bilinear, wrap-repeat, no hardware samplers on TPU — gathers).
++ read_imagef: bilinear, no hardware samplers on TPU — gathers).
+
+SWTexSampler fidelity (cfetch.h:108-131): the per-texture sampler row
+carries the 2-row texcoord matrix and input gamma; tex_table flags carry
+clamp/wrap addressing per axis.
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
+TEX_CLAMP_U = 1
+TEX_CLAMP_V = 2
 
-def sample_bilinear(texels, tex_table, tex_id, uv):
+
+def sample_bilinear(texels, tex_table, tex_id, uv, samplers=None,
+                    apply_gamma: bool = False):
     """Bilinear RGBA fetch.
 
-    texels: (X, 4) float32 heap; tex_table: (K, 4) int32 [offset, w, h, flags];
-    tex_id: (R,) int32 slot (0 = white); uv: (R, 2) float32 (wrap repeat).
-    Returns (R, 4) float32.
+    texels: (X, 4) float32 heap; tex_table: (K, 4) int32 [offset, w, h,
+    flags]; tex_id: (R,) int32 slot (0 = white); uv: (R, 2) float32;
+    samplers: optional (K, 8) f32 [m00 m01 tu m10 m11 tv gamma 0].
+    Returns (R, 4) float32 (gamma-linearized rgb when samplers given).
     """
     rec = tex_table[tex_id]  # (R,4)
-    off, w, h = rec[:, 0], rec[:, 1], rec[:, 2]
+    off, w, h, flags = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
     wf, hf = w.astype(jnp.float32), h.astype(jnp.float32)
 
-    u = uv[:, 0] - jnp.floor(uv[:, 0])
-    v = uv[:, 1] - jnp.floor(uv[:, 1])
+    u_in, v_in = uv[:, 0], uv[:, 1]
+    gamma = None
+    if samplers is not None:
+        sm = samplers[tex_id]  # (R,8)
+        u_in = sm[:, 0] * uv[:, 0] + sm[:, 1] * uv[:, 1] + sm[:, 2]
+        v_in = sm[:, 3] * uv[:, 0] + sm[:, 4] * uv[:, 1] + sm[:, 5]
+        gamma = sm[:, 6]
+
+    clamp_u = (flags & TEX_CLAMP_U) != 0
+    clamp_v = (flags & TEX_CLAMP_V) != 0
+    u = jnp.where(clamp_u, jnp.clip(u_in, 0.0, 1.0),
+                  u_in - jnp.floor(u_in))
+    v = jnp.where(clamp_v, jnp.clip(v_in, 0.0, 1.0),
+                  v_in - jnp.floor(v_in))
     x = u * wf - 0.5
     y = v * hf - 0.5
     x0 = jnp.floor(x)
@@ -27,8 +48,12 @@ def sample_bilinear(texels, tex_table, tex_id, uv):
     fy = (y - y0)[:, None]
 
     def texel(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), jnp.maximum(w, 1))
-        yi = jnp.mod(yi.astype(jnp.int32), jnp.maximum(h, 1))
+        xi = xi.astype(jnp.int32)
+        yi = yi.astype(jnp.int32)
+        xi = jnp.where(clamp_u, jnp.clip(xi, 0, w - 1),
+                       jnp.mod(xi, jnp.maximum(w, 1)))
+        yi = jnp.where(clamp_v, jnp.clip(yi, 0, h - 1),
+                       jnp.mod(yi, jnp.maximum(h, 1)))
         return texels[off + yi * w + xi]
 
     c00 = texel(x0, y0)
@@ -37,4 +62,10 @@ def sample_bilinear(texels, tex_table, tex_id, uv):
     c11 = texel(x0 + 1, y0 + 1)
     top = c00 * (1 - fx) + c10 * fx
     bot = c01 * (1 - fx) + c11 * fx
-    return top * (1 - fy) + bot * fy
+    out = top * (1 - fy) + bot * fy
+    if gamma is not None and apply_gamma:
+        rgb = jnp.where((gamma != 1.0)[:, None],
+                        jnp.power(jnp.maximum(out[:, :3], 0.0), gamma[:, None]),
+                        out[:, :3])
+        out = jnp.concatenate([rgb, out[:, 3:4]], axis=1)
+    return out

@@ -251,9 +251,18 @@ class SceneBuilder:
         settings = RenderSettings(
             width=width, height=height, trace_depth=trace_depth,
             has_alpha=any(r["opacity_tex"] != 0 for r in self.mat_recs),
+            has_blend=any(r["blend_node"] >= 0 for r in self.mat_recs),
+            has_rough_glass=any(r["transp_gloss"] < 0.999
+                                and max(r["transp_color"]) > 0
+                                for r in self.mat_recs),
+            has_transl=any(max(r["transl_color"]) > 0 for r in self.mat_recs),
+            has_aniso=any(r["refl_aniso"] > 1e-3 for r in self.mat_recs),
+            has_ms_comp=any(r["refl_dist"] in (2, 3) and r["refl_alpha"] > 0.05
+                            for r in self.mat_recs),
         )
         texels = np.ones((1, 4), np.float32)
         tex_table = np.array([[0, 1, 1, 0]], np.int32)
+        tex_sampler = np.array([[1, 0, 0, 0, 1, 0, 1.0, 0]], np.float32)
 
         from hydracore_tpu.lights.envmap import build_env_pdf
 
@@ -264,7 +273,7 @@ class SceneBuilder:
             from hydracore_tpu.scene.textures import TextureStorage
             storage = TextureStorage()
             slot = storage.add(np.asarray(self.env_img, np.float32))
-            texels, tex_table = storage.finalize()
+            texels, tex_table, tex_sampler = storage.finalize()
             for r in self.light_recs:
                 if r["ltype"] == LIGHT_SKY:
                     r["tex"] = slot
@@ -304,7 +313,7 @@ class SceneBuilder:
             world_bmin=wb_min, world_bext=wb_ext,
             ml_cdf=ml_cdf, ml_tri=ml_tri,
             materials=mats, lights=lights,
-            texels=texels, tex_table=tex_table,
+            texels=texels, tex_table=tex_table, tex_sampler=tex_sampler,
             camera=cam, env_color=self.env,
             env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
             settings=settings,

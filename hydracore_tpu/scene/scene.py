@@ -69,6 +69,7 @@ class SceneData:
     lights: LightTable
     texels: np.ndarray  # (X,4)
     tex_table: np.ndarray  # (K,4) [offset,w,h,flags]
+    tex_sampler: np.ndarray  # (K,8) f32 SWTexSampler rows [m00 m01 tu m10 m11 tv gamma 0]
     camera: CameraParams
     # env fallback (sky radiance when no sky light): (3,)
     env_color: np.ndarray
@@ -90,7 +91,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     W = width or st.width
     H = height or st.height
 
-    texels, tex_table, tex_remap, bump_slots, ies_slots = build_texture_storage(desc)
+    texels, tex_table, tex_sampler, tex_remap, bump_slots, ies_slots = build_texture_storage(desc)
     materials = build_material_table(desc, tex_remap, bump_slots)
     lights = build_light_table(desc, tex_remap, ies_slots)
 
@@ -229,7 +230,15 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     env_rows, env_cols, env_pdf = build_env_pdf(env_img)
 
     st2 = RenderSettings(**{**st.__dict__, "width": W, "height": H,
-                           "has_alpha": bool((np.asarray(materials.opacity_tex) != 0).any())})
+                           "has_alpha": bool((np.asarray(materials.opacity_tex) != 0).any()),
+                           "has_blend": bool((np.asarray(materials.blend_node) >= 0).any()),
+                           "has_rough_glass": bool(((np.asarray(materials.transp_gloss) < 0.999)
+                                                    & (np.asarray(materials.transp_color).max(-1) > 0)).any()),
+                           "has_transl": bool((np.asarray(materials.transl_color).max(-1) > 0).any()),
+                           "has_aniso": bool((np.asarray(materials.refl_aniso) > 1e-3).any()),
+                           "has_ms_comp": bool((((np.asarray(materials.refl_dist) == 2)
+                                                 | (np.asarray(materials.refl_dist) == 3))
+                                                & (np.asarray(materials.refl_alpha) > 0.05)).any())})
 
     return SceneData(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
@@ -246,7 +255,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         world_bmin=wb_min, world_bext=wb_ext,
         ml_cdf=ml_cdf, ml_tri=ml_tri,
         materials=materials, lights=lights,
-        texels=texels, tex_table=tex_table,
+        texels=texels, tex_table=tex_table, tex_sampler=tex_sampler,
         camera=cam, env_color=env,
         env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
         settings=st2,

@@ -110,6 +110,11 @@ class RenderSettings:
     qmc_variant: int = 7
     clamp: float = 1e6
     has_alpha: bool = False  # any material with an opacity texture
+    has_blend: bool = False  # any blend material (two-leaf fetch at shade)
+    has_rough_glass: bool = False
+    has_transl: bool = False
+    has_aniso: bool = False
+    has_ms_comp: bool = False  # any rough-GGX material (multiscatter table)
 
 
 @dataclass

@@ -47,33 +47,68 @@ def load_texture_array(desc: SceneDesc, tid: int) -> np.ndarray | None:
         data = f.read()
     if t.loc.endswith("image4f"):
         return _load_image4f(data)
-    img = _load_image4ub(data)
-    img[..., :3] = img[..., :3] ** 2.2  # linearize LDR
-    return img
+    # LDR stays raw: per-sampler input gamma is applied at fetch
+    # (SWTexSampler.gamma, cfetch.h:108-131)
+    return _load_image4ub(data)
+
+
+# tex_table flags (SWTexSampler flags analogue)
+TEX_CLAMP_U = 1
+TEX_CLAMP_V = 2
 
 
 class TextureStorage:
-    """Host-side packed texture heap; `.texels` / `.table` go to device."""
+    """Host-side packed texture heap; `.texels` / `.table` / `.samplers`
+    go to device. Samplers carry the 2-row texcoord matrix + input gamma
+    (SWTexSampler, cfetch.h:108-131); flags carry clamp/wrap addressing."""
 
     def __init__(self):
         self._chunks: list[np.ndarray] = []
         self._table: list[tuple[int, int, int, int]] = []
+        self._samplers: list[tuple] = []
         self._offset = 0
         # slot 0 = 1x1 white fallback so tex_id 0 (or missing) is benign
         self.add(np.ones((1, 1, 4), np.float32))
 
-    def add(self, img: np.ndarray) -> int:
+    def add(self, img: np.ndarray, matrix=None, flags: int = 0,
+            gamma: float = 1.0) -> int:
         h, w = img.shape[:2]
         flat = np.ascontiguousarray(img.reshape(-1, 4), np.float32)
         self._chunks.append(flat)
-        self._table.append((self._offset, w, h, 0))
+        self._table.append((self._offset, w, h, flags))
+        if matrix is None:
+            row = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, gamma, 0.0)
+        else:
+            m = np.asarray(matrix, np.float32)
+            row = (float(m[0, 0]), float(m[0, 1]), float(m[0, 3]),
+                   float(m[1, 0]), float(m[1, 1]), float(m[1, 3]),
+                   gamma, 0.0)
+        self._samplers.append(row)
         self._offset += flat.shape[0]
         return len(self._table) - 1
+
+    def set_sampler(self, slot: int, matrix, flags: int, gamma: float):
+        m = np.asarray(matrix, np.float32)
+        self._samplers[slot] = (float(m[0, 0]), float(m[0, 1]), float(m[0, 3]),
+                                float(m[1, 0]), float(m[1, 1]), float(m[1, 3]),
+                                gamma, 0.0)
+        off, w, h, _ = self._table[slot]
+        self._table[slot] = (off, w, h, flags)
 
     def finalize(self):
         texels = np.concatenate(self._chunks, axis=0)
         table = np.asarray(self._table, np.int32)
-        return texels, table
+        samplers = np.asarray(self._samplers, np.float32)
+        # bake per-sampler input gamma into the texels (one sampler per
+        # texture here, so the bake is exact) — keeps the per-fetch gamma
+        # path dormant and the fetch cost at round-1 levels
+        for slot in range(len(self._table)):
+            g = samplers[slot, 6]
+            if g != 1.0:
+                off, w, h, _ = self._table[slot]
+                texels[off:off + w * h, :3] =                     np.maximum(texels[off:off + w * h, :3], 0.0) ** g
+                samplers[slot, 6] = 1.0
+        return texels, table, samplers
 
 
 def _height_to_normalmap(height: np.ndarray, amount: float) -> np.ndarray:
@@ -156,13 +191,42 @@ def build_texture_storage(desc: SceneDesc):
     storage = TextureStorage()
     max_id = max(desc.textures.keys(), default=-1)
     remap = np.zeros(max(max_id + 2, 1), np.int32)  # default white
+    is_ldr = {}
     for tid in sorted(desc.textures.keys()):
         img = load_texture_array(desc, tid)
         if img is None:
             remap[tid] = 0
         else:
-            remap[tid] = storage.add(img)
+            # LDR color textures default to input gamma 2.2 (the loader no
+            # longer pre-linearizes); overridden by the first XML binding
+            ldr = not (desc.textures[tid].loc or "").endswith("image4f")
+            is_ldr[tid] = ldr
+            remap[tid] = storage.add(img, gamma=2.2 if ldr else 1.0)
+
+    # first XML binding per texture wins: texcoord matrix, addressing
+    # flags, input gamma (SWTexSampler semantics; a one-sampler-per-
+    # texture simplification of per-binding samplers)
+    bound = set()
+    for node in desc.materials.values():
+        for t in node.iter("texture"):
+            tid = int(t.get("id", -1))
+            if tid < 0 or tid >= len(remap) or tid in bound or remap[tid] == 0:
+                continue
+            bound.add(tid)
+            mat_attr = t.get("matrix")
+            from hydracore_tpu.scene.statefile import parse_floats
+
+            m = (np.asarray(parse_floats(mat_attr), np.float32).reshape(4, 4)
+                 if mat_attr else np.eye(4, dtype=np.float32))
+            flags = 0
+            if (t.get("addressing_mode_u") or "wrap") == "clamp":
+                flags |= TEX_CLAMP_U
+            if (t.get("addressing_mode_v") or "wrap") == "clamp":
+                flags |= TEX_CLAMP_V
+            g = float(t.get("input_gamma", 2.2 if is_ldr.get(tid) else 1.0))
+            storage.set_sampler(int(remap[tid]), m, flags, g)
+
     bump_slots = bake_aux_normalmaps(desc, storage)
     ies_slots = bake_ies_textures(desc, storage)
-    texels, table = storage.finalize()
-    return texels, table, remap, bump_slots, ies_slots
+    texels, table, samplers = storage.finalize()
+    return texels, table, samplers, remap, bump_slots, ies_slots

@@ -11,7 +11,8 @@ import numpy as np
 
 def hdr_to_ldr(img, gamma: float = 2.2, exposure: float = 1.0):
     """sRGB-ish gamma map (RealColorToRGB256 semantics, screen.cl:493)."""
-    x = np.asarray(img, np.float32) * exposure
+    x = np.nan_to_num(np.asarray(img, np.float32), nan=0.0,
+                      posinf=1e6, neginf=0.0) * exposure
     x = np.clip(x, 0.0, None)
     x = np.power(x, 1.0 / gamma)
     return np.clip(x * 255.0 + 0.5, 0, 255).astype(np.uint8)

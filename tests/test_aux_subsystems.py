@@ -29,8 +29,8 @@ def test_alpha_transparency_passthrough():
         b.add_rect([0, 1.0, 0], [3, 0, 0], [0, 0, 3], occ, flip=True)
         b.point_light([0, 2.5, 0], [10.0] * 3)
         sc = b.build(cam_pos=[0, 3, 3], cam_lookat=[0, 0, 0], width=17, height=17, trace_depth=4)
-        texels, table = storage.finalize()
-        sc = sc.replace(texels=texels, tex_table=table)
+        texels, table, samplers = storage.finalize()
+        sc = sc.replace(texels=texels, tex_table=table, tex_sampler=samplers)
         return sc
 
     img_open = np.asarray(render(make(0.0), spp=48, seed=3))
@@ -179,8 +179,8 @@ def test_bump_mapping_perturbs_shading():
         b.add_rect([0, 0, 0], [3, 0, 0], [0, 0, 3], m, flip=True)
         b.point_light([2, 3, 2], [25.0] * 3)
         sc = b.build(cam_pos=[0, 3.5, 0.01], cam_lookat=[0, 0, 0], width=24, height=24, trace_depth=2)
-        texels, table = storage.finalize()
-        return sc.replace(texels=texels, tex_table=table)
+        texels, table, samplers = storage.finalize()
+        return sc.replace(texels=texels, tex_table=table, tex_sampler=samplers)
 
     flat = np.asarray(render(scene(False), spp=48, seed=2, max_depth=2)).mean(-1)
     bumped = np.asarray(render(scene(True), spp=48, seed=2, max_depth=2)).mean(-1)
@@ -219,11 +219,34 @@ def test_ies_profile_shapes_point_light():
     b.light_recs[lid]["tex"] = slot
     b.light_recs[lid]["norm"] = np.array([0, -1, 0], np.float32)  # axis down
     sc = b.build(cam_pos=[0, 5, 0.01], cam_lookat=[0, 0, 0], width=33, height=33, trace_depth=2)
-    texels, table = storage.finalize()
-    sc = sc.replace(texels=texels, tex_table=table)
+    texels, table, samplers = storage.finalize()
+    sc = sc.replace(texels=texels, tex_table=table, tex_sampler=samplers)
 
     img = np.asarray(render(sc, spp=24, seed=4, max_depth=2)).mean(-1)
     center = img[14:19, 14:19].mean()  # directly under the light (theta~0)
     edge = img[2:6, 2:6].mean()  # floor far out (theta > 60deg -> profile ~0)
     assert center > 0.2, f"center {center}"
     assert edge < center * 0.2, f"edge {edge} vs center {center}"
+
+
+def test_cam_plugin_pipeline():
+    """Host camera-rays plugin (CamHostPluginAPI analogue): a pinhole
+    plugin must reproduce the builtin render."""
+    from hydracore_tpu.app.cam_plugin import SimplePinholePlugin, render_with_plugin
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.lambert([0.6] * 3)
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.rect_light([0, 1.95, 0], 0.5, 0.5, [12.0] * 3)
+    sc = b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=12,
+                 height=12, trace_depth=3)
+    R = sc.camera.width * sc.camera.height
+    plug = SimplePinholePlugin(sc, seed=5)
+    # enough blocks for ~48 spp
+    render_with_plugin(sc, plug, n_blocks=48, block_size=R)
+    img = plug.image()
+    ref = np.asarray(render(sc, spp=48, seed=3))
+    rel = abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9)
+    assert rel < 0.1, f"plugin={img.mean():.4f} builtin={ref.mean():.4f}"

@@ -3,6 +3,7 @@
 LT and PT are independent unbiased estimators of the same image (minus
 directly-seen emitters, which LT cannot produce) — their converged means
 must agree. This is the reference's IBPT-consistency idea as a test."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -54,3 +55,27 @@ def test_gbuffer_layers(box_scene):
     cov = np.asarray(g["coverage"])
     assert cov.mean() > 0.95  # closed box fills the frame
     assert np.asarray(g["mat_id"]).max() >= 0
+
+
+def test_gbuffer_shadow_alpha_layers(box_scene):
+    from hydracore_tpu.integrators.gbuffer import eval_gbuffer
+
+    sc = box_scene
+    gb = eval_gbuffer(jax.device_put(sc), jnp.uint32(7), n_samples=2)
+    assert "shadow" in gb and "alpha" in gb
+    sh = np.asarray(gb["shadow"])
+    assert sh.min() >= 0.0 and sh.max() <= 1.0
+    # an open box lit from the top: most visible pixels are lit
+    assert sh.mean() > 0.3
+
+
+def test_adaptive_sampling_runs(box_scene):
+    from hydracore_tpu.integrators.gbuffer import render_adaptive
+    from hydracore_tpu.integrators.pt import render
+
+    sc = box_scene
+    img = render_adaptive(sc, spp_base=8, spp_max=16, seed=3,
+                          noise_threshold=0.1, tile_pixels=256)
+    ref = np.asarray(render(sc, spp=32, seed=5))
+    rel = abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9)
+    assert rel < 0.2, f"adaptive={img.mean():.4f} ref={ref.mean():.4f}"
