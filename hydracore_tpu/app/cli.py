@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import os
 import time
 
 import numpy as np
@@ -118,22 +119,42 @@ def main(argv=None) -> int:
             print(f"[resume] {args.resume}: spp={spp_done}")
         t_start = time.time()
         last_save = t_start
-        for i in range(spp_done, spp):
-            color, rays = render_pass(scene, jnp.uint32(i), jnp.uint32(args.seed), max_depth=md)
+        ctl_path = args.out + ".ctl"  # exitnow watchdog mailbox
+        chunk = max(1, min(8, spp - spp_done))
+        i = spp_done
+        first = True
+        while i < spp:
+            k = min(chunk, spp - i)
+            from hydracore_tpu.integrators.pt import render_passes
+
+            color, rays = render_passes(scene, jnp.uint32(i), jnp.uint32(args.seed),
+                                        n_pass=k, max_depth=md)
             fb = fb + color
-            if i == spp_done:
+            i += k
+            if first:
                 fb.block_until_ready()
                 print(f"[compile+pass0] {time.time() - t_start:.1f}s")
+                first = False
             now = time.time()
             if args.saveinterval > 0 and now - last_save > args.saveinterval:
-                save_png(args.out, hdr_to_ldr(np.asarray(fb) / (i + 1), gamma=args.gamma))
+                save_png(args.out, hdr_to_ldr(np.asarray(fb) / i, gamma=args.gamma))
                 if args.checkpoint:
-                    save_checkpoint(args.checkpoint, np.asarray(fb), i + 1, args.seed)
+                    save_checkpoint(args.checkpoint, np.asarray(fb), i, args.seed)
                 last_save = now
-            if (i + 1) % 16 == 0 or i == spp - 1:
+            # exitnow IPC: a control file ends the loop gracefully (the
+            # reference's shared-memory message channel / max-spp watchdog,
+            # main_app_console.cpp:84, RenderDriverRTE.cpp:1921)
+            if os.path.exists(ctl_path):
+                with open(ctl_path) as cf:
+                    if "exitnow" in cf.read():
+                        print(f"[exitnow] stopping at spp={i}")
+                        os.remove(ctl_path)
+                        spp = i
+                        break
+            if i % 16 == 0 or i >= spp:
                 el = now - t_start
-                msps = (i + 1 - spp_done) * W * H / max(el, 1e-9) / 1e6
-                print(f"[pass] spp = {i + 1}/{spp}, speed = {msps:.2f} M(samples)/s", flush=True)
+                msps = (i - spp_done) * W * H / max(el, 1e-9) / 1e6
+                print(f"[pass] spp = {i}/{spp}, speed = {msps:.2f} M(samples)/s", flush=True)
         if args.checkpoint:
             save_checkpoint(args.checkpoint, np.asarray(fb), spp, args.seed)
         img = np.asarray(fb) / max(spp, 1)
