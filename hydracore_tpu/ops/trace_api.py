@@ -19,7 +19,10 @@ from hydracore_tpu.ops import (traverse_cluster, traverse_dense,
 
 # packet-kernel pools must fit VMEM next to ray blocks and outputs
 _PKT_VMEM_BUDGET = 12 * 1024 * 1024
-# cluster pools: (Cp,12,128) f32 tri blocks must fit VMEM
+# cluster path cap == the VMEM-resident pool limit. The HBM-streaming
+# big mode (traverse_cluster VMEM_MAX_CP < Cp) passes interpret-mode
+# parity tests but faults this TPU worker at Benchmark_Scene03 scale —
+# kept gated off until the DMA fault is root-caused (round 3).
 _CL_MAX_CP = 1024
 
 

@@ -41,28 +41,30 @@ M_SUB = 4  # ray blocks processed per grid step (amortizes step overhead)
 BIG = 3.0e38
 
 
-def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False):
+def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
+                 big_mode: bool = False):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
     K_VISITS = 8  # visits between refilters
 
     def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
-               out_ref, outi_ref, cnt, lst):
+               out_ref, outi_ref, cnt, lst, *big_scratch):
         if unroll_sub:  # interpret mode: fori over ref effects miscompiles
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
-                               perm_ref, oct_ref, out_ref, outi_ref, cnt, lst)
+                               perm_ref, oct_ref, out_ref, outi_ref, cnt,
+                               lst, big_scratch)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
-                           out_ref, outi_ref, cnt, lst)
+                           out_ref, outi_ref, cnt, lst, big_scratch)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
-                       out_ref, outi_ref, cnt, lst):
+                       out_ref, outi_ref, cnt, lst, big_scratch):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -170,8 +172,24 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False):
                 precision=jax.lax.Precision.HIGHEST)
 
         def visit_one(pos, t_cur, slot):
-            c = perm_ref[oct_, pos]  # true cluster id (SMEM, cheap)
-            blk = tris_ref[c]  # (12, 128): Woop rows [Mu | Mv | Mw]
+            if big_mode:
+                # VMEM scalar reads need a static lane: perm is laid out
+                # (8, Cp, 8) with the id in lane 0
+                c = perm_ref[oct_, pos, 0]
+            else:
+                c = perm_ref[oct_, pos]  # true cluster id (SMEM, cheap)
+            if big_mode:
+                # triangle pool lives in HBM: DMA the visited block into a
+                # VMEM scratch tile — scales the kernel past the VMEM
+                # budget (bvh_access streams leaves from global memory the
+                # same way)
+                tbuf, dsem = big_scratch
+                cp = pltpu.make_async_copy(tris_ref.at[c], tbuf, dsem)
+                cp.start()
+                cp.wait()
+                blk = tbuf[...]
+            else:
+                blk = tris_ref[c]  # (12, 128): Woop rows [Mu | Mv | Mw]
             mu = blk[0:4]
             mv = blk[4:8]
             mw = blk[8:12]
@@ -254,6 +272,10 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False):
 INTERPRET = False
 
 
+# clusters beyond this keep their triangle pool in HBM (big mode)
+VMEM_MAX_CP = 1024
+
+
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret"))
 def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
                       interpret=False):
@@ -261,12 +283,22 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
     G = rays.shape[0]
     assert G % M_SUB == 0, "pad ray blocks to a multiple of M_SUB"
     Cp = cbl_oct.shape[2]
+    big = Cp > VMEM_MAX_CP
     d0 = rays[:, 0, 3:6]  # block octant from its first ray's direction
     oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
             + 4 * (d0[:, 2] > 0).astype(jnp.int32))
+    scratch = [
+        pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
+        pltpu.SMEM((Cp + 16,), jnp.int32),
+    ]
+    if big:
+        scratch += [pltpu.VMEM((12, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
+        # lane-0 VMEM layout for scalar-readable cluster ids
+        perm = jnp.broadcast_to(perm[:, :, None], perm.shape + (8,))
     out, outi = pl.pallas_call(
-        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret),
+        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big),
         interpret=interpret,
         grid=(G // M_SUB,),
         in_specs=[
@@ -274,10 +306,13 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cbl_oct.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY) if big else
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(perm.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            (pl.BlockSpec(perm.shape, lambda i: (0, 0, 0),
+                          memory_space=pltpu.VMEM) if big else
+             pl.BlockSpec(perm.shape, lambda i: (0, 0),
+                          memory_space=pltpu.SMEM)),
             pl.BlockSpec((G,), lambda i: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -290,10 +325,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
             jax.ShapeDtypeStruct((G, R_BLK, 8), jnp.float32),
             jax.ShapeDtypeStruct((G, R_BLK, 8), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
-            pltpu.SMEM((Cp + 16,), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
     )(rays, cbl_oct, tris, perm, oct_)

@@ -97,3 +97,41 @@ def test_cut_clusters_small_tree():
     cl = cut_clusters(bvh, v0[bvh.perm], e1[bvh.perm], e2[bvh.perm])
     st = cl.slot_tri[cl.slot_tri >= 0]
     assert np.array_equal(np.sort(st), np.arange(37))
+
+
+def test_big_mode_hbm_streaming():
+    """Cp > VMEM_MAX_CP switches to the HBM-streaming kernel (triangle
+    blocks DMA'd per visit); results must match the VMEM kernel."""
+    rng = np.random.default_rng(11)
+    T = 9000
+    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
+    from hydracore_tpu.bvh.builder import build_bvh
+    from hydracore_tpu.bvh.clusters import cut_clusters
+
+    bvh = build_bvh(v0, v0 + e1, v0 + e2)
+    p = bvh.perm
+    small = cut_clusters(bvh, v0[p], e1[p], e2[p], k_tris=128)
+    big = cut_clusters(bvh, v0[p], e1[p], e2[p], k_tris=1)
+    assert big.tris.shape[0] > tc.VMEM_MAX_CP >= small.tris.shape[0]
+
+    R = tc.R_BLK * tc.M_SUB
+    ro = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    rd = rng.normal(size=(R, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    rays, _ = tc._to_blocks(jnp.asarray(ro), jnp.asarray(rd), 1e30, None)
+
+    t_s, sl_s, _ = tc._cluster_traverse(rays, small.bounds_oct,
+                                        jnp.asarray(small.tris),
+                                        jnp.asarray(small.oct_perm),
+                                        interpret=True)
+    t_b, sl_b, _ = tc._cluster_traverse(rays, big.bounds_oct,
+                                        jnp.asarray(big.tris),
+                                        jnp.asarray(big.oct_perm),
+                                        interpret=True)
+    t_s, t_b = np.asarray(t_s).ravel(), np.asarray(t_b).ravel()
+    hs = np.asarray(sl_s).ravel() >= 0
+    hb = np.asarray(sl_b).ravel() >= 0
+    assert (hs == hb).all()
+    np.testing.assert_allclose(t_s[hs], t_b[hs], rtol=1e-4)
