@@ -21,7 +21,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from hydracore_tpu.ops.texture import sample_bilinear
 from hydracore_tpu.scene.materials import (
     REFL_BECKMANN,
     REFL_GGX,
@@ -62,6 +61,7 @@ class MatParams(NamedTuple):
     transp_alpha: jnp.ndarray  # (R,) rough-glass microfacet alpha (0=delta)
     refl_aniso: jnp.ndarray  # (R,)
     refl_aniso_rot: jnp.ndarray  # (R,)
+    skip_shadow: jnp.ndarray  # (R,) shadow-catcher opacity flag
 
 
 def luminance(c):
@@ -90,48 +90,76 @@ def scene_feats(scene) -> tuple:
     return tuple(out)
 
 
+def _gate(st, name: str) -> bool:
+    """Static feature gate; permissive when settings are absent."""
+    return True if st is None else bool(getattr(st, name, True))
+
+
 def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
-    mt = scene.materials
-    tx, tt = scene.texels, scene.tex_table
+    """ONE packed-row gather (scene.mat_attr) + statically-gated texture
+    fetches. Gather cost on this TPU is per-OP (tools/exp_gather.py), so the
+    ~25 per-field gathers of the naive SoA fetch collapse into one."""
+    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.scene import materials as MC
 
-    def tex_rgb(tex_ids):
-        return sample_bilinear(tx, tt, tex_ids, uv, scene.tex_sampler)[:, :3]
+    st = scene.settings
+    m = scene.mat_attr[mat_id]  # (R, MA_WIDTH)
 
-    em = mt.em_color[mat_id] * tex_rgb(mt.em_tex[mat_id])
-    dc = mt.diff_color[mat_id] * tex_rgb(mt.diff_tex[mat_id])
+    def col(c):
+        return m[:, c]
+
+    def col3(c):
+        return m[:, c:c + 3]
+
+    def coli(c):
+        return m[:, c].astype(jnp.int32)
+
+    def tex_rgb(tex_col, has: bool):
+        if not has:
+            return 1.0
+        return sample_tex(scene.texels, scene.tex_meta, coli(tex_col), uv)[:, :3]
+
+    em = col3(MC.MA_EM) * tex_rgb(MC.MA_EM_TEX, _gate(st, "has_em_tex"))
+    dc = col3(MC.MA_DIFF) * tex_rgb(MC.MA_DIFF_TEX, _gate(st, "has_diff_tex"))
 
     from hydracore_tpu.ops.proctex import eval_proc_tex, num_proc_tex
 
-    if pos is not None and num_proc_tex() > 0:
-        proc = mt.diff_proc[mat_id]
+    if pos is not None and num_proc_tex() > 0 and _gate(st, "has_proc_tex"):
+        proc = coli(MC.MA_DIFF_PROC)
         nn = normal if normal is not None else jnp.zeros_like(pos)
         dc = dc * jnp.where((proc >= 0)[:, None], eval_proc_tex(proc, uv, pos, nn), 1.0)
-    rc = mt.refl_color[mat_id] * tex_rgb(mt.refl_tex[mat_id])
-    op = sample_bilinear(tx, tt, mt.opacity_tex[mat_id], uv, scene.tex_sampler)[:, 0]
-    tg = mt.transp_gloss[mat_id]
+    rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_REFL_TEX, _gate(st, "has_refl_tex"))
+    if _gate(st, "has_alpha"):
+        op = sample_tex(scene.texels, scene.tex_meta,
+                        coli(MC.MA_OPACITY_TEX), uv)[:, 0]
+    else:
+        op = jnp.ones(uv.shape[0], jnp.float32)
+    tg = col(MC.MA_TRANSP_GLOSS)
+    tl = col3(MC.MA_TRANSL)
+    if _gate(st, "has_transl"):
+        tl = tl * tex_rgb(MC.MA_TRANSL_TEX, _gate(st, "has_transl_tex"))
     return MatParams(
         em_color=em,
         diff_color=dc,
-        diff_rough=mt.diff_rough[mat_id],
+        diff_rough=col(MC.MA_DIFF_ROUGH),
         refl_color=rc,
-        refl_cospow=mt.refl_cospow[mat_id],
-        refl_alpha=mt.refl_alpha[mat_id],
-        refl_dist=mt.refl_dist[mat_id],
-        fresnel_ior=mt.fresnel_ior[mat_id],
-        fresnel_on=mt.fresnel_on[mat_id],
-        transp_color=mt.transp_color[mat_id],
-        transp_ior=mt.transp_ior[mat_id],
-        thin_walled=mt.thin_walled[mat_id],
+        refl_cospow=col(MC.MA_REFL_COSPOW),
+        refl_alpha=col(MC.MA_REFL_ALPHA),
+        refl_dist=coli(MC.MA_REFL_DIST),
+        fresnel_ior=col(MC.MA_FRESNEL_IOR),
+        fresnel_on=col(MC.MA_FRESNEL_ON),
+        transp_color=col3(MC.MA_TRANSP),
+        transp_ior=col(MC.MA_TRANSP_IOR),
+        thin_walled=coli(MC.MA_THIN_WALLED),
         opacity=op,
-        light_id=mt.light_id[mat_id],
-        bump_tex=mt.bump_tex[mat_id],
-        transl_color=(mt.transl_color[mat_id] * tex_rgb(mt.transl_tex[mat_id])
-                      if scene.settings is None or scene.settings.has_transl
-                      else mt.transl_color[mat_id]),
+        light_id=coli(MC.MA_LIGHT_ID),
+        bump_tex=coli(MC.MA_BUMP_TEX),
+        transl_color=tl,
         transp_alpha=jnp.where(tg < 0.999,
                                jnp.maximum(1.0 - tg, 1e-3), 0.0),
-        refl_aniso=mt.refl_aniso[mat_id],
-        refl_aniso_rot=mt.refl_aniso_rot[mat_id],
+        refl_aniso=col(MC.MA_REFL_ANISO),
+        refl_aniso_rot=col(MC.MA_REFL_ANISO_ROT),
+        skip_shadow=coli(MC.MA_SKIP_SHADOW),
     )
 
 
@@ -147,19 +175,22 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
     of the view angle, or falloff — and the two leaves are lerped
     field-wise (ints switch at w=0.5). The vectorized equivalent of
     materialRandomWalkBRDF's tree descent for one-level trees."""
-    mt = scene.materials
     p_top = _fetch_leaf(scene, mat_id, uv, pos, normal)
     # static fast path: no blend materials in the scene -> single fetch
     if scene.settings is not None and not scene.settings.has_blend:
         return p_top
-    bn = mt.blend_node[mat_id]
-    btype = mt.blend_type[mat_id]
+    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.scene import materials as MC
+
+    mrow = scene.mat_attr[mat_id]
+    bn = mrow[:, MC.MA_BLEND_NODE].astype(jnp.int32)
+    btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
     has = bn >= 0
-    bot_id = jnp.where(has, jnp.clip(bn, 0, mt.blend_node.shape[0] - 1), mat_id)
+    bot_id = jnp.where(has, jnp.clip(bn, 0, scene.mat_attr.shape[0] - 1), mat_id)
     p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal)
 
-    mask = sample_bilinear(scene.texels, scene.tex_table,
-                           mt.blend_tex[mat_id], uv, scene.tex_sampler)[:, :3]
+    mask = sample_tex(scene.texels, scene.tex_meta,
+                      mrow[:, MC.MA_BLEND_TEX].astype(jnp.int32), uv)[:, :3]
     w_mask = luminance(mask)
     if normal is not None and wo is not None:
         cos_v = jnp.abs(dot3(normal, wo))
@@ -167,7 +198,8 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
         cos_v = jnp.abs(dot3(normal, normalize3(pos)))  # weak fallback
     else:
         cos_v = jnp.full(w_mask.shape, 0.5)
-    w_fres = fresnel_dielectric(cos_v, jnp.maximum(mt.blend_ior[mat_id], 1.0 + 1e-4))
+    w_fres = fresnel_dielectric(
+        cos_v, jnp.maximum(mrow[:, MC.MA_BLEND_IOR], 1.0 + 1e-4))
     w_fall = 1.0 - cos_v
     w = jnp.where(btype == 2, w_fres, jnp.where(btype == 3, w_fall, w_mask))
     w = jnp.where(has, jnp.clip(w, 0.0, 1.0), 1.0)
@@ -186,9 +218,12 @@ def apply_bump(scene, p: MatParams, n, tang, uv):
     """Perturb the shading normal by the material's normal map — the shading
     side of the reference bump pipeline (aux normal map applied in
     ComputeHit/Shade via the TBN frame). tang: interpolated mesh tangent."""
+    from hydracore_tpu.ops.texture import sample_tex
+
+    if not _gate(scene.settings, "has_bump"):
+        return n
     has = p.bump_tex > 0
-    nm = sample_bilinear(scene.texels, scene.tex_table, p.bump_tex, uv,
-                         scene.tex_sampler)[:, :3] * 2.0 - 1.0
+    nm = sample_tex(scene.texels, scene.tex_meta, p.bump_tex, uv)[:, :3] * 2.0 - 1.0
     t = normalize3(tang - dot3(tang, n)[:, None] * n)
     b = jnp.stack(
         [

@@ -58,11 +58,16 @@ def mis_weight(a, b):
 MAX_ALPHA_SHADOW_STEPS = 2  # transparent layers a shadow ray may cross
 
 
-def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool):
+def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool,
+                 presorted: bool = False):
     """Occlusion query. With alpha materials in the scene, walks up to
     MAX_ALPHA_SHADOW_STEPS stochastic transparent layers (ref: shadow
-    traversal alpha variants, trace.cl:244+ / TransparentShadowKenrel)."""
+    traversal alpha variants, trace.cl:244+ / TransparentShadowKenrel).
+    presorted: the wavefront is already in coherence order — skip the
+    internal sort."""
     if not has_alpha:
+        if presorted:
+            return any_hit(scene, sray_o, sdir, dist * 0.995, active=active)
         return any_hit_sorted(scene, sray_o, sdir, dist * 0.995, active=active)
 
     occluded = jnp.zeros(sray_o.shape[0], bool)
@@ -79,7 +84,7 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool):
         p = fetch_material(scene, mat_id, uv)
         ua = rng.hash_u32(u_alpha + jnp.uint32(step * 0x9E3779B9))
         ua = (ua >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
-        skip_sh = scene.materials.skip_shadow[mat_id] != 0
+        skip_sh = p.skip_shadow != 0
         passthru = hit & (((p.opacity < 0.999) & (ua >= p.opacity)) | skip_sh)
         occluded = occluded | (hit & ~passthru)
         searching = passthru
@@ -124,23 +129,22 @@ def make_eye_rays(cam, px, py, jitter, lens_uv):
 # ----------------------------------------------------------------------------
 
 def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
-    tri_c = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
+    """Hit attribute interpolation — ONE packed tri_attr row gather (XLA
+    gathers cost per-OP on TPU, tools/exp_gather.py; the naive SoA form was
+    15 gathers ≈ 24 ms per bounce at 512²)."""
+    tri_c = jnp.clip(tri, 0, scene.tri_attr.shape[0] - 1)
+    a = scene.tri_attr[tri_c]  # (R, 40)
     w = 1.0 - u - v
+    wc, uc, vc = w[:, None], u[:, None], v[:, None]
     pos = ray_o + t[:, None] * ray_d
-    n = normalize3(
-        w[:, None] * scene.n0[tri_c] + u[:, None] * scene.n1[tri_c] + v[:, None] * scene.n2[tri_c]
-    )
-    ng = normalize3(cross3(scene.tri_e1[tri_c], scene.tri_e2[tri_c]))
+    n = normalize3(wc * a[:, 9:12] + uc * a[:, 12:15] + vc * a[:, 15:18])
+    ng = normalize3(cross3(a[:, 3:6], a[:, 6:9]))
     # orient geometric normal with the shading normal
     ng = jnp.where(dot3(ng, n)[:, None] < 0.0, -ng, ng)
-    uv = (
-        w[:, None] * scene.uv0[tri_c] + u[:, None] * scene.uv1[tri_c] + v[:, None] * scene.uv2[tri_c]
-    )
-    tang = normalize3(
-        w[:, None] * scene.t0[tri_c] + u[:, None] * scene.t1[tri_c] + v[:, None] * scene.t2[tri_c]
-    )
-    mat = scene.tri_mat[tri_c]
-    lgt = scene.tri_light[tri_c]
+    uv = wc * a[:, 27:29] + uc * a[:, 29:31] + vc * a[:, 31:33]
+    tang = normalize3(wc * a[:, 18:21] + uc * a[:, 21:24] + vc * a[:, 24:27])
+    mat = a[:, 33].astype(jnp.int32)
+    lgt = a[:, 34].astype(jnp.int32)
     return pos, n, ng, uv, mat, lgt, tang
 
 
@@ -149,14 +153,35 @@ def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
 # ----------------------------------------------------------------------------
 
 def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth: int = 3,
-                  has_alpha: bool = False):
+                  has_alpha: bool = False, sample_idx=None):
     """Trace a batch of primary rays to completion with a pluggable random
-    provider rand_fn(depth, group) -> (R, 4) uniforms (hash-RNG for PT,
-    primary-sample-vector slices for PSSMLT).
+    provider (hash-RNG for PT, primary-sample-vector slices for PSSMLT).
+
+    Two wavefront modes:
+      * legacy (sample_idx None): rays stay in caller order; traversal
+        sorts/unsorts internally per call (closest_hit_sorted). Used by
+        PSSMLT whose random provider is positional.
+      * persistent-sorted (sample_idx given, cluster backend): the WHOLE
+        live state is permuted by the coherence key once per bounce and
+        both traversals run on the already-sorted wavefront — one sort +
+        ONE packed-state gather per bounce instead of 2 sorts + ~7
+        gathers/scatters. rand_fn then takes the per-ray stream id:
+        rand_fn(sidx, depth, group). Output order is restored at the end.
 
     Returns (radiance (R,3), rays_traced ()) — the ray counter feeds the
     Mrays/s metric (MRaysStat analogue, cglobals.h:1764)."""
+    from hydracore_tpu.ops.trace_api import ray_sort_key, wants_sorted_rays
+
     R = ray_o.shape[0]
+    sorted_mode = sample_idx is not None and wants_sorted_rays(scene)
+    if sample_idx is not None:
+        hash_fn = rand_fn
+
+        def rand_fn(depth, group):  # noqa: F811 — bind current stream ids
+            return hash_fn(sidx, depth, group)
+
+    sidx = sample_idx
+    orig_pos = jnp.arange(R, dtype=jnp.int32)
     rays_traced = jnp.zeros((), jnp.float32)
     acc = jnp.zeros((R, 3), jnp.float32)
     throughput = jnp.ones((R, 3), jnp.float32)
@@ -165,35 +190,66 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     prev_spec = jnp.ones((R,), bool)  # camera vertex counts as specular
 
     feats = scene_feats(scene)
-    has_sky = (scene.lights.ltype == LIGHT_SKY).any()
-    sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
-    sky_pick = jnp.where(
-        has_sky,
-        scene.lights.pick_cdf[sky_row + 1] - scene.lights.pick_cdf[sky_row],
-        1.0,
-    )
+    # static sky gate: closed scenes (no sky light) drop the whole env
+    # machinery from the jit graph (finalize_scene sets settings.has_sky)
+    has_sky_s = scene.settings is None or scene.settings.has_sky
+    if has_sky_s:
+        has_sky = (scene.lights.ltype == LIGHT_SKY).any()
+        sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
+        sky_pick = jnp.where(
+            has_sky,
+            scene.lights.pick_cdf[sky_row + 1] - scene.lights.pick_cdf[sky_row],
+            1.0,
+        )
 
     for depth in range(max_depth):
+        if sorted_mode and depth > 0:
+            # permute the whole live state into (octant, origin-Morton)
+            # coherence order: ONE u32 sort + ONE packed (R,17) gather
+            key = ray_sort_key(scene, ray_o, ray_d)
+            key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+            _, perm = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+            f32 = jnp.float32
+            packed = jnp.concatenate([
+                ray_o, ray_d, throughput, acc,
+                prev_pdf[:, None], prev_spec.astype(f32)[:, None],
+                alive.astype(f32)[:, None],
+                jax.lax.bitcast_convert_type(sidx, f32)[:, None],
+                jax.lax.bitcast_convert_type(orig_pos, f32)[:, None],
+            ], axis=1)[perm]
+            ray_o, ray_d = packed[:, 0:3], packed[:, 3:6]
+            throughput, acc = packed[:, 6:9], packed[:, 9:12]
+            prev_pdf = packed[:, 12]
+            prev_spec = packed[:, 13] > 0.5
+            alive = packed[:, 14] > 0.5
+            sidx = jax.lax.bitcast_convert_type(packed[:, 15], jnp.uint32)
+            orig_pos = jax.lax.bitcast_convert_type(packed[:, 16], jnp.int32)
+
         rays_traced = rays_traced + alive.sum()
-        # primaries arrive Morton-ordered; secondary wavefronts re-sort by
-        # (octant, origin-Morton) for block-kernel coherence (screen.cl:155)
-        trace = closest_hit if depth == 0 else closest_hit_sorted
+        # primaries arrive Morton-ordered; in sorted mode the wavefront is
+        # already coherent, otherwise the traversal sorts internally
+        # (screen.cl:155 Morton z-index sort analogue)
+        if sorted_mode:
+            trace = closest_hit
+        else:
+            trace = closest_hit if depth == 0 else closest_hit_sorted
         t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
 
         # ---- environment (HitEnvOrLightKernel env path, material.cl:344)
-        from hydracore_tpu.lights.envmap import env_pdf_for_dir
+        if has_sky_s:
+            from hydracore_tpu.lights.envmap import env_pdf_for_dir
 
-        env = env_radiance(scene, ray_d)
-        env_pdf = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
-                                  scene.env_pdf_uv, ray_d)
-        w_env = jnp.where(
-            prev_spec | ~has_sky,
-            1.0,
-            mis_weight(prev_pdf, env_pdf * sky_pick),
-        )
-        acc = acc + jnp.where(miss[:, None], throughput * env * w_env[:, None], 0.0)
+            env = env_radiance(scene, ray_d)
+            env_pdf = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
+                                      scene.env_pdf_uv, ray_d)
+            w_env = jnp.where(
+                prev_spec | ~has_sky,
+                1.0,
+                mis_weight(prev_pdf, env_pdf * sky_pick),
+            )
+            acc = acc + jnp.where(miss[:, None], throughput * env * w_env[:, None], 0.0)
         alive = alive & hit
 
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
@@ -213,8 +269,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         is_emitter = alive & (em_lum > 1e-6) & ~passthru
         front = dot3(n, -ray_d) > 0.0
         lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
-        l_pdf_w = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d, pos, n)
-        l_pick = scene.lights.pick_cdf[lrow + 1] - scene.lights.pick_cdf[lrow]
+        l_pdf_w, l_pick = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d,
+                                                  pos, n, return_pick=True)
         w_li = jnp.where(
             prev_spec | (tri_light < 0), 1.0, mis_weight(prev_pdf, l_pdf_w * l_pick)
         )
@@ -234,12 +290,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
         r_l = rand_fn(depth, DG_LIGHT)
-        l_idx, pick_prob = select_light(scene.lights, r_l[:, 3])
+        l_idx, _ = select_light(scene.lights, r_l[:, 3])
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        pick_prob = ls.pick_prob  # from the packed row (saves 2 CDF gathers)
         rays_traced = rays_traced + alive.sum()  # shadow rays
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
         u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
-        occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh, has_alpha)
+        occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh,
+                                has_alpha, presorted=sorted_mode)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
         cos_s = jnp.maximum(dot3(ls.dir, ns), 0.0)
         w_l = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf_w * pick_prob, pdf_fwd))
@@ -276,6 +334,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         ray_o = offs_ray_pos(pos, n_off, wi)
         ray_d = wi
 
+    if sorted_mode:  # restore caller ray order (one scatter)
+        acc = jnp.zeros((R, 3), jnp.float32).at[orig_pos].set(acc)
     return acc, rays_traced
 
 
@@ -284,10 +344,11 @@ def pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth: int = 5, min_rr_d
              has_alpha: bool = False):
     """Hash-RNG path tracer (the default PT entry)."""
 
-    def rand_fn(depth, group):
-        return rng.rand4(sample_idx, depth, group, seed)
+    def rand_fn(sidx, depth, group):
+        return rng.rand4(sidx, depth, group, seed)
 
-    return pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth, min_rr_depth, has_alpha)
+    return pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth, min_rr_depth,
+                         has_alpha, sample_idx=sample_idx)
 
 
 # ----------------------------------------------------------------------------

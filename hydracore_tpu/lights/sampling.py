@@ -47,204 +47,247 @@ class LightSample(NamedTuple):
     pdf_w: jnp.ndarray  # (R,) solid-angle pdf (1 for delta lights)
     is_delta: jnp.ndarray  # (R,) bool — MIS weight 1
     cos_at_light: jnp.ndarray  # (R,)
+    pick_prob: jnp.ndarray = None  # (R,) pick probability of this light
 
 
 def select_light(lights, u):
-    """CDF pick: returns (index (R,), pick_prob (R,))."""
+    """CDF pick: returns (index (R,), pick_prob (R,)). Broadcast compare-sum
+    instead of searchsorted: elementwise on TPU, no per-ray gather."""
     cdf = lights.pick_cdf
-    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right") - 1, 0, cdf.shape[0] - 2)
+    idx = jnp.clip(jnp.sum(cdf[None, 1:-1] <= u[:, None], axis=1),
+                   0, cdf.shape[0] - 2)
     prob = cdf[idx + 1] - cdf[idx]
     return idx.astype(jnp.int32), jnp.maximum(prob, 1e-12)
 
 
+def _light_types(scene) -> set:
+    st = scene.settings
+    if st is None:
+        return set(range(9))
+    return set(getattr(st, "light_types", tuple(range(9))))
+
+
 def env_radiance(scene, d):
     """Sky radiance along direction d (R,3): constant color x optional
-    lat-long texture (ref: environmentColorExtended, material.cl:344)."""
+    lat-long texture (ref: environmentColorExtended, material.cl:344).
+    Statically skipped (constant env_color) for scenes without a sky light."""
     lt = scene.lights
+    if LIGHT_SKY not in _light_types(scene):
+        return jnp.broadcast_to(scene.env_color, d.shape)
+    from hydracore_tpu.ops.texture import sample_tex
+
     sky_rows = jnp.asarray(lt.ltype) == LIGHT_SKY
     has_sky = sky_rows.any()
     sky_row = jnp.argmax(sky_rows)
     tex = lt.tex[sky_row]
     u = 0.5 + jnp.arctan2(d[:, 0], -d[:, 2]) * (0.5 / np.pi)
     v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) * (1.0 / np.pi)
-    texc = sample_bilinear(scene.texels, scene.tex_table, jnp.broadcast_to(tex, (d.shape[0],)), jnp.stack([u, v], -1), scene.tex_sampler)[:, :3]
+    texc = sample_tex(scene.texels, scene.tex_meta,
+                      jnp.broadcast_to(tex, (d.shape[0],)),
+                      jnp.stack([u, v], -1))[:, :3]
     base = jnp.where(has_sky, lt.intensity[sky_row], scene.env_color)
     return base[None, :] * jnp.where(has_sky & (tex > 0), texc, jnp.ones_like(texc))
 
 
 def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     """Sample one point/direction on light l_idx (R,) from surface points sp
-    (R,3) with rnds (R,3) uniforms."""
-    lt = scene.lights
-    ltype = lt.ltype[l_idx]
-    pos = lt.pos[l_idx]
-    nrm = lt.norm[l_idx]
-    vx = lt.vx[l_idx]
-    vy = lt.vy[l_idx]
-    inten = lt.intensity[l_idx]
-    radius = lt.radius[l_idx]
-    area = jnp.maximum(lt.area[l_idx], 1e-12)
-    cos_in = lt.cos_in[l_idx]
-    cos_out = lt.cos_out[l_idx]
+    (R,3) with rnds (R,3) uniforms.
+
+    Gather-optimal: ONE packed light-row gather (scene.light_attr) and each
+    per-type branch statically dropped when the scene has no light of that
+    type (settings.light_types, the compile-gate pattern of
+    GPUOCLKernels.cpp:424-512 kernel-variant selection)."""
+    from hydracore_tpu.scene.lights import (LA_AREA, LA_COS_IN, LA_COS_OUT,
+                                            LA_INTEN, LA_MESH_ROW, LA_NORM,
+                                            LA_PICK_PROB, LA_PORTAL, LA_POS,
+                                            LA_RADIUS, LA_TEX, LA_TYPE,
+                                            LA_VX, LA_VY)
+
+    types = _light_types(scene)
+    a = scene.light_attr[l_idx]  # (R, LA_WIDTH) — the one gather
+    ltype = a[:, LA_TYPE].astype(jnp.int32)
+    pos = a[:, LA_POS:LA_POS + 3]
+    nrm = a[:, LA_NORM:LA_NORM + 3]
+    vx = a[:, LA_VX:LA_VX + 3]
+    vy = a[:, LA_VY:LA_VY + 3]
+    inten = a[:, LA_INTEN:LA_INTEN + 3]
+    radius = a[:, LA_RADIUS]
+    area = jnp.maximum(a[:, LA_AREA], 1e-12)
+    cos_in = a[:, LA_COS_IN]
+    cos_out = a[:, LA_COS_OUT]
+    pick_prob = a[:, LA_PICK_PROB]
 
     u1, u2 = rnds[:, 0], rnds[:, 1]
 
-    # --- area rect / disk sample point
-    p_rect = pos + (2.0 * u1 - 1.0)[:, None] * vx + (2.0 * u2 - 1.0)[:, None] * vy
-    r_d = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
-    phi_d = 2.0 * np.pi * u2
-    p_disk = pos + (r_d * jnp.cos(phi_d))[:, None] * vx + (r_d * jnp.sin(phi_d))[:, None] * vy
+    def sel3(cond, x, y):
+        return jnp.where(cond[:, None], x, y)
 
-    is_rect = ltype == LIGHT_AREA_RECT
-    is_disk = ltype == LIGHT_AREA_DISK
-    is_area = is_rect | is_disk
-    p_area = jnp.where(is_rect[:, None], p_rect, p_disk)
-
-    to_l = p_area - sp
-    d2 = jnp.maximum(dot3(to_l, to_l), 1e-12)
-    dist_a = jnp.sqrt(d2)
-    dir_a = to_l / dist_a[:, None]
-    cos_l = dot3(nrm, -dir_a)
-    pdf_a = d2 / (area * jnp.maximum(cos_l, 1e-6))
-    rad_a = jnp.where((cos_l > 1e-6)[:, None], inten, 0.0)
-
-    # --- sphere: uniform over sphere surface facing the point (cone sampling)
+    # shared geometry to the light center
     to_c = pos - sp
     dc2 = jnp.maximum(dot3(to_c, to_c), 1e-12)
     dc = jnp.sqrt(dc2)
-    sin_max2 = jnp.clip(radius * radius / dc2, 0.0, 0.9999)
-    cos_max = jnp.sqrt(1.0 - sin_max2)
-    cos_t = 1.0 - u1 * (1.0 - cos_max)
-    sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, 1.0))
-    phi = 2.0 * np.pi * u2
-    wdir = normalize3(to_c)
-    tb, bb = make_orthonormal_basis(wdir)
-    dir_s = normalize3(
-        (sin_t * jnp.cos(phi))[:, None] * tb + (sin_t * jnp.sin(phi))[:, None] * bb + cos_t[:, None] * wdir
-    )
-    pdf_s = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
-    # distance to sphere along dir_s
-    b_ = dot3(dir_s, to_c)
-    disc = jnp.maximum(b_ * b_ - dc2 + radius * radius, 0.0)
-    dist_s = b_ - jnp.sqrt(disc)
+    dir_p = to_c / dc[:, None]
 
-    # --- point / spot: delta
-    dir_p = normalize3(to_c)
-    inv_d2 = 1.0 / dc2
-    spot_cos = dot3(nrm, -dir_p)  # angle from spot axis
-    spot_fall = _smoothstep01(
-        (spot_cos - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6))
-    rad_p = inten * inv_d2[:, None]
-    # IES photometric profile: spherical lookup of the emitted direction
-    # around the light axis (ref: IES sphere sampling, clight.h:411)
-    tex_slot = lt.tex[l_idx]
-    emit_dir = -dir_p  # light -> surface
-    cos_ax = jnp.clip(dot3(emit_dir, nrm), -1.0, 1.0)
-    theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
-    tb2, bb2 = make_orthonormal_basis(nrm)
-    phi_v = (jnp.arctan2(dot3(emit_dir, bb2), dot3(emit_dir, tb2)) * (0.5 / np.pi)) % 1.0
-    ies_val = sample_bilinear(
-        scene.texels, scene.tex_table, tex_slot,
-        jnp.stack([phi_v, theta_v], -1), scene.tex_sampler
-    )[:, 0]
-    has_ies = (tex_slot > 0) & ((ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT))
-    rad_p = rad_p * jnp.where(has_ies, ies_val, 1.0)[:, None]
-    rad_spot = rad_p * spot_fall[:, None]
+    # defaults (point-light-ish); per-type branches overwrite below
+    direction = dir_p
+    dist = dc
+    radiance = inten / dc2[:, None]
+    pdf_w = jnp.ones_like(dc)
+    cos_at_light = jnp.ones_like(dc)
+
+    # --- IES photometric profile on point/spot (clight.h:411)
+    if (LIGHT_POINT in types or LIGHT_SPOT in types) and \
+            (scene.settings is None or getattr(scene.settings, "has_ies", True)):
+        from hydracore_tpu.ops.texture import sample_tex
+
+        tex_slot = a[:, LA_TEX].astype(jnp.int32)
+        emit_dir = -dir_p
+        cos_ax = jnp.clip(dot3(emit_dir, nrm), -1.0, 1.0)
+        theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
+        tb2, bb2 = make_orthonormal_basis(nrm)
+        phi_v = (jnp.arctan2(dot3(emit_dir, bb2), dot3(emit_dir, tb2)) * (0.5 / np.pi)) % 1.0
+        ies_val = sample_tex(scene.texels, scene.tex_meta, tex_slot,
+                             jnp.stack([phi_v, theta_v], -1))[:, 0]
+        has_ies = (tex_slot > 0) & ((ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT))
+        radiance = radiance * jnp.where(has_ies, ies_val, 1.0)[:, None]
+
+    # --- spot falloff
+    if LIGHT_SPOT in types:
+        spot_cos = dot3(nrm, -dir_p)
+        spot_fall = _smoothstep01(
+            (spot_cos - cos_out) / jnp.maximum(cos_in - cos_out, 1e-6))
+        radiance = radiance * jnp.where(ltype == LIGHT_SPOT, spot_fall, 1.0)[:, None]
+
+    # --- area rect / disk
+    if LIGHT_AREA_RECT in types or LIGHT_AREA_DISK in types:
+        p_rect = pos + (2.0 * u1 - 1.0)[:, None] * vx + (2.0 * u2 - 1.0)[:, None] * vy
+        r_d = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+        phi_d = 2.0 * np.pi * u2
+        p_disk = pos + (r_d * jnp.cos(phi_d))[:, None] * vx \
+            + (r_d * jnp.sin(phi_d))[:, None] * vy
+        is_rect = ltype == LIGHT_AREA_RECT
+        is_area = is_rect | (ltype == LIGHT_AREA_DISK)
+        p_area = jnp.where(is_rect[:, None], p_rect, p_disk)
+        to_l = p_area - sp
+        d2 = jnp.maximum(dot3(to_l, to_l), 1e-12)
+        dist_a = jnp.sqrt(d2)
+        dir_a = to_l / dist_a[:, None]
+        cos_l = dot3(nrm, -dir_a)
+        pdf_a = d2 / (area * jnp.maximum(cos_l, 1e-6))
+        rad_a = jnp.where((cos_l > 1e-6)[:, None], inten, 0.0)
+        # sky portals re-emit the environment through the opening
+        # (SkyPortal, PlainLightConverter.cpp:304)
+        if scene.settings is None or getattr(scene.settings, "has_portal", True):
+            portal = a[:, LA_PORTAL] > 0
+            rad_a = jnp.where(portal[:, None],
+                              rad_a * env_radiance(scene, dir_a), rad_a)
+        direction = sel3(is_area, dir_a, direction)
+        dist = jnp.where(is_area, dist_a, dist)
+        radiance = sel3(is_area, rad_a, radiance)
+        pdf_w = jnp.where(is_area, pdf_a, pdf_w)
+        cos_at_light = jnp.where(is_area, cos_l, cos_at_light)
+
+    # --- sphere: cone sampling toward the visible cap
+    if LIGHT_SPHERE in types:
+        sin_max2 = jnp.clip(radius * radius / dc2, 0.0, 0.9999)
+        cos_max = jnp.sqrt(1.0 - sin_max2)
+        cos_t = 1.0 - u1 * (1.0 - cos_max)
+        sin_t = jnp.sqrt(jnp.clip(1.0 - cos_t * cos_t, 0.0, 1.0))
+        phi = 2.0 * np.pi * u2
+        tb, bb = make_orthonormal_basis(dir_p)
+        dir_s = normalize3((sin_t * jnp.cos(phi))[:, None] * tb
+                           + (sin_t * jnp.sin(phi))[:, None] * bb
+                           + cos_t[:, None] * dir_p)
+        pdf_s = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
+        b_ = dot3(dir_s, to_c)
+        disc = jnp.maximum(b_ * b_ - dc2 + radius * radius, 0.0)
+        dist_s = b_ - jnp.sqrt(disc)
+        is_sph = ltype == LIGHT_SPHERE
+        direction = sel3(is_sph, dir_s, direction)
+        dist = jnp.where(is_sph, dist_s, dist)
+        radiance = sel3(is_sph, inten, radiance)
+        pdf_w = jnp.where(is_sph, pdf_s, pdf_w)
 
     # --- direct (sun): delta direction
-    dir_dir = -nrm
-    rad_dir = inten
+    if LIGHT_DIRECT in types:
+        is_dir = ltype == LIGHT_DIRECT
+        direction = sel3(is_dir, -nrm, direction)
+        dist = jnp.where(is_dir, FAR_DIST, dist)
+        radiance = sel3(is_dir, inten, radiance)
+        pdf_w = jnp.where(is_dir, 1.0, pdf_w)
 
-    # --- sky: importance-sampled from the env pdf tables (Map2DPiecewise-
-    # Sample semantics, clight.h:369; trivial table ~ sin-weighted uniform)
-    from hydracore_tpu.lights.envmap import sample_env_dir
+    # --- sky: env-importance sample (Map2DPiecewiseSample, clight.h:369)
+    if LIGHT_SKY in types:
+        from hydracore_tpu.lights.envmap import sample_env_dir
 
-    dir_sky, pdf_sky = sample_env_dir(
-        scene.env_rows_cdf, scene.env_cols_cdf, scene.env_pdf_uv, u1, u2
-    )
-    rad_sky = env_radiance(scene, dir_sky)
+        dir_sky, pdf_sky = sample_env_dir(
+            scene.env_rows_cdf, scene.env_cols_cdf, scene.env_pdf_uv, u1, u2)
+        rad_sky = env_radiance(scene, dir_sky)
+        is_sky = ltype == LIGHT_SKY
+        direction = sel3(is_sky, dir_sky, direction)
+        dist = jnp.where(is_sky, FAR_DIST, dist)
+        radiance = sel3(is_sky, rad_sky, radiance)
+        pdf_w = jnp.where(is_sky, pdf_sky, pdf_w)
 
-    # --- mesh light: pick a triangle by area CDF, then a uniform point
-    # (ref MeshLight + CalcTrianglePickProbTable, PlainLightConverter.cpp:724)
-    mrow = jnp.clip(lt.mesh_row[l_idx], 0, scene.ml_cdf.shape[0] - 1)
-    cdf_rows = scene.ml_cdf[mrow]  # (R, TMAX)
-    ti = jnp.sum((cdf_rows < u1[:, None]).astype(jnp.int32), axis=1)
-    ti = jnp.clip(ti, 0, scene.ml_tri.shape[1] - 1)
-    tri = jnp.clip(scene.ml_tri[mrow, ti], 0, scene.tri_v0.shape[0] - 1)
-    u3m = rnds[:, 2]
-    r1 = jnp.sqrt(jnp.clip(u2, 0.0, 1.0))
-    b1 = r1 * (1.0 - u3m)
-    b2 = r1 * u3m
-    p_mesh = (scene.tri_v0[tri] + b1[:, None] * scene.tri_e1[tri]
-              + b2[:, None] * scene.tri_e2[tri])
-    n_mesh = normalize3(cross3(scene.tri_e1[tri], scene.tri_e2[tri]))
-    to_m = p_mesh - sp
-    dm2 = jnp.maximum(dot3(to_m, to_m), 1e-12)
-    dist_m = jnp.sqrt(dm2)
-    dir_m = to_m / dist_m[:, None]
-    cos_m = jnp.abs(dot3(n_mesh, -dir_m))  # two-sided emission
-    pdf_m = dm2 / (area * jnp.maximum(cos_m, 1e-6))
-    rad_m = jnp.where((cos_m > 1e-6)[:, None], inten, 0.0)
+    # --- mesh light: triangle by area CDF + uniform point
+    # (MeshLight + CalcTrianglePickProbTable, PlainLightConverter.cpp:724)
+    if LIGHT_MESH in types:
+        mrow = jnp.clip(a[:, LA_MESH_ROW].astype(jnp.int32), 0,
+                        scene.ml_cdf.shape[0] - 1)
+        cdf_rows = scene.ml_cdf[mrow]
+        ti = jnp.sum((cdf_rows < u1[:, None]).astype(jnp.int32), axis=1)
+        ti = jnp.clip(ti, 0, scene.ml_tri.shape[1] - 1)
+        tri = jnp.clip(scene.ml_tri[mrow, ti], 0, scene.tri_v0.shape[0] - 1)
+        u3m = rnds[:, 2]
+        r1 = jnp.sqrt(jnp.clip(u2, 0.0, 1.0))
+        b1 = r1 * (1.0 - u3m)
+        b2 = r1 * u3m
+        ta = scene.tri_attr[tri]
+        tv0, te1, te2 = ta[:, 0:3], ta[:, 3:6], ta[:, 6:9]
+        p_mesh = tv0 + b1[:, None] * te1 + b2[:, None] * te2
+        n_mesh = normalize3(cross3(te1, te2))
+        to_m = p_mesh - sp
+        dm2 = jnp.maximum(dot3(to_m, to_m), 1e-12)
+        dist_m = jnp.sqrt(dm2)
+        dir_m = to_m / dist_m[:, None]
+        cos_m = jnp.abs(dot3(n_mesh, -dir_m))  # two-sided emission
+        pdf_m = dm2 / (area * jnp.maximum(cos_m, 1e-6))
+        rad_m = jnp.where((cos_m > 1e-6)[:, None], inten, 0.0)
+        is_mesh = ltype == LIGHT_MESH
+        direction = sel3(is_mesh, dir_m, direction)
+        dist = jnp.where(is_mesh, dist_m, dist)
+        radiance = sel3(is_mesh, rad_m, radiance)
+        pdf_w = jnp.where(is_mesh, pdf_m, pdf_w)
+        cos_at_light = jnp.where(is_mesh, cos_m, cos_at_light)
 
-    # --- cylinder: sample a point on the lateral surface (area sampling)
-    axis = normalize3(vx)
-    half_h = jnp.sqrt(jnp.maximum(dot3(vx, vx), 1e-12))
-    at, ab = make_orthonormal_basis(axis)
-    phi_c = 2.0 * np.pi * u2
-    radial = jnp.cos(phi_c)[:, None] * at + jnp.sin(phi_c)[:, None] * ab
-    p_cyl = pos + ((2.0 * u1 - 1.0) * half_h)[:, None] * axis + radius[:, None] * radial
-    to_c2 = p_cyl - sp
-    dc2b = jnp.maximum(dot3(to_c2, to_c2), 1e-12)
-    dist_c = jnp.sqrt(dc2b)
-    dir_c = to_c2 / dist_c[:, None]
-    cos_c = dot3(radial, -dir_c)
-    pdf_c = dc2b / (area * jnp.maximum(cos_c, 1e-6))
-    rad_c = jnp.where((cos_c > 1e-6)[:, None], inten, 0.0)
-
-    # combine by type
-    def sel3(cond, a, b):
-        return jnp.where(cond[:, None], a, b)
-
-    direction = sel3(is_area, dir_a, dir_p)
-    direction = sel3(ltype == LIGHT_MESH, dir_m, direction)
-    direction = sel3(ltype == LIGHT_SPHERE, dir_s, direction)
-    direction = sel3(ltype == LIGHT_CYLINDER, dir_c, direction)
-    direction = sel3(ltype == LIGHT_DIRECT, dir_dir, direction)
-    direction = sel3(ltype == LIGHT_SKY, dir_sky, direction)
-
-    dist = jnp.where(is_area, dist_a, dc)
-    dist = jnp.where(ltype == LIGHT_MESH, dist_m, dist)
-    dist = jnp.where(ltype == LIGHT_SPHERE, dist_s, dist)
-    dist = jnp.where(ltype == LIGHT_CYLINDER, dist_c, dist)
-    dist = jnp.where((ltype == LIGHT_DIRECT) | (ltype == LIGHT_SKY), FAR_DIST, dist)
-
-    # sky portals re-emit the environment seen through the opening
-    # (SkyPortal, PlainLightConverter.cpp:304)
-    portal = (lt.is_portal[l_idx] > 0)
-    rad_a = jnp.where(portal[:, None], rad_a * env_radiance(scene, dir_a), rad_a)
-
-    radiance = sel3(is_area, rad_a, rad_p)
-    radiance = sel3(ltype == LIGHT_MESH, rad_m, radiance)
-    radiance = sel3(ltype == LIGHT_SPOT, rad_spot, radiance)
-    radiance = sel3(ltype == LIGHT_SPHERE, inten, radiance)
-    radiance = sel3(ltype == LIGHT_CYLINDER, rad_c, radiance)
-    radiance = sel3(ltype == LIGHT_DIRECT, rad_dir, radiance)
-    radiance = sel3(ltype == LIGHT_SKY, rad_sky, radiance)
-
-    pdf_w = jnp.where(is_area, pdf_a, 1.0)
-    pdf_w = jnp.where(ltype == LIGHT_MESH, pdf_m, pdf_w)
-    pdf_w = jnp.where(ltype == LIGHT_SPHERE, pdf_s, pdf_w)
-    pdf_w = jnp.where(ltype == LIGHT_CYLINDER, pdf_c, pdf_w)
-    pdf_w = jnp.where(ltype == LIGHT_SKY, pdf_sky, pdf_w)
+    # --- cylinder: lateral-surface area sampling
+    if LIGHT_CYLINDER in types:
+        axis = normalize3(vx)
+        half_h = jnp.sqrt(jnp.maximum(dot3(vx, vx), 1e-12))
+        at, ab = make_orthonormal_basis(axis)
+        phi_c = 2.0 * np.pi * u2
+        radial = jnp.cos(phi_c)[:, None] * at + jnp.sin(phi_c)[:, None] * ab
+        p_cyl = pos + ((2.0 * u1 - 1.0) * half_h)[:, None] * axis \
+            + radius[:, None] * radial
+        to_c2 = p_cyl - sp
+        dc2b = jnp.maximum(dot3(to_c2, to_c2), 1e-12)
+        dist_c = jnp.sqrt(dc2b)
+        dir_c = to_c2 / dist_c[:, None]
+        cos_c = dot3(radial, -dir_c)
+        pdf_c = dc2b / (area * jnp.maximum(cos_c, 1e-6))
+        rad_c = jnp.where((cos_c > 1e-6)[:, None], inten, 0.0)
+        is_cyl = ltype == LIGHT_CYLINDER
+        direction = sel3(is_cyl, dir_c, direction)
+        dist = jnp.where(is_cyl, dist_c, dist)
+        radiance = sel3(is_cyl, rad_c, radiance)
+        pdf_w = jnp.where(is_cyl, pdf_c, pdf_w)
+        cos_at_light = jnp.where(is_cyl, cos_c, cos_at_light)
 
     is_delta = (ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT) | (ltype == LIGHT_DIRECT)
-    cos_at_light = jnp.where(is_area, cos_l, 1.0)
-    cos_at_light = jnp.where(ltype == LIGHT_MESH, cos_m, cos_at_light)
-    cos_at_light = jnp.where(ltype == LIGHT_CYLINDER, cos_c, cos_at_light)
 
     return LightSample(
         dir=direction, dist=dist, radiance=radiance, pdf_w=pdf_w,
-        is_delta=is_delta, cos_at_light=cos_at_light,
+        is_delta=is_delta, cos_at_light=cos_at_light, pick_prob=pick_prob,
     )
 
 
@@ -411,33 +454,44 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
                           pdf_a=pdf_a, pdf_w=pdf_w, cos_at_light=cos_l)
 
 
-def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm):
+def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm,
+                            return_pick: bool = False):
     """Solid-angle pdf of sample_light_rev having produced direction ray_d
     toward the light surface point hit_pos (used for MIS when a BSDF ray
-    lands on an emitter — ref lightEvalPDF clight.h:1613)."""
-    lt = scene.lights
-    ltype = lt.ltype[l_idx]
-    pos = lt.pos[l_idx]
-    radius = lt.radius[l_idx]
-    area = jnp.maximum(lt.area[l_idx], 1e-12)
+    lands on an emitter — ref lightEvalPDF clight.h:1613). With
+    return_pick, also returns the light's pick probability (free: same
+    packed-row gather)."""
+    from hydracore_tpu.scene.lights import (LA_AREA, LA_PICK_PROB, LA_POS,
+                                            LA_RADIUS, LA_TYPE)
+
+    types = _light_types(scene)
+    a = scene.light_attr[l_idx]
+    ltype = a[:, LA_TYPE].astype(jnp.int32)
+    area = jnp.maximum(a[:, LA_AREA], 1e-12)
 
     to_h = hit_pos - ray_o
     d2 = jnp.maximum(dot3(to_h, to_h), 1e-12)
     cos_l = jnp.maximum(dot3(hit_norm, -ray_d), 1e-6)
-    pdf_area_lights = d2 / (area * cos_l)
+    pdf = d2 / (area * cos_l)
 
-    to_c = pos - ray_o
-    dc2 = jnp.maximum(dot3(to_c, to_c), 1e-12)
-    sin_max2 = jnp.clip(radius * radius / dc2, 0.0, 0.9999)
-    cos_max = jnp.sqrt(1.0 - sin_max2)
-    pdf_sphere = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
+    if LIGHT_SPHERE in types:
+        pos = a[:, LA_POS:LA_POS + 3]
+        radius = a[:, LA_RADIUS]
+        to_c = pos - ray_o
+        dc2 = jnp.maximum(dot3(to_c, to_c), 1e-12)
+        sin_max2 = jnp.clip(radius * radius / dc2, 0.0, 0.9999)
+        cos_max = jnp.sqrt(1.0 - sin_max2)
+        pdf_sphere = 1.0 / jnp.maximum(2.0 * np.pi * (1.0 - cos_max), 1e-9)
+        pdf = jnp.where(ltype == LIGHT_SPHERE, pdf_sphere, pdf)
 
-    pdf = jnp.where(ltype == LIGHT_SPHERE, pdf_sphere, pdf_area_lights)
-    from hydracore_tpu.lights.envmap import env_pdf_for_dir
+    if LIGHT_SKY in types:
+        from hydracore_tpu.lights.envmap import env_pdf_for_dir
 
-    pdf_env = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
-                              scene.env_pdf_uv, ray_d)
-    pdf = jnp.where(ltype == LIGHT_SKY, pdf_env, pdf)
+        pdf_env = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
+                                  scene.env_pdf_uv, ray_d)
+        pdf = jnp.where(ltype == LIGHT_SKY, pdf_env, pdf)
+    if return_pick:
+        return pdf, a[:, LA_PICK_PROB]
     return pdf
 
 

@@ -13,6 +13,61 @@ TEX_CLAMP_U = 1
 TEX_CLAMP_V = 2
 
 
+def sample_tex(texels, tex_meta, tex_id, uv, apply_gamma: bool = False):
+    """Bilinear RGBA fetch from the packed (K, 12) tex_meta rows
+    [bitcast_f32(off, w, h, flags) | m00 m01 tu m10 m11 tv gamma pad].
+
+    Gather-optimal variant of sample_bilinear: ONE meta-row gather + ONE
+    fused 4-corner texel gather (XLA gather cost is per-op on this TPU —
+    tools/exp_gather.py)."""
+    import jax
+
+    row = tex_meta[tex_id]  # (R, 12)
+    meta_i = jax.lax.bitcast_convert_type(row[:, 0:4], jnp.int32)
+    off, w, h, flags = meta_i[:, 0], meta_i[:, 1], meta_i[:, 2], meta_i[:, 3]
+    wf, hf = w.astype(jnp.float32), h.astype(jnp.float32)
+
+    u_in = row[:, 4] * uv[:, 0] + row[:, 5] * uv[:, 1] + row[:, 6]
+    v_in = row[:, 7] * uv[:, 0] + row[:, 8] * uv[:, 1] + row[:, 9]
+    gamma = row[:, 10]
+
+    clamp_u = (flags & TEX_CLAMP_U) != 0
+    clamp_v = (flags & TEX_CLAMP_V) != 0
+    u = jnp.where(clamp_u, jnp.clip(u_in, 0.0, 1.0), u_in - jnp.floor(u_in))
+    v = jnp.where(clamp_v, jnp.clip(v_in, 0.0, 1.0), v_in - jnp.floor(v_in))
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+
+    def wrap_x(xi):
+        xi = xi.astype(jnp.int32)
+        return jnp.where(clamp_u, jnp.clip(xi, 0, w - 1),
+                         jnp.mod(xi, jnp.maximum(w, 1)))
+
+    def wrap_y(yi):
+        yi = yi.astype(jnp.int32)
+        return jnp.where(clamp_v, jnp.clip(yi, 0, h - 1),
+                         jnp.mod(yi, jnp.maximum(h, 1)))
+
+    xa, xb = wrap_x(x0), wrap_x(x0 + 1)
+    ya, yb = wrap_y(y0), wrap_y(y0 + 1)
+    idx = jnp.concatenate([off + ya * w + xa, off + ya * w + xb,
+                           off + yb * w + xa, off + yb * w + xb])
+    c = texels[idx].reshape(4, -1, 4)
+    top = c[0] * (1 - fx) + c[1] * fx
+    bot = c[2] * (1 - fx) + c[3] * fx
+    out = top * (1 - fy) + bot * fy
+    if apply_gamma:
+        rgb = jnp.where((gamma != 1.0)[:, None],
+                        jnp.power(jnp.maximum(out[:, :3], 0.0), gamma[:, None]),
+                        out[:, :3])
+        out = jnp.concatenate([rgb, out[:, 3:4]], axis=1)
+    return out
+
+
 def sample_bilinear(texels, tex_table, tex_id, uv, samplers=None,
                     apply_gamma: bool = False):
     """Bilinear RGBA fetch.

@@ -355,15 +355,19 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
+    # slot->tri via the 2-wide table (scalar (S,) gathers are ~2x slower
+    # than row gathers on this TPU, tools/exp_gather.py)
     tri = jnp.where(
-        hit, scene.cl_slot_tri[jnp.clip(slot, 0, scene.cl_slot_tri.shape[0] - 1)],
+        hit,
+        scene.cl_slot_tri2[jnp.clip(slot, 0, scene.cl_slot_tri2.shape[0] - 1), 0],
         -1)
     # u, v recomputed outside the kernel: one gathered MT per ray is far
-    # cheaper than carrying 2 extra lane reductions through every visit
-    tid = jnp.clip(tri, 0, scene.tri_v0.shape[0] - 1)
-    v0 = scene.tri_v0[tid]
-    e1 = scene.tri_e1[tid]
-    e2 = scene.tri_e2[tid]
+    # cheaper than carrying 2 extra lane reductions through every visit.
+    # v0/e1/e2 come from the packed tri_attr row — the SAME gather
+    # compute_hit issues, so XLA CSEs the two into one.
+    tid = jnp.clip(tri, 0, scene.tri_attr.shape[0] - 1)
+    a = scene.tri_attr[tid]
+    v0, e1, e2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
     d = ray_d
     pv = jnp.cross(d, e2)
     det = jnp.sum(e1 * pv, axis=1)

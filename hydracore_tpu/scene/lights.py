@@ -49,6 +49,49 @@ def _lum(c) -> float:
     return float(0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2])
 
 
+# ----------------------------------------------------------------------------
+# Packed light row: one (L, 28) float32 gather per NEE sample instead of ~13
+# (per-OP XLA gather cost, tools/exp_gather.py). Layout (sync with
+# lights/sampling.py):
+LA_POS = 0        # [0:3)
+LA_NORM = 3       # [3:6)
+LA_VX = 6         # [6:9)
+LA_VY = 9         # [9:12)
+LA_INTEN = 12     # [12:15)
+LA_RADIUS = 15
+LA_AREA = 16
+LA_COS_IN = 17
+LA_COS_OUT = 18
+LA_TYPE = 19
+LA_PORTAL = 20
+LA_MESH_ROW = 21
+LA_TEX = 22
+LA_PICK_PROB = 23  # pick_cdf[i+1] - pick_cdf[i] (saves 2 CDF gathers at MIS)
+LA_WIDTH = 28
+
+
+def pack_light_attr(lt: "LightTable") -> np.ndarray:
+    """(L, LA_WIDTH) float32 packed light rows (layout above)."""
+    L = np.asarray(lt.ltype).shape[0]
+    a = np.zeros((L, LA_WIDTH), np.float32)
+    a[:, LA_POS:LA_POS + 3] = np.asarray(lt.pos)
+    a[:, LA_NORM:LA_NORM + 3] = np.asarray(lt.norm)
+    a[:, LA_VX:LA_VX + 3] = np.asarray(lt.vx)
+    a[:, LA_VY:LA_VY + 3] = np.asarray(lt.vy)
+    a[:, LA_INTEN:LA_INTEN + 3] = np.asarray(lt.intensity)
+    a[:, LA_RADIUS] = np.asarray(lt.radius)
+    a[:, LA_AREA] = np.asarray(lt.area)
+    a[:, LA_COS_IN] = np.asarray(lt.cos_in)
+    a[:, LA_COS_OUT] = np.asarray(lt.cos_out)
+    a[:, LA_TYPE] = np.asarray(lt.ltype).astype(np.float32)
+    a[:, LA_PORTAL] = np.asarray(lt.is_portal).astype(np.float32)
+    a[:, LA_MESH_ROW] = np.asarray(lt.mesh_row).astype(np.float32)
+    a[:, LA_TEX] = np.asarray(lt.tex).astype(np.float32)
+    cdf = np.asarray(lt.pick_cdf)
+    a[:, LA_PICK_PROB] = np.maximum(cdf[1:] - cdf[:-1], 1e-12)
+    return a
+
+
 def build_light_table(desc: SceneDesc, tex_remap: np.ndarray,
                       ies_slots: dict | None = None) -> LightTable:
     recs = []

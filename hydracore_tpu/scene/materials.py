@@ -90,6 +90,72 @@ class MaterialTable:
     blend_ior: np.ndarray  # (M,) fresnel-blend ior
 
 
+# ----------------------------------------------------------------------------
+# Packed material row: ALL per-material scalars in ONE (M, 40) float32 row so
+# shading fetches one gather per ray instead of ~25 (XLA gather cost on TPU is
+# per-OP, not per-byte — tools/exp_gather.py). Small ints are stored as exact
+# float32; consumers cast back. Column layout (keep in sync with
+# bsdf/core.fetch_material):
+MA_EM = 0            # [0:3)  em_color
+MA_DIFF = 3          # [3:6)  diff_color
+MA_REFL = 6          # [6:9)  refl_color
+MA_TRANSP = 9        # [9:12) transp_color
+MA_TRANSL = 12       # [12:15) transl_color
+MA_DIFF_ROUGH = 15
+MA_REFL_COSPOW = 16
+MA_REFL_ALPHA = 17
+MA_REFL_DIST = 18
+MA_FRESNEL_IOR = 19
+MA_FRESNEL_ON = 20
+MA_TRANSP_GLOSS = 21
+MA_TRANSP_IOR = 22
+MA_THIN_WALLED = 23
+MA_LIGHT_ID = 24
+MA_BUMP_TEX = 25
+MA_EM_TEX = 26
+MA_DIFF_TEX = 27
+MA_REFL_TEX = 28
+MA_TRANSL_TEX = 29
+MA_OPACITY_TEX = 30
+MA_DIFF_PROC = 31
+MA_BLEND_NODE = 32
+MA_BLEND_TYPE = 33
+MA_BLEND_TEX = 34
+MA_BLEND_IOR = 35
+MA_REFL_ANISO = 36
+MA_REFL_ANISO_ROT = 37
+MA_SKIP_SHADOW = 38
+MA_WIDTH = 40
+
+
+def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
+    """(M, MA_WIDTH) float32 packed material rows (layout above)."""
+    M = np.asarray(mt.em_color).shape[0]
+    a = np.zeros((M, MA_WIDTH), np.float32)
+    a[:, MA_EM:MA_EM + 3] = np.asarray(mt.em_color)
+    a[:, MA_DIFF:MA_DIFF + 3] = np.asarray(mt.diff_color)
+    a[:, MA_REFL:MA_REFL + 3] = np.asarray(mt.refl_color)
+    a[:, MA_TRANSP:MA_TRANSP + 3] = np.asarray(mt.transp_color)
+    a[:, MA_TRANSL:MA_TRANSL + 3] = np.asarray(mt.transl_color)
+    for col, field in [
+        (MA_DIFF_ROUGH, mt.diff_rough), (MA_REFL_COSPOW, mt.refl_cospow),
+        (MA_REFL_ALPHA, mt.refl_alpha), (MA_REFL_DIST, mt.refl_dist),
+        (MA_FRESNEL_IOR, mt.fresnel_ior), (MA_FRESNEL_ON, mt.fresnel_on),
+        (MA_TRANSP_GLOSS, mt.transp_gloss), (MA_TRANSP_IOR, mt.transp_ior),
+        (MA_THIN_WALLED, mt.thin_walled), (MA_LIGHT_ID, mt.light_id),
+        (MA_BUMP_TEX, mt.bump_tex), (MA_EM_TEX, mt.em_tex),
+        (MA_DIFF_TEX, mt.diff_tex), (MA_REFL_TEX, mt.refl_tex),
+        (MA_TRANSL_TEX, mt.transl_tex), (MA_OPACITY_TEX, mt.opacity_tex),
+        (MA_DIFF_PROC, mt.diff_proc), (MA_BLEND_NODE, mt.blend_node),
+        (MA_BLEND_TYPE, mt.blend_type), (MA_BLEND_TEX, mt.blend_tex),
+        (MA_BLEND_IOR, mt.blend_ior), (MA_REFL_ANISO, mt.refl_aniso),
+        (MA_REFL_ANISO_ROT, mt.refl_aniso_rot),
+        (MA_SKIP_SHADOW, mt.skip_shadow),
+    ]:
+        a[:, col] = np.asarray(field).astype(np.float32)
+    return a
+
+
 _DIST_MAP = {
     "phong": REFL_PHONG,
     "blinn": REFL_PHONG,

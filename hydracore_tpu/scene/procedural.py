@@ -288,7 +288,8 @@ class SceneBuilder:
             b = n[:, 0] * n[:, 1] * a
             return np.stack([1.0 + sign * n[:, 0] ** 2 * a, sign * b, -sign * n[:, 0]], -1).astype(np.float32)
 
-        return SceneData(
+        from hydracore_tpu.scene.scene import finalize_scene
+        return finalize_scene(SceneData(
             tri_v0=v0[p], tri_e1=(v1 - v0)[p], tri_e2=(v2 - v0)[p],
             n0=n0_arr,
             n1=np.stack(g(4)).astype(np.float32),
@@ -317,7 +318,7 @@ class SceneBuilder:
             camera=cam, env_color=self.env,
             env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
             settings=settings,
-        )
+        ))
 
 
 def _stack_materials(recs) -> MaterialTable:

@@ -80,6 +80,14 @@ class SceneData:
     settings: RenderSettings = struct.field(pytree_node=False, default=None)
     # wide-tree depth (static metadata: traversal register/stack sizing)
     wbvh_depth: int = struct.field(pytree_node=False, default=16)
+    # ---- packed gather rows (finalize_scene): XLA gathers on this TPU cost
+    # ~1.6 ms per OP regardless of row width (tools/exp_gather.py), so all
+    # per-ray attribute fetches are packed into single wide-row gathers.
+    tri_attr: np.ndarray = None  # (T, 40) f32 [v0 e1 e2 n0 n1 n2 t0 t1 t2 uv0 uv1 uv2 mat light inst]
+    cl_slot_tri2: np.ndarray = None  # (S, 2) i32 slot->tri (wide: scalar gathers are slower)
+    mat_attr: np.ndarray = None  # (M, MA_WIDTH) f32 packed material rows
+    light_attr: np.ndarray = None  # (L, LA_WIDTH) f32 packed light rows
+    tex_meta: np.ndarray = None  # (K, 12) f32 [bitcast(off,w,h,flags) | sampler 8f]
 
     @property
     def num_triangles(self) -> int:
@@ -240,7 +248,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
                                                  | (np.asarray(materials.refl_dist) == 3))
                                                 & (np.asarray(materials.refl_alpha) > 0.05)).any())})
 
-    return SceneData(
+    return finalize_scene(SceneData(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
         n0=n0, n1=n1, n2=n2, t0=t0, t1=t1, t2=t2,
         uv0=uv0, uv1=uv1, uv2=uv2,
@@ -259,7 +267,65 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         camera=cam, env_color=env,
         env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
         settings=st2,
-    )
+    ))
+
+
+def finalize_scene(sc: SceneData) -> SceneData:
+    """Derive the packed gather rows + static feature gates from the raw
+    tables. Called by every SceneData construction site (assemble,
+    procedural.build); idempotent."""
+    import dataclasses
+
+    from hydracore_tpu.scene.lights import (LIGHT_MESH, LIGHT_POINT,
+                                            LIGHT_SKY, LIGHT_SPOT,
+                                            pack_light_attr)
+    from hydracore_tpu.scene.materials import pack_mat_attr
+
+    tri_attr = np.concatenate(
+        [np.asarray(x, np.float32) for x in (
+            sc.tri_v0, sc.tri_e1, sc.tri_e2, sc.n0, sc.n1, sc.n2,
+            sc.t0, sc.t1, sc.t2, sc.uv0, sc.uv1, sc.uv2)]
+        + [np.asarray(sc.tri_mat, np.float32)[:, None],
+           np.asarray(sc.tri_light, np.float32)[:, None],
+           np.asarray(sc.tri_inst, np.float32)[:, None],
+           np.zeros((sc.tri_v0.shape[0], 4), np.float32)],
+        axis=1)
+
+    slot = np.asarray(sc.cl_slot_tri, np.int32)
+    cl_slot_tri2 = np.stack([slot, slot], axis=1)
+
+    tex_meta = np.concatenate(
+        [np.asarray(sc.tex_table, np.int32).view(np.float32),
+         np.asarray(sc.tex_sampler, np.float32)], axis=1)
+
+    st = sc.settings
+    if st is not None:
+        lt, mt = sc.lights, sc.materials
+        ltypes = np.asarray(lt.ltype)
+        # only lights with pick probability > 0 OR referenced by geometry
+        # matter for code paths; keep it simple: types present in the table
+        present = tuple(sorted({int(x) for x in ltypes}))
+        point_spot = (ltypes == LIGHT_POINT) | (ltypes == LIGHT_SPOT)
+        st = dataclasses.replace(
+            st,
+            light_types=present,
+            has_sky=bool((ltypes == LIGHT_SKY).any()),
+            has_ies=bool(((np.asarray(lt.tex) > 0) & point_spot).any()),
+            has_portal=bool((np.asarray(lt.is_portal) > 0).any()),
+            has_mesh_light=bool((ltypes == LIGHT_MESH).any()),
+            has_em_tex=bool((np.asarray(mt.em_tex) != 0).any()),
+            has_diff_tex=bool((np.asarray(mt.diff_tex) != 0).any()
+                              or (np.asarray(mt.blend_tex) > 1).any()),
+            has_refl_tex=bool((np.asarray(mt.refl_tex) != 0).any()),
+            has_transl_tex=bool((np.asarray(mt.transl_tex) != 0).any()),
+            has_proc_tex=bool((np.asarray(mt.diff_proc) >= 0).any()),
+            has_bump=bool((np.asarray(mt.bump_tex) > 0).any()),
+        )
+
+    return sc.replace(tri_attr=tri_attr, cl_slot_tri2=cl_slot_tri2,
+                      mat_attr=pack_mat_attr(sc.materials),
+                      light_attr=pack_light_attr(sc.lights),
+                      tex_meta=tex_meta, settings=st)
 
 
 def load_scene(lib_dir: str, width: int | None = None, height: int | None = None) -> SceneData:

@@ -115,6 +115,21 @@ class RenderSettings:
     has_transl: bool = False
     has_aniso: bool = False
     has_ms_comp: bool = False  # any rough-GGX material (multiscatter table)
+    # static feature gates set by scene.finalize_scene — jit drops the code
+    # paths of absent light/texture features (the TPU analogue of the
+    # reference's per-scene kernel variants, GPUOCLKernels.cpp:424-512).
+    # Defaults are permissive (True) so hand-built scenes stay correct.
+    light_types: tuple = tuple(range(9))  # LIGHT_* values present
+    has_sky: bool = True
+    has_ies: bool = True
+    has_portal: bool = True
+    has_mesh_light: bool = True
+    has_em_tex: bool = True
+    has_diff_tex: bool = True
+    has_refl_tex: bool = True
+    has_transl_tex: bool = True
+    has_proc_tex: bool = True
+    has_bump: bool = True
 
 
 @dataclass
