@@ -62,6 +62,13 @@ class MatParams(NamedTuple):
     refl_aniso: jnp.ndarray  # (R,)
     refl_aniso_rot: jnp.ndarray  # (R,)
     skip_shadow: jnp.ndarray  # (R,) shadow-catcher opacity flag
+    # subsurface scattering (SSSMaterial semantics,
+    # PlainMaterialConverter.cpp:716 / CPUExp_IntegratorSSS.cpp)
+    sss_density: jnp.ndarray = None  # (R,)
+    sss_absorption: jnp.ndarray = None  # (R,3)
+    sss_scattering: jnp.ndarray = None  # (R,)
+    sss_phase: jnp.ndarray = None  # (R,)
+    sss_transmission: jnp.ndarray = None  # (R,)
 
 
 def luminance(c):
@@ -95,7 +102,7 @@ def _gate(st, name: str) -> bool:
     return True if st is None else bool(getattr(st, name, True))
 
 
-def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
+def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatParams:
     """ONE packed-row gather (scene.mat_attr) + statically-gated texture
     fetches. Gather cost on this TPU is per-OP (tools/exp_gather.py), so the
     ~25 per-field gathers of the naive SoA fetch collapse into one."""
@@ -121,13 +128,17 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
 
     em = col3(MC.MA_EM) * tex_rgb(MC.MA_EM_TEX, _gate(st, "has_em_tex"))
     dc = col3(MC.MA_DIFF) * tex_rgb(MC.MA_DIFF_TEX, _gate(st, "has_diff_tex"))
+    sss_on = _gate(st, "has_sss") if st is not None else False
 
     from hydracore_tpu.ops.proctex import eval_proc_tex, num_proc_tex
 
     if pos is not None and num_proc_tex() > 0 and _gate(st, "has_proc_tex"):
         proc = coli(MC.MA_DIFF_PROC)
         nn = normal if normal is not None else jnp.zeros_like(pos)
-        dc = dc * jnp.where((proc >= 0)[:, None], eval_proc_tex(proc, uv, pos, nn), 1.0)
+        pargs = m[:, MC.MA_PROC_ARGS:MC.MA_PROC_ARGS + 8]
+        dc = dc * jnp.where((proc >= 0)[:, None],
+                            eval_proc_tex(proc, uv, pos, nn, wo=wo,
+                                          args=pargs, scene=scene), 1.0)
     rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_REFL_TEX, _gate(st, "has_refl_tex"))
     if _gate(st, "has_alpha"):
         op = sample_tex(scene.texels, scene.tex_meta,
@@ -138,6 +149,18 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
     tl = col3(MC.MA_TRANSL)
     if _gate(st, "has_transl"):
         tl = tl * tex_rgb(MC.MA_TRANSL_TEX, _gate(st, "has_transl_tex"))
+    if sss_on:
+        # SSS boundary event as effective lobes (the reference's branch
+        # probabilities, CPUExp_IntegratorSSS.cpp:69-97: transmit w.p. T
+        # with color 1-kd, else diffuse-reflect with color kd) — mapping it
+        # onto the diffuse + translucency lobes keeps NEE and MIS pdfs
+        # consistent with sampling:
+        T = col(MC.MA_SSS_TRANSMISSION)
+        is_sss = T > 0.0
+        kd = dc
+        dc = jnp.where(is_sss[:, None], kd * (1.0 - T)[:, None], dc)
+        tl = jnp.where(is_sss[:, None],
+                       jnp.clip(1.0 - kd, 0.0, 1.0) * T[:, None], tl)
     return MatParams(
         em_color=em,
         diff_color=dc,
@@ -160,10 +183,72 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None) -> MatParams:
         refl_aniso=col(MC.MA_REFL_ANISO),
         refl_aniso_rot=col(MC.MA_REFL_ANISO_ROT),
         skip_shadow=coli(MC.MA_SKIP_SHADOW),
+        sss_density=col(MC.MA_SSS_DENSITY) if _gate(st, "has_sss") else None,
+        sss_absorption=col3(MC.MA_SSS_ABSORPTION) if _gate(st, "has_sss") else None,
+        sss_scattering=col(MC.MA_SSS_SCATTERING) if _gate(st, "has_sss") else None,
+        sss_phase=col(MC.MA_SSS_PHASE) if _gate(st, "has_sss") else None,
+        sss_transmission=col(MC.MA_SSS_TRANSMISSION) if _gate(st, "has_sss") else None,
     )
 
 
-def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatParams:
+def _blend_weight(scene, mrow, uv, normal, wo, pos):
+    """Per-ray top weight of a blend record (mask-texture luminance /
+    view-angle Fresnel / falloff — BlendMaskMaterial semantics,
+    PlainMaterialConverter.cpp:750)."""
+    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.scene import materials as MC
+
+    btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
+    mask = sample_tex(scene.texels, scene.tex_meta,
+                      mrow[:, MC.MA_BLEND_TEX].astype(jnp.int32), uv)[:, :3]
+    w_mask = luminance(mask)
+    if normal is not None and wo is not None:
+        cos_v = jnp.abs(dot3(normal, wo))
+    elif normal is not None and pos is not None:
+        cos_v = jnp.abs(dot3(normal, normalize3(pos)))
+    else:
+        cos_v = jnp.full(w_mask.shape, 0.5)
+    w_fres = fresnel_dielectric(
+        cos_v, jnp.maximum(mrow[:, MC.MA_BLEND_IOR], 1.0 + 1e-4))
+    w_fall = 1.0 - cos_v
+    w = jnp.where(btype == 2, w_fres, jnp.where(btype == 3, w_fall, w_mask))
+    return jnp.clip(w, 0.0, 1.0)
+
+
+def resolve_blend_leaf(scene, mat_id, uv, normal, wo, pos, u_blend):
+    """Stochastic blend-tree descent — the vectorized equivalent of
+    materialRandomWalkBRDF (cmaterial.h:2345): at each blend record take
+    the top branch w.p. its blend weight (re-normalizing the uniform), else
+    the bottom, until a leaf record. Bounded by the scene's static
+    blend_depth. Unbiased: sampling branch k w.p. w_k and evaluating leaf k
+    alone estimates the mixture exactly."""
+    from hydracore_tpu.scene import materials as MC
+
+    st = scene.settings
+    levels = 1 if st is None else max(int(getattr(st, "blend_depth", 1)), 1)
+    mid = mat_id
+    u = u_blend
+    done = jnp.zeros(mat_id.shape, bool)
+    for _ in range(levels):
+        mrow = scene.mat_attr[jnp.clip(mid, 0, scene.mat_attr.shape[0] - 1)]
+        bn = mrow[:, MC.MA_BLEND_NODE].astype(jnp.int32)
+        bt = mrow[:, MC.MA_BLEND_TOP].astype(jnp.int32)
+        is_blend = (bn >= 0) | (bt >= 0)
+        w = _blend_weight(scene, mrow, uv, normal, wo, pos)
+        take_top = u < w
+        # re-normalize the uniform for the next level (stream reuse)
+        u = jnp.clip(jnp.where(take_top, u / jnp.maximum(w, 1e-6),
+                               (u - w) / jnp.maximum(1.0 - w, 1e-6)),
+                     0.0, 1.0 - 1e-7)
+        nxt = jnp.where(take_top, jnp.where(bt >= 0, bt, mid), bn)
+        resolved = ~is_blend | (take_top & (bt < 0))
+        mid = jnp.where(done | resolved, mid, jnp.where(take_top & (bt < 0), mid, nxt))
+        done = done | resolved
+    return mid
+
+
+def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
+                   u_blend=None) -> MatParams:
     """Gather material record + modulate by textures (ref: materialLeafEval
     texture fetch path via SWTexSampler, cmaterial.h/cfetch.h). Registered
     procedural textures (ops/proctex.py) modulate the diffuse color when
@@ -175,10 +260,19 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
     of the view angle, or falloff — and the two leaves are lerped
     field-wise (ints switch at w=0.5). The vectorized equivalent of
     materialRandomWalkBRDF's tree descent for one-level trees."""
-    p_top = _fetch_leaf(scene, mat_id, uv, pos, normal)
+    st = scene.settings
     # static fast path: no blend materials in the scene -> single fetch
-    if scene.settings is not None and not scene.settings.has_blend:
-        return p_top
+    if st is not None and not st.has_blend:
+        return _fetch_leaf(scene, mat_id, uv, pos, normal, wo)
+    # N-level blend trees: stochastic random walk to ONE leaf per ray
+    # (materialRandomWalkBRDF, cmaterial.h:2345). 1-level scenes keep the
+    # deterministic two-leaf lerp below (lower variance).
+    if st is not None and getattr(st, "blend_depth", 1) > 1:
+        if u_blend is None:
+            u_blend = jnp.full(mat_id.shape, 0.5, jnp.float32)
+        leaf = resolve_blend_leaf(scene, mat_id, uv, normal, wo, pos, u_blend)
+        return _fetch_leaf(scene, leaf, uv, pos, normal, wo)
+    p_top = _fetch_leaf(scene, mat_id, uv, pos, normal, wo)
     from hydracore_tpu.ops.texture import sample_tex
     from hydracore_tpu.scene import materials as MC
 
@@ -187,7 +281,7 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
     btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
     has = bn >= 0
     bot_id = jnp.where(has, jnp.clip(bn, 0, scene.mat_attr.shape[0] - 1), mat_id)
-    p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal)
+    p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal, wo)
 
     mask = sample_tex(scene.texels, scene.tex_meta,
                       mrow[:, MC.MA_BLEND_TEX].astype(jnp.int32), uv)[:, :3]
@@ -205,6 +299,8 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatPara
     w = jnp.where(has, jnp.clip(w, 0.0, 1.0), 1.0)
 
     def lerp(a, b):
+        if a is None or b is None:
+            return a if b is None else b
         if a.ndim == 2:
             return a * w[:, None] + b * (1.0 - w[:, None])
         if a.dtype in (jnp.int32, jnp.uint32):

@@ -46,7 +46,28 @@ DG_LENS = 0
 DG_BSDF = 1
 DG_LIGHT = 2
 DG_RR = 3
-DG_ALPHA = 4
+DG_ALPHA = 4  # col 0: stochastic alpha; col 1: blend-tree walk
+DG_SSS = 5  # subsurface medium events
+
+
+def hg_sample(d, g, e1, e2):
+    """Henyey-Greenstein phase direction about d — SampleHenyeyGreenstein
+    (CPUExp_IntegratorSSS.cpp:110)."""
+    from hydracore_tpu.utils.math3d import make_orthonormal_basis
+
+    s = 1.0 - 2.0 * e1
+    denom = jnp.maximum((1.0 + g * s) * (1.0 + g * s), 1e-6)
+    cost = (s + 2.0 * g * g * g * (e1 - 1.0) * e1 + g * g * s
+            + 2.0 * g * (1.0 - e1 + e1 * e1)) / denom
+    cost = jnp.clip(cost, -1.0, 1.0)
+    sint = jnp.sqrt(jnp.maximum(1.0 - cost * cost, 1e-6))
+    t, b = make_orthonormal_basis(d)
+    phi = 2.0 * np.pi * e2
+    return (jnp.cos(phi) * sint)[:, None] * t + (jnp.sin(phi) * sint)[:, None] * b \
+        + cost[:, None] * d
+
+
+INV_PI_F = float(1.0 / np.pi)
 
 
 def mis_weight(a, b):
@@ -193,6 +214,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     # static sky gate: closed scenes (no sky light) drop the whole env
     # machinery from the jit graph (finalize_scene sets settings.has_sky)
     has_sky_s = scene.settings is None or scene.settings.has_sky
+    # static SSS gate: medium state + random-walk code only when the scene
+    # has subsurface materials (SSSMaterial / CPUExp_IntegratorSSS.cpp)
+    has_sss = scene.settings is not None and getattr(scene.settings, "has_sss", False)
+    if has_sss:
+        in_med = jnp.zeros((R,), bool)
+        med_sig_s = jnp.zeros((R,), jnp.float32)
+        med_sig_a = jnp.zeros((R, 3), jnp.float32)
+        med_g = jnp.zeros((R,), jnp.float32)
     if has_sky_s:
         has_sky = (scene.lights.ltype == LIGHT_SKY).any()
         sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
@@ -224,6 +253,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             alive = packed[:, 14] > 0.5
             sidx = jax.lax.bitcast_convert_type(packed[:, 15], jnp.uint32)
             orig_pos = jax.lax.bitcast_convert_type(packed[:, 16], jnp.int32)
+            if has_sss:  # medium state rides the same permute
+                med = jnp.concatenate([
+                    in_med.astype(f32)[:, None], med_sig_s[:, None],
+                    med_sig_a, med_g[:, None]], axis=1)[perm]
+                in_med = med[:, 0] > 0.5
+                med_sig_s = med[:, 1]
+                med_sig_a = med[:, 2:5]
+                med_g = med[:, 5]
 
         rays_traced = rays_traced + alive.sum()
         # primaries arrive Morton-ordered; in sorted mode the wavefront is
@@ -236,6 +273,28 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
+
+        # ---- subsurface medium walk (ref PathTraceVol,
+        # CPUExp_IntegratorSSS.cpp:143): rays inside an SSS medium sample a
+        # scatter distance ~ exp(sigma_s); a scatter event consumes this
+        # wavefront step (new HG direction, Beer-Lambert absorption) and
+        # skips all surface logic below.
+        if has_sss:
+            r_m = rand_fn(depth, DG_SSS)
+            t_srf = jnp.where(jnp.isfinite(t), t, jnp.float32(3e38))
+            d_scat = -jnp.log(jnp.maximum(r_m[:, 0], 1e-12)) \
+                / jnp.maximum(med_sig_s, 1e-12)
+            scat = alive & in_med & (med_sig_s > 0.0) & (d_scat < t_srf) & hit
+            d_abs = jnp.where(scat, d_scat, jnp.minimum(t_srf, 3e38))
+            att = jnp.exp(-med_sig_a * d_abs[:, None])
+            throughput = jnp.where((alive & in_med & hit | scat)[:, None],
+                                   throughput * att, throughput)
+            pos_scat = ray_o + d_scat[:, None] * ray_d
+            hg_dir = normalize3(hg_sample(ray_d, med_g, r_m[:, 1], r_m[:, 2]))
+            alive = alive & ~(in_med & miss)  # lost inside the medium
+            miss = miss & ~in_med
+        else:
+            scat = jnp.zeros_like(alive)
 
         # ---- environment (HitEnvOrLightKernel env path, material.cl:344)
         if has_sky_s:
@@ -253,7 +312,9 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         alive = alive & hit
 
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
+        r_a = rand_fn(depth, DG_ALPHA)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
+                           u_blend=r_a[:, 1])
         n = apply_bump(scene, p, n, tang, uv)
 
         # ---- stochastic alpha transparency (ref: alpha-tested traversal
@@ -261,12 +322,12 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         # with prob (1 - opacity) the surface is skipped — the ray passes
         # through unchanged. Passing through consumes one wavefront step
         # (the reference loops transparent bounces inside the kernel).
-        u_a = rand_fn(depth, DG_ALPHA)[:, 0]
-        passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity)
+        u_a = r_a[:, 0]
+        passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity) & ~scat
 
         # ---- implicit emitter hit (HitEnvOrLightKernel light path :510)
         em_lum = p.em_color.max(axis=-1)
-        is_emitter = alive & (em_lum > 1e-6) & ~passthru
+        is_emitter = alive & (em_lum > 1e-6) & ~passthru & ~scat
         front = dot3(n, -ray_d) > 0.0
         lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
         l_pdf_w, l_pick = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d,
@@ -299,7 +360,10 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh,
                                 has_alpha, presorted=sorted_mode)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
-        cos_s = jnp.maximum(dot3(ls.dir, ns), 0.0)
+        # two-sided combine (ref material.cl:737-740: brdf*max(+cos,0) +
+        # btdf*max(-cos,0)) — eval_bsdf already zeroes f by hemisphere, so
+        # |cos| credits transmission lobes (translucency, rough glass, SSS)
+        cos_s = jnp.abs(dot3(ls.dir, ns))
         w_l = jnp.where(ls.is_delta, 1.0, mis_weight(ls.pdf_w * pick_prob, pdf_fwd))
         contrib = (
             throughput
@@ -307,7 +371,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             * ls.radiance
             * (cos_s * w_l / jnp.maximum(ls.pdf_w * pick_prob, 1e-12))[:, None]
         )
-        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru
+        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru & ~scat
         acc = acc + jnp.where(ok[:, None], contrib, 0.0)
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
@@ -317,9 +381,47 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         # a specular event for MIS
         wi = jnp.where(passthru[:, None], ray_d, bs.wi)
         weight = jnp.where(passthru[:, None], 1.0, bs.weight)
-        throughput = throughput * weight
         prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
         prev_spec = jnp.where(passthru, True, bs.is_specular)
+        is_trans_sss = jnp.zeros_like(passthru)
+
+        # ---- SSS boundary event (ref sampleAndEvalBxDF SSS branch,
+        # CPUExp_IntegratorSSS.cpp:36): cosine lobe about the facing normal;
+        # w.p. `transmission` the direction flips into the surface (diffuse
+        # transmission, weight 1-kd) entering/leaving the medium; else a
+        # diffuse reflection with weight kd. pdf = cos/pi either way.
+        if has_sss:
+            is_sss = alive & ~scat & ~passthru & (p.sss_transmission > 0.0)
+            from hydracore_tpu.utils.math3d import make_orthonormal_basis
+
+            tb_, bb_ = make_orthonormal_basis(ns)
+            ct_ = jnp.sqrt(jnp.clip(r_b[:, 1], 0.0, 1.0))
+            st_ = jnp.sqrt(jnp.clip(1.0 - r_b[:, 1], 0.0, 1.0))
+            ph_ = 2.0 * np.pi * r_b[:, 2]
+            wi_cos = (st_ * jnp.cos(ph_))[:, None] * tb_ \
+                + (st_ * jnp.sin(ph_))[:, None] * bb_ + ct_[:, None] * ns
+            trans_pick = r_m[:, 3] < p.sss_transmission
+            kd = p.diff_color
+            wi = jnp.where(is_sss[:, None],
+                           jnp.where(trans_pick[:, None], -wi_cos, wi_cos), wi)
+            weight = jnp.where(is_sss[:, None],
+                               jnp.where(trans_pick[:, None], 1.0 - kd, kd),
+                               weight)
+            prev_pdf = jnp.where(is_sss, ct_ * INV_PI_F, prev_pdf)
+            prev_spec = jnp.where(is_sss, False, prev_spec)
+            enter = is_sss & trans_pick & front
+            exit_ = is_sss & trans_pick & ~front
+            in_med = jnp.where(enter, True, jnp.where(exit_, False, in_med))
+            med_sig_s = jnp.where(enter, p.sss_density * p.sss_scattering,
+                                  jnp.where(exit_, 0.0, med_sig_s))
+            med_sig_a = jnp.where(enter[:, None],
+                                  p.sss_density[:, None] * p.sss_absorption,
+                                  jnp.where(exit_[:, None], 0.0, med_sig_a))
+            med_g = jnp.where(enter, p.sss_phase, med_g)
+            is_trans_sss = is_sss & trans_pick
+            # scatter lanes: no surface interaction this step
+            weight = jnp.where(scat[:, None], 1.0, weight)
+        throughput = throughput * weight
 
         # russian roulette on throughput from min_rr_depth
         if depth >= min_rr_depth:
@@ -330,8 +432,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             alive = alive & ~kill
 
         alive = alive & (throughput.max(axis=-1) > 1e-7)
-        n_off = jnp.where((bs.is_transmission | passthru)[:, None], -ngs, ngs)
+        n_off = jnp.where((bs.is_transmission | passthru | is_trans_sss)[:, None],
+                          -ngs, ngs)
         ray_o = offs_ray_pos(pos, n_off, wi)
+        if has_sss:  # scattered lanes continue from inside the medium
+            ray_o = jnp.where(scat[:, None], pos_scat, ray_o)
+            wi = jnp.where(scat[:, None], hg_dir, wi)
+            prev_spec = jnp.where(scat, True, prev_spec)
+            prev_pdf = jnp.where(scat, 0.0, prev_pdf)
         ray_d = wi
 
     if sorted_mode:  # restore caller ray order (one scatter)

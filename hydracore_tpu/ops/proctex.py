@@ -1,28 +1,48 @@
-"""Procedural textures: jax-traceable user callables.
+"""Procedural textures: jax-traceable user callables + statefile stdlib.
 
 TPU rebuild of the reference's procedural-texture system
 (RenderDriverRTE_ProcTex.cpp: user OpenCL snippets are spliced into
 texproc.cl at #PUT_YOUR_PROCEDURAL_TEXTURES_HERE and recompiled at
-runtime; ProcTexExec evaluates them per hit). Runtime codegen is replaced
-by a registry of jax-traceable Python callables
+runtime; ProcTexExec evaluates them per hit with per-material arg stacks
+read from prtexDataTail). Runtime C codegen is replaced by two paths:
 
-    fn(uv (R,2), pos (R,3), normal (R,3)) -> color (R,3)
+  * a registry of jax-traceable Python callables — "recompilation" is just
+    jit retracing, which XLA does natively;
+  * statefile ingestion (scene/materials.py): `type="proc"` textures whose
+    `name`/`main` matches a known stdlib entry (the patterns the reference
+    ships under pluginFiles/ProceduralTextures) bind to the jax
+    implementations below; per-material `<arg val=…>` stacks ride the
+    material record (MA_PROC_ARG*, the prtexDataTail analogue). Unknown
+    procedural code warns loudly instead of silently dropping
+    (RenderDriverRTE_ProcTex.cpp:467-563 semantics).
 
-evaluated per hit through lax.switch — "recompilation" is just jit
-retracing, which XLA does natively.
+Callable protocol (new style):
+
+    fn(uv (R,2), pos (R,3), normal (R,3), wo (R,3), args (R,A), sample2d)
+        -> color (R,3)
+
+where sample2d(slot (R,) float-coded texture id, uv (R,2)) -> (R,4) samples
+the scene texture heap. Legacy 3-arg callables fn(uv, pos, normal) keep
+working.
 """
 from __future__ import annotations
 
-import jax
+import inspect
+import warnings
+
 import jax.numpy as jnp
 
-_REGISTRY: list = []
+_REGISTRY: list = []  # entries: (fn, n_params)
 
 
 def register_proc_tex(fn) -> int:
     """Register a procedural texture; returns its id for material records
     (MaterialTable.diff_proc)."""
-    _REGISTRY.append(fn)
+    try:
+        n = len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        n = 3
+    _REGISTRY.append((fn, n))
     return len(_REGISTRY) - 1
 
 
@@ -34,23 +54,102 @@ def num_proc_tex() -> int:
     return len(_REGISTRY)
 
 
-def eval_proc_tex(proc_id, uv, pos, normal):
+def eval_proc_tex(proc_id, uv, pos, normal, wo=None, args=None, scene=None):
     """Evaluate registered textures for per-ray ids (R,); id < 0 -> white.
-    All branches are traced (lax.switch requires static fns)."""
+    All registered branches are traced and blended by id (few proc-texes
+    per scene; matches the reference's one-switch-per-hit ProcTexExec,
+    texproc.cl:94)."""
+    R = uv.shape[0]
+    out = jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
     if not _REGISTRY:
-        return jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
+        return out
+    if wo is None:
+        wo = normal
+    if args is None:
+        args = jnp.zeros((R, 8), jnp.float32)
 
-    def white(uv, pos, normal):
-        return jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
+    if scene is not None:
+        from hydracore_tpu.ops.texture import sample_tex
 
-    # vectorized multi-way select: evaluate each registered fn on the whole
-    # batch and select by id (few proc-texes expected per scene; matches the
-    # reference's one-switch-per-hit ProcTexExec, texproc.cl:94)
-    out = white(uv, pos, normal)
-    for i, fn in enumerate(_REGISTRY):
-        val = fn(uv, pos, normal)
-        out = jnp.where((proc_id == i)[..., None], val, out)
+        def sample2d(slot_f, st):
+            return sample_tex(scene.texels, scene.tex_meta,
+                              slot_f.astype(jnp.int32), st)
+    else:
+        def sample2d(slot_f, st):
+            return jnp.ones(st.shape[:-1] + (4,), jnp.float32)
+
+    for i, (fn, n) in enumerate(_REGISTRY):
+        if n <= 3:
+            val = fn(uv, pos, normal)
+        else:
+            val = fn(uv, pos, normal, wo, args, sample2d)
+        out = jnp.where((proc_id == i)[..., None], val[..., :3], out)
     return out
+
+
+# ----------------------------------------------------------------------------
+# Stdlib: the procedural textures the reference ships under
+# pluginFiles/ProceduralTextures (bundled-scene .c payloads, e.g.
+# hydra_app/tests/test_aniso2/data/proctex_0000*.c). Each is the jax
+# counterpart of one prtexN_main.
+# ----------------------------------------------------------------------------
+
+def falloff(uv, pos, normal, wo, args, sample2d):
+    """mix(color1, color2, |cos(N, V)|) — falloff.c prtex1_main.
+    args: [0:3) color1, [3:6) color2."""
+    cos_a = jnp.abs(jnp.sum(normal * wo, axis=-1, keepdims=True))
+    c1, c2 = args[:, 0:3], args[:, 3:6]
+    return c1 * (1.0 - cos_a) + c2 * cos_a
+
+
+def hexaplanar(uv, pos, normal, wo, args, sample2d):
+    """Triplanar world-space projection with per-sign texture choice —
+    hexaplanar.c prtex2_main. args: [texX1 texY1 texZ1 texX2 texY2 texZ2
+    blendSize mapScale] (sampler slots float-coded)."""
+    blend = jnp.maximum(args[:, 6], 1e-3)
+    scale = jnp.maximum(args[:, 7], 1e-6)
+    tx = jnp.where(normal[:, 0] < 0, args[:, 0], args[:, 3])
+    ty = jnp.where(normal[:, 1] < 0, args[:, 1], args[:, 4])
+    tz = jnp.where(normal[:, 2] < 0, args[:, 2], args[:, 5])
+
+    w = jnp.abs(normal)
+    w = jnp.power(jnp.maximum(w, 1e-6), blend[:, None])
+    w = jnp.maximum(w, 1e-5) / jnp.sum(w * w, axis=-1, keepdims=True)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    s = scale[:, None]
+    y_uv = jnp.stack([pos[:, 0], pos[:, 2]], -1) / s
+    x_uv = jnp.stack([pos[:, 2], pos[:, 1]], -1) / s
+    z_uv = jnp.stack([pos[:, 0], pos[:, 1]], -1) / s
+    cx = sample2d(tx, x_uv)[:, :3]
+    cy = sample2d(ty, y_uv)[:, :3]
+    cz = sample2d(tz, z_uv)[:, :3]
+    return cx * w[:, 0:1] + cy * w[:, 1:2] + cz * w[:, 2:3]
+
+
+#: statefile `type="proc"` textures resolve here by texture `name` or by
+#: the .c main symbol (prtexN_<name>); extend for site-local shader packs.
+STDLIB = {
+    "falloff": falloff,
+    "hexaplanar": hexaplanar,
+}
+
+
+def register_stdlib_instance(name: str, loc: str = "") -> int:
+    """Bind a declared statefile proc texture to its stdlib jax
+    implementation; -1 (with a visible warning) when the code is unknown —
+    the scene renders without it, but never silently."""
+    fn = STDLIB.get(name.lower().strip())
+    if fn is None:
+        warnings.warn(
+            f"procedural texture '{name}' ({loc}) has no stdlib jax "
+            "implementation — register one via "
+            "hydracore_tpu.ops.proctex.register_proc_tex/STDLIB; "
+            "the material renders without it",
+            stacklevel=2,
+        )
+        return -1
+    return register_proc_tex(fn)
 
 
 # ---- built-in examples (the reference ships perlin-style noise in

@@ -171,7 +171,11 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
 
-        def visit_one(pos, t_cur, slot):
+        def visit_tm(pos, t_cur):
+            """One cluster visit -> (per-ray min-t (R,1), best-slot (R,1)).
+            Pure function of (pos, t_cur): group visits are INDEPENDENT, so
+            an unrolled group lets Mosaic pipeline the small matmuls across
+            visits instead of serializing on the reduce chain."""
             if big_mode:
                 # VMEM scalar reads need a static lane: perm is laid out
                 # (8, Cp, 8) with the id in lane 0
@@ -208,28 +212,29 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             tmin = jnp.min(tm, axis=1, keepdims=True)  # (R, 1)
             sl = jnp.where(tm == tmin, c * 128 + lane, -1)
             smax = jnp.max(sl, axis=1, keepdims=True)
-            better = tmin < t_cur
-            t_cur = jnp.where(better, tmin, t_cur)
-            slot = jnp.where(better, smax, slot)
-            if any_hit_mode:
-                # occluded rays retire: refilter sees them as dead lanes
-                t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
-            return t_cur, slot
+            return tmin, smax
 
         s0 = jnp.full((R_BLK, 1), -1, jnp.int32)
 
         def outer_body(st):
             ptr, n, t_cur, slot = st
-            end = jnp.minimum(ptr + K_VISITS, n)
-
-            def inner(st2):
-                i, t_cur, slot = st2
-                t_cur, slot = visit_one(lst[i], t_cur, slot)
-                return i + 1, t_cur, slot
-
-            i_end, t_cur, slot = jax.lax.while_loop(
-                lambda s2: s2[0] < end, inner, (ptr, t_cur, slot))
-            ptr = jnp.minimum(i_end, n)
+            # one UNROLLED group of K_VISITS independent visits; positions
+            # past the list end clamp to the last valid entry (idempotent
+            # re-visit — min-folding makes redundant visits harmless)
+            last = jnp.maximum(n - 1, 0)
+            tg, sg = visit_tm(lst[jnp.minimum(ptr, last)], t_cur)
+            for k in range(1, K_VISITS):
+                tk, sk = visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
+                bet = tk < tg
+                sg = jnp.where(bet, sk, sg)
+                tg = jnp.where(bet, tk, tg)
+            better = tg < t_cur
+            t_cur = jnp.where(better, tg, t_cur)
+            slot = jnp.where(better, sg, slot)
+            if any_hit_mode:
+                # occluded rays retire: refilter sees them as dead lanes
+                t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
+            ptr = jnp.minimum(ptr + K_VISITS, n)
 
             @pl.when(ptr < n)
             def _():

@@ -88,6 +88,15 @@ class MaterialTable:
     blend_type: np.ndarray  # (M,) 0 none / 1 mask / 2 fresnel / 3 falloff
     blend_tex: np.ndarray  # (M,) mask texture slot (1 = white)
     blend_ior: np.ndarray  # (M,) fresnel-blend ior
+    blend_top: np.ndarray  # (M,) top material id when the top is itself a blend, else -1
+    proc_args: np.ndarray  # (M,8) proc-tex arg stack (prtexDataTail analogue)
+    # subsurface scattering (ref SSSMaterial, PlainMaterialConverter.cpp:716
+    # + CPUExp_IntegratorSSS.cpp random-walk semantics)
+    sss_density: np.ndarray  # (M,) medium density multiplier
+    sss_absorption: np.ndarray  # (M,3) absorption cross-section (x density)
+    sss_scattering: np.ndarray  # (M,) scattering cross-section (x density)
+    sss_phase: np.ndarray  # (M,) Henyey-Greenstein g
+    sss_transmission: np.ndarray  # (M,) boundary diffuse-transmission prob
 
 
 # ----------------------------------------------------------------------------
@@ -125,7 +134,14 @@ MA_BLEND_IOR = 35
 MA_REFL_ANISO = 36
 MA_REFL_ANISO_ROT = 37
 MA_SKIP_SHADOW = 38
-MA_WIDTH = 40
+MA_BLEND_TOP = 39
+MA_SSS_DENSITY = 40
+MA_SSS_ABSORPTION = 41  # [41:44)
+MA_SSS_SCATTERING = 44
+MA_SSS_PHASE = 45
+MA_SSS_TRANSMISSION = 46
+MA_PROC_ARGS = 48  # [48:56) per-material proc-tex arg stack
+MA_WIDTH = 56
 
 
 def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
@@ -137,6 +153,8 @@ def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
     a[:, MA_REFL:MA_REFL + 3] = np.asarray(mt.refl_color)
     a[:, MA_TRANSP:MA_TRANSP + 3] = np.asarray(mt.transp_color)
     a[:, MA_TRANSL:MA_TRANSL + 3] = np.asarray(mt.transl_color)
+    a[:, MA_SSS_ABSORPTION:MA_SSS_ABSORPTION + 3] = np.asarray(mt.sss_absorption)
+    a[:, MA_PROC_ARGS:MA_PROC_ARGS + 8] = np.asarray(mt.proc_args)
     for col, field in [
         (MA_DIFF_ROUGH, mt.diff_rough), (MA_REFL_COSPOW, mt.refl_cospow),
         (MA_REFL_ALPHA, mt.refl_alpha), (MA_REFL_DIST, mt.refl_dist),
@@ -151,6 +169,11 @@ def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
         (MA_BLEND_IOR, mt.blend_ior), (MA_REFL_ANISO, mt.refl_aniso),
         (MA_REFL_ANISO_ROT, mt.refl_aniso_rot),
         (MA_SKIP_SHADOW, mt.skip_shadow),
+        (MA_BLEND_TOP, mt.blend_top),
+        (MA_SSS_DENSITY, mt.sss_density),
+        (MA_SSS_SCATTERING, mt.sss_scattering),
+        (MA_SSS_PHASE, mt.sss_phase),
+        (MA_SSS_TRANSMISSION, mt.sss_transmission),
     ]:
         a[:, col] = np.asarray(field).astype(np.float32)
     return a
@@ -168,12 +191,51 @@ _DIST_MAP = {
 }
 
 
-def _compile_one(node, rec: dict, tex_remap: np.ndarray):
+def _parse_proc_args(tex_node, tex_remap: np.ndarray) -> np.ndarray:
+    """Flatten a texref_proc binding's <arg> stack into 8 floats
+    (ReadAllProcTexArgsFromMaterialNode, RenderDriverRTE_ProcTex.cpp:116-190:
+    sampler2D/int args push ids, floatN push components, in child order).
+    sampler2D ids are remapped to packed texture slots."""
+    out: list[float] = []
+    for arg in tex_node.findall("arg"):
+        atype = (arg.get("type") or "float").lower()
+        vals = parse_floats(arg.get("val"), []) or []
+        if atype in ("sampler2d", "int", "unsigned"):
+            for v in vals:
+                tid = int(v)
+                if atype == "sampler2d":
+                    tid = int(tex_remap[tid]) if 0 <= tid < len(tex_remap) else 0
+                out.append(float(tid))
+        else:
+            out.extend(float(v) for v in vals)
+    a = np.zeros(8, np.float32)
+    a[: min(len(out), 8)] = out[:8]
+    return a
+
+
+def _compile_one(node, rec: dict, tex_remap: np.ndarray,
+                 proc_map: dict | None = None):
     def tex(parent):
         tid = get_tex_id(parent)
         if tid < 0 or tid >= len(tex_remap):
             return 0
         return int(tex_remap[tid])
+
+    def bind_proc(parent):
+        """texref_proc on a color slot -> (registered proc id, arg stack)."""
+        if proc_map is None or parent is None:
+            return
+        t = parent.find("texture")
+        if t is None:
+            return
+        tid = int(t.get("id", -1))
+        if t.get("type") != "texref_proc" and tid not in proc_map:
+            return
+        pid = proc_map.get(tid, -1)
+        if pid < 0:
+            return
+        rec["diff_proc"] = pid
+        rec["proc_args"] = _parse_proc_args(t, tex_remap)
 
     em = node.find("emission")
     if em is not None:
@@ -185,6 +247,7 @@ def _compile_one(node, rec: dict, tex_remap: np.ndarray):
     if dif is not None:
         rec["diff_color"] = get_color(dif, "color")
         rec["diff_tex"] = tex(dif)
+        bind_proc(dif)
         brdf = (dif.get("brdf_type") or "lambert").lower()
         if brdf == "orennayar":
             rec["diff_rough"] = get_float(dif, "roughness", 0.5)
@@ -241,6 +304,19 @@ def _compile_one(node, rec: dict, tex_remap: np.ndarray):
                 rec["bump_src_tex"] = int(t.get("id", -1))
                 rec["bump_amount"] = float(hm.get("amount", 1.0))
 
+    # subsurface scattering block. The reference's SSSMaterial
+    # (PlainMaterialConverter.cpp:716) is only reachable from its
+    # experimental CPU integrators (CPUExp_IntegratorSSS.cpp) — no XML path
+    # constructs it — so we expose the same parameter set under an <sss>
+    # node (absorption / scattering / density / phase / transmission).
+    sss = node.find("sss")
+    if sss is not None:
+        rec["sss_density"] = get_float(sss, "density", 1.0)
+        rec["sss_absorption"] = get_color(sss, "absorption", (0, 0, 0))
+        rec["sss_scattering"] = get_float(sss, "scattering", 1.0)
+        rec["sss_phase"] = get_float(sss, "phase", 0.0)
+        rec["sss_transmission"] = get_float(sss, "transmission", 0.6)
+
     if node.get("light_id") is not None:
         rec["light_id"] = int(node.get("light_id"))
 
@@ -280,6 +356,13 @@ def _blank_record() -> dict:
         blend_type=0,
         blend_tex=0,
         blend_ior=1.5,
+        blend_top=-1,
+        proc_args=np.zeros(8, np.float32),
+        sss_density=0.0,
+        sss_absorption=np.zeros(3, np.float32),
+        sss_scattering=0.0,
+        sss_phase=0.0,
+        sss_transmission=0.0,
     )
 
 
@@ -289,6 +372,25 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
     normal-map bake (scene/textures.py)."""
     max_id = max(desc.materials.keys(), default=-1)
     n = max_id + 1
+
+    # statefile proc textures: register a stdlib jax instance for every
+    # declared `type="proc"` texture that a material actually binds
+    # (texref_proc). Unreferenced declarations cost nothing (the bundled
+    # teapot_cylinder/test_aniso* scenes declare falloff/hexaplanar without
+    # binding them, matching the reference's lazy table fill).
+    proc_map: dict[int, int] = {}
+    referenced = set()
+    for node in desc.materials.values():
+        for t in node.iter("texture"):
+            if t.get("type") == "texref_proc":
+                referenced.add(int(t.get("id", -1)))
+    from hydracore_tpu.ops.proctex import register_stdlib_instance
+
+    for tid, td in getattr(desc, "textures", {}).items():
+        if getattr(td, "proc_name", None) and tid in referenced:
+            proc_map[tid] = register_stdlib_instance(td.proc_name,
+                                                     td.loc or "")
+
     recs = []
     for mid in range(max(n, 1)):
         rec = _blank_record()
@@ -296,7 +398,7 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
         if node is not None:
             mtype = node.get("type", "hydra_material")
             if mtype in ("hydra_material", "shadow_catcher"):
-                _compile_one(node, rec, tex_remap)
+                _compile_one(node, rec, tex_remap, proc_map)
             elif mtype == "hydra_blend":
                 # blend node (PlainMaterialConverter.cpp:750 BlendMask):
                 # THIS record compiles the top leaf; blend_node points to
@@ -306,7 +408,14 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
                 top = node.get("node_top")
                 bot = node.get("node_bottom")
                 if top is not None and int(top) in desc.materials:
-                    _compile_one(desc.materials[int(top)], rec, tex_remap)
+                    top_node = desc.materials[int(top)]
+                    if top_node.get("type") == "hydra_blend":
+                        # nested blend on the TOP branch: defer to that
+                        # record (resolved by the fetch-time random walk,
+                        # cmaterial.h:2345 materialRandomWalkBRDF)
+                        rec["blend_top"] = int(top)
+                    else:
+                        _compile_one(top_node, rec, tex_remap, proc_map)
                 if bot is not None:
                     rec["blend_node"] = int(bot)
                 bl = node.find("blend")
@@ -364,4 +473,11 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
         blend_type=stack("blend_type", np.int32),
         blend_tex=stack("blend_tex", np.int32),
         blend_ior=stack("blend_ior", np.float32),
+        blend_top=stack("blend_top", np.int32),
+        proc_args=stack("proc_args", np.float32),
+        sss_density=stack("sss_density", np.float32),
+        sss_absorption=stack("sss_absorption", np.float32),
+        sss_scattering=stack("sss_scattering", np.float32),
+        sss_phase=stack("sss_phase", np.float32),
+        sss_transmission=stack("sss_transmission", np.float32),
     )

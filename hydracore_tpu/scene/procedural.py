@@ -349,6 +349,13 @@ def _stack_materials(recs) -> MaterialTable:
         blend_type=stack("blend_type", np.int32),
         blend_tex=stack("blend_tex", np.int32),
         blend_ior=stack("blend_ior", np.float32),
+        blend_top=stack("blend_top", np.int32),
+        proc_args=stack("proc_args", np.float32),
+        sss_density=stack("sss_density", np.float32),
+        sss_absorption=stack("sss_absorption", np.float32),
+        sss_scattering=stack("sss_scattering", np.float32),
+        sss_phase=stack("sss_phase", np.float32),
+        sss_transmission=stack("sss_transmission", np.float32),
     )
 
 

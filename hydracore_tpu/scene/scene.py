@@ -270,6 +270,31 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     ))
 
 
+def _blend_depth(blend_node: np.ndarray, blend_top: np.ndarray) -> int:
+    """Longest blend chain (levels of blend records a fetch may traverse)."""
+    depth = 1
+    M = blend_node.shape[0]
+    memo = {}
+
+    def walk(mid, seen):
+        if mid < 0 or mid >= M or mid in seen:
+            return 0
+        if mid in memo:
+            return memo[mid]
+        if blend_node[mid] < 0 and blend_top[mid] < 0:
+            memo[mid] = 0
+            return 0
+        seen = seen | {mid}
+        d = 1 + max(walk(int(blend_node[mid]), seen),
+                    walk(int(blend_top[mid]), seen))
+        memo[mid] = d
+        return d
+
+    for m in range(M):
+        depth = max(depth, walk(m, frozenset()))
+    return depth
+
+
 def finalize_scene(sc: SceneData) -> SceneData:
     """Derive the packed gather rows + static feature gates from the raw
     tables. Called by every SceneData construction site (assemble,
@@ -320,6 +345,12 @@ def finalize_scene(sc: SceneData) -> SceneData:
             has_transl_tex=bool((np.asarray(mt.transl_tex) != 0).any()),
             has_proc_tex=bool((np.asarray(mt.diff_proc) >= 0).any()),
             has_bump=bool((np.asarray(mt.bump_tex) > 0).any()),
+            has_sss=bool((np.asarray(mt.sss_transmission) > 0).any()),
+            # the SSS boundary maps onto the translucency lobe
+            has_transl=bool(getattr(st, "has_transl", True)
+                            or (np.asarray(mt.sss_transmission) > 0).any()),
+            blend_depth=_blend_depth(np.asarray(mt.blend_node),
+                                     np.asarray(mt.blend_top)),
         )
 
     return sc.replace(tri_attr=tri_attr, cl_slot_tri2=cl_slot_tri2,

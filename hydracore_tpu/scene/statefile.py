@@ -84,6 +84,8 @@ class TextureDesc:
     offset: int
     bytesize: int
     is_hdr: bool = False
+    proc_name: str | None = None  # `type="proc"` textures: stdlib key
+    proc_main: str | None = None  # prtexN main symbol from <code main=…>
 
 
 @dataclass
@@ -130,6 +132,8 @@ class RenderSettings:
     has_transl_tex: bool = True
     has_proc_tex: bool = True
     has_bump: bool = True
+    has_sss: bool = False  # any subsurface-scattering material
+    blend_depth: int = 1  # deepest blend-tree chain in the scene
 
 
 @dataclass
@@ -232,7 +236,7 @@ def load_statefile(lib_dir: str, statefile: str | None = None) -> SceneDesc:
         for t in tl.findall("texture"):
             tid = int(t.get("id"))
             loc = t.get("loc")
-            textures[tid] = TextureDesc(
+            td = TextureDesc(
                 id=tid,
                 name=t.get("name", ""),
                 loc=loc,
@@ -240,6 +244,16 @@ def load_statefile(lib_dir: str, statefile: str | None = None) -> SceneDesc:
                 bytesize=int(t.get("bytesize", 0)),
                 is_hdr=bool(loc and loc.endswith("image4f")),
             )
+            if t.get("type") == "proc":
+                # procedural texture declaration (RenderDriverRTE_ProcTex
+                # codegen source); materials bind it with `texref_proc`
+                # nodes carrying the arg stack
+                td.proc_name = td.name
+                code = t.find("code")
+                if code is not None:
+                    td.proc_main = code.get("main")
+                    td.loc = code.get("loc") or loc
+            textures[tid] = td
 
     # --- materials / lights: keep the XML nodes; compilers interpret them
     materials = {}
