@@ -27,7 +27,9 @@ K_TRIS = 128  # triangles per cluster (= lane width)
 class ClusterSet:
     bounds_lane: np.ndarray  # (8, Cp) f32 rows [bxm bym bzm bxM byM bzM 0 0]
     bounds_sub: np.ndarray   # (Cp, 8) f32 same data, sublane-indexed
-    tris: np.ndarray         # (Cp, 12, 128) f32 rows [v0.xyz e1.xyz e2.xyz pad3]
+    tris: np.ndarray         # (Cp, 4, 384) f32 lane-concat [Mu | Mv | Mw] —
+    # ONE (R,4)x(4,384) matmul per ray set per visit instead of three
+    # (4,128) ones (per-op overhead dominates at these shapes)
     slot_tri: np.ndarray     # (Cp*128,) i32 padded slot -> tri id (-1 pad)
     oct_perm: np.ndarray     # (8, Cp) i32 cluster visit order per dir octant
     bounds_oct: np.ndarray   # (8, 8, Cp) f32 bounds_lane pre-permuted per octant
@@ -104,20 +106,20 @@ def cut_clusters(bvh: FlatBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
     cv = np.where(good, cv, 0.0)
     cw = np.where(good, cw, 1.0)
 
-    tris = np.zeros((Cp, 12, 128), np.float32)
-    tris[:, 3, :] = -1.0  # padding slots: u = -1 always
-    tris[:, 11, :] = 1.0
+    tris = np.zeros((Cp, 4, 384), np.float32)
+    tris[:, 3, 0:128] = -1.0  # padding slots: u = -1 always
+    tris[:, 3, 256:384] = 1.0
 
     for ci, (start, cnt, node) in enumerate(ranges):
         bl[0:3, ci] = bvh.bmin[node]
         bl[3:6, ci] = bvh.bmax[node]
         sl = slice(start, start + cnt)
-        tris[ci, 0:3, :cnt] = row_u[sl].T
-        tris[ci, 3, :cnt] = cu[sl]
-        tris[ci, 4:7, :cnt] = row_v[sl].T
-        tris[ci, 7, :cnt] = cv[sl]
-        tris[ci, 8:11, :cnt] = row_w[sl].T
-        tris[ci, 11, :cnt] = cw[sl]
+        tris[ci, 0:3, 0:cnt] = row_u[sl].T
+        tris[ci, 3, 0:cnt] = cu[sl]
+        tris[ci, 0:3, 128:128 + cnt] = row_v[sl].T
+        tris[ci, 3, 128:128 + cnt] = cv[sl]
+        tris[ci, 0:3, 256:256 + cnt] = row_w[sl].T
+        tris[ci, 3, 256:256 + cnt] = cw[sl]
         slot_tri[ci * 128 : ci * 128 + cnt] = np.arange(start, start + cnt)
 
     # front-to-back visit order per direction octant (bit0: dx>0, bit1:

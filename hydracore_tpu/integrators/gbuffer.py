@@ -54,8 +54,15 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         hit = tri >= 0
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         p = fetch_material(scene, mat_id, uv)
-        tri_c = jnp.clip(tri, 0, scene.tri_inst.shape[0] - 1)
-        inst = jnp.where(hit, scene.tri_inst[tri_c], -1)
+        if scene.settings is not None and getattr(scene.settings, "has_inst", False):
+            # instanced scenes: `tri` is a slot id; instance comes from the
+            # slot map's second column (see pt.compute_hit)
+            row = scene.cl_slot_tri2[
+                jnp.clip(tri, 0, scene.cl_slot_tri2.shape[0] - 1)]
+            inst = jnp.where(hit, row[:, 1], -1)
+        else:
+            tri_c = jnp.clip(tri, 0, scene.tri_inst.shape[0] - 1)
+            inst = jnp.where(hit, scene.tri_inst[tri_c], -1)
 
         depth_acc = depth_acc + jnp.where(hit, t, 0.0)
         norm_acc = norm_acc + jnp.where(hit[:, None], n, 0.0)

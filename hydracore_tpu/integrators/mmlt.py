@@ -125,49 +125,79 @@ def mmlt_step(scene, fb, u, f, pix_s, col_s, step_idx, seed,
     return fb, u, f, pix_s, col_s, b_acc, b_cnt
 
 
+def _init_psv(Rk: int, D: int, k: int, seed: int, salt: int = 0):
+    """Uniform PSS states from the counter-based RNG (no host entropy)."""
+    key = jnp.arange(Rk, dtype=jnp.uint32) + jnp.uint32(salt)
+    dims = jnp.arange(D, dtype=jnp.uint32)[None, :]
+    h = rng.pcg3d(jnp.stack([
+        jnp.broadcast_to(key[:, None], (Rk, D)),
+        jnp.broadcast_to(dims, (Rk, D)) + jnp.uint32((k * 977) & 0xFFFFFFFF),
+        jnp.full((Rk, D), np.uint32(seed), jnp.uint32)], axis=-1))
+    return (h[..., 0] >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+@partial(jax.jit, static_argnames=("Rk", "k"))
+def _resample_states(u, f, pix_s, col_s, Rk: int, k: int, seed):
+    """Contribution-proportional systematic resampling to Rk chains —
+    MMLT_BurningIn's SelectSampleProportionalToContrib
+    (GPUOCLLayerAdvanced.cpp:697-760), on device with the counter RNG
+    (stratified: one jittered pick per 1/Rk slice of the CDF)."""
+    cdf = jnp.cumsum(f)
+    total = cdf[-1]
+    lane = jnp.arange(Rk, dtype=jnp.uint32)
+    jit = rng.rand1(lane, jnp.uint32(k), 23, seed)
+    r = (lane.astype(jnp.float32) + jit) / Rk * total
+    pick = jnp.clip(jnp.searchsorted(cdf, r), 0, f.shape[0] - 1)
+    return u[pick], f[pick], pix_s[pick], col_s[pick]
+
+
 def render_mmlt(scene, n_passes: int, n_chains: int | None = None,
                 mutations_per_pass: int = 16, seed: int = 777,
                 max_depth: int | None = None, burn_in: int = 6,
-                k_min: int = 2):
+                k_min: int = 2, probe_chains: int = 2048):
     """Multiplexed-style Metropolis over SBDPT -> (H, W, 3)."""
     md = max_depth or scene.settings.trace_depth
     H, W = scene.camera.height, scene.camera.width
     ks = list(range(k_min, md + 2))  # path vertex counts
     R_total = n_chains or (W * H)
-    Rk = max(R_total // len(ks), 256)
     scene = jax.device_put(scene)
 
     img = np.zeros((H * W, 3), np.float64)
     n_steps = n_passes * mutations_per_pass
     n_burn = burn_in * mutations_per_pass
 
+    # ---- probe pass: measure per-depth average brightness b0_k from
+    # uniform (large-step-distributed) states; allocate chains per depth
+    # proportional to it — the reference's per-depth scale table
+    # (MMLTInitSplitDataUniform + contribution table,
+    # GPUOCLLayerAdvanced.cpp:518,859). Probe states double as the
+    # burn-in resampling source.
+    probes = {}
+    b0 = {}
     for k in ks:
-        D = psv_dims(k)
-        key = jnp.arange(Rk, dtype=jnp.uint32)
-        dims = jnp.arange(D, dtype=jnp.uint32)[None, :]
-        h = rng.pcg3d(jnp.stack([
-            jnp.broadcast_to(key[:, None], (Rk, D)),
-            jnp.broadcast_to(dims, (Rk, D)) + jnp.uint32((k * 977) & 0xFFFFFFFF),
-            jnp.full((Rk, D), np.uint32(seed), jnp.uint32)], axis=-1))
-        u = (h[..., 0] >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        u = _init_psv(probe_chains, psv_dims(k), k, seed)
         pix_s, col_s, f = _eval_state(scene, u, k, md)
-
-        # burn-in: contribution-proportional state selection
-        f_np = np.asarray(f, np.float64)
-        if f_np.sum() > 0:
-            cdf = np.cumsum(f_np)
-            cdf /= cdf[-1]
-            rs = np.random.default_rng(seed + k).random(Rk)
-            pick = np.searchsorted(cdf, rs).clip(0, Rk - 1).astype(np.int32)
-            u = u[pick]
-            f = f[pick]
-            pix_s = pix_s[pick]
-            col_s = col_s[pick]
-        else:
+        probes[k] = (u, f, pix_s, col_s)
+        b0[k] = float(jnp.sum(f))
+    w_total = sum(b0.values())
+    if w_total <= 0.0:
+        return img.reshape(H, W, 3).astype(np.float32)
+    alloc = {}
+    for k in ks:
+        if b0[k] <= 0.0:
             continue  # no transport at this depth
+        share = int(R_total * b0[k] / w_total)
+        alloc[k] = max(256, (share + 255) // 256 * 256)
+
+    for k, Rk in alloc.items():
+        u, f, pix_s, col_s = probes[k]
+        u, f, pix_s, col_s = _resample_states(
+            u, f, pix_s, col_s, Rk, k,
+            jnp.uint32((seed ^ 0xA511E9B3) & 0xFFFFFFFF))
 
         fb = jnp.zeros((H * W, 3), jnp.float32)
-        b_sum, b_n, total_mut = 0.0, 0.0, 0
+        # probe large-steps already sampled b_k's estimator
+        b_sum, b_n, total_mut = b0[k], float(probe_chains), 0
         for s in range(n_steps):
             fb_in = fb if s >= n_burn else jnp.zeros_like(fb)
             fb_out, u, f, pix_s, col_s, ba, bc = mmlt_step(

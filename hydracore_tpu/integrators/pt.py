@@ -152,18 +152,52 @@ def make_eye_rays(cam, px, py, jitter, lens_uv):
 def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
     """Hit attribute interpolation — ONE packed tri_attr row gather (XLA
     gathers cost per-OP on TPU, tools/exp_gather.py; the naive SoA form was
-    15 gathers ≈ 24 ms per bounce at 512²)."""
-    tri_c = jnp.clip(tri, 0, scene.tri_attr.shape[0] - 1)
+    15 gathers ≈ 24 ms per bounce at 512²).
+
+    Instanced scenes (settings.has_inst): `tri` is the cluster SLOT id;
+    it resolves to (mesh tri, instance) through cl_slot_tri2 (the gather
+    the traversal epilogue already issued — CSE'd), attributes interpolate
+    in mesh-local space and rotate to world by the instance matrix
+    (normals by invM^T, tangents by M — BVH4InstTraverse's local-space hit
+    semantics, ctrace.h:940-1010)."""
+    has_inst = scene.settings is not None and getattr(scene.settings, "has_inst", False)
+    if has_inst:
+        row = scene.cl_slot_tri2[jnp.clip(tri, 0, scene.cl_slot_tri2.shape[0] - 1)]
+        tri_c = jnp.clip(row[:, 0], 0, scene.tri_attr.shape[0] - 1)
+        im = scene.inst_attr[jnp.clip(row[:, 1], 0, scene.inst_attr.shape[0] - 1)]
+    else:
+        tri_c = jnp.clip(tri, 0, scene.tri_attr.shape[0] - 1)
     a = scene.tri_attr[tri_c]  # (R, 40)
     w = 1.0 - u - v
     wc, uc, vc = w[:, None], u[:, None], v[:, None]
-    pos = ray_o + t[:, None] * ray_d
-    n = normalize3(wc * a[:, 9:12] + uc * a[:, 12:15] + vc * a[:, 15:18])
-    ng = normalize3(cross3(a[:, 3:6], a[:, 6:9]))
+    pos = ray_o + t[:, None] * ray_d  # world in both modes (world-t rays)
+    n = wc * a[:, 9:12] + uc * a[:, 12:15] + vc * a[:, 15:18]
+    ng = cross3(a[:, 3:6], a[:, 6:9])
+    tang = wc * a[:, 18:21] + uc * a[:, 21:24] + vc * a[:, 24:27]
+    if has_inst:
+        def rot_normal(v3):  # v @ invR == invR^T action (rows 12:24 = invM)
+            return jnp.stack([
+                v3[:, 0] * im[:, 12] + v3[:, 1] * im[:, 16] + v3[:, 2] * im[:, 20],
+                v3[:, 0] * im[:, 13] + v3[:, 1] * im[:, 17] + v3[:, 2] * im[:, 21],
+                v3[:, 0] * im[:, 14] + v3[:, 1] * im[:, 18] + v3[:, 2] * im[:, 22],
+            ], axis=1)
+
+        def rot_vec(v3):  # R v (rows 0:12 = M)
+            return jnp.stack([
+                v3[:, 0] * im[:, 0] + v3[:, 1] * im[:, 1] + v3[:, 2] * im[:, 2],
+                v3[:, 0] * im[:, 4] + v3[:, 1] * im[:, 5] + v3[:, 2] * im[:, 6],
+                v3[:, 0] * im[:, 8] + v3[:, 1] * im[:, 9] + v3[:, 2] * im[:, 10],
+            ], axis=1)
+
+        n = rot_normal(n)
+        ng = rot_normal(ng)
+        tang = rot_vec(tang)
+    n = normalize3(n)
+    ng = normalize3(ng)
     # orient geometric normal with the shading normal
     ng = jnp.where(dot3(ng, n)[:, None] < 0.0, -ng, ng)
     uv = wc * a[:, 27:29] + uc * a[:, 29:31] + vc * a[:, 31:33]
-    tang = normalize3(wc * a[:, 18:21] + uc * a[:, 21:24] + vc * a[:, 24:27])
+    tang = normalize3(tang)
     mat = a[:, 33].astype(jnp.int32)
     lgt = a[:, 34].astype(jnp.int32)
     return pos, n, ng, uv, mat, lgt, tang

@@ -44,6 +44,10 @@ def _use_packet(scene) -> bool:
 
 
 def _pick(scene):
+    # two-level instanced layout: only the cluster kernel understands it
+    # (interpret mode off-TPU; see traverse_cluster._scene_inst)
+    if getattr(scene, "cl_map", None) is not None:
+        return traverse_cluster
     if _use_dense(scene):
         return traverse_dense
     if _use_cluster(scene):

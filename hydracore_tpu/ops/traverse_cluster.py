@@ -42,29 +42,36 @@ BIG = 3.0e38
 
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
-                 big_mode: bool = False):
+                 big_mode: bool = False, inst_mode: bool = False):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
     K_VISITS = 8  # visits between refilters
 
-    def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
-               out_ref, outi_ref, cnt, lst, *big_scratch):
+    def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref, *rest):
+        if inst_mode:
+            map_ref, imat_ref = rest[0], rest[1]
+            rest = rest[2:]
+        else:
+            map_ref = imat_ref = None
+        out_ref, outi_ref, cnt, lst, *big_scratch = rest
         if unroll_sub:  # interpret mode: fori over ref effects miscompiles
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
-                               perm_ref, oct_ref, out_ref, outi_ref, cnt,
-                               lst, big_scratch)
+                               perm_ref, oct_ref, map_ref, imat_ref,
+                               out_ref, outi_ref, cnt, lst, big_scratch)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
-                           out_ref, outi_ref, cnt, lst, big_scratch)
+                           map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
+                           big_scratch)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
-                       out_ref, outi_ref, cnt, lst, big_scratch):
+                       map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
+                       big_scratch):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -159,23 +166,19 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
 
         # ---- visit loop with periodic refilter ----
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        lane_u = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
         big = jnp.float32(BIG)
 
-        ro4 = jnp.concatenate([ox, oy, oz, ones_col], axis=1)  # (R, 4)
-        rd4 = jnp.concatenate([dx, dy, dz, ones_col * 0.0], axis=1)
-
-        def _mm(a, b):
-            return jax.lax.dot_general(
-                a, b, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-
         def visit_tm(pos, t_cur):
-            """One cluster visit -> (per-ray min-t (R,1), best-slot (R,1)).
-            Pure function of (pos, t_cur): group visits are INDEPENDENT, so
-            an unrolled group lets Mosaic pipeline the small matmuls across
-            visits instead of serializing on the reduce chain."""
+            """One cluster visit -> (per-ray packed min-t (R,1), cluster id).
+
+            The Woop transform runs as VPU broadcast FMAs, not MXU matmuls:
+            at (R,4)x(4,384) the f32 MXU path costs ~1.6 us/visit while 7
+            broadcast FMAs on (R,384) tiles cost ~0.8 us (measured,
+            tools/exp_visit_stats.py). The winning LANE rides in the low 7
+            mantissa bits of t (positive-float bit order == value order), so
+            ONE lane reduction replaces the min + eq-select + max pair; the
+            exact t is recomputed in the epilogue's gathered MT."""
             if big_mode:
                 # VMEM scalar reads need a static lane: perm is laid out
                 # (8, Cp, 8) with the id in lane 0
@@ -192,29 +195,48 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                 cp.start()
                 cp.wait()
                 blk = tbuf[...]
+            elif inst_mode:
+                # instance-cluster: c names an INSTANCED cluster; its Woop
+                # block lives in the shared per-mesh pool and the ray is
+                # moved into mesh-local space by folding A^T (the affine
+                # inverse instance transform, bvh/instanced.py) into the
+                # Woop operands: [o_w 1] @ (A^T blk) == [o_l 1] @ blk. t
+                # stays the world ray parameter (directions unnormalized).
+                blk = tris_ref[map_ref[0, c]]
+                At = imat_ref[map_ref[1, c]]  # (4, 4)
+                blk = jax.lax.dot_general(
+                    At, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
             else:
-                blk = tris_ref[c]  # (12, 128): Woop rows [Mu | Mv | Mw]
-            mu = blk[0:4]
-            mv = blk[4:8]
-            mw = blk[8:12]
-            ow = _mm(ro4, mw)
-            dw = _mm(rd4, mw)
+                blk = tris_ref[c]  # (4, 384): Woop lane-concat [Mu|Mv|Mw]
+            bx = blk[0:1]  # (1, 384) broadcast rows
+            by = blk[1:2]
+            bz = blk[2:3]
+            bc = blk[3:4]
+            os_ = ox * bx + oy * by + oz * bz + bc  # (R, 384) [ou|ov|ow]
+            ds_ = dx * bx + dy * by + dz * bz
+            ow = os_[:, 256:384]
+            dw = ds_[:, 256:384]
             t = -ow / dw  # +-inf/nan on parallel rays -> comparisons fail
-            ou = _mm(ro4, mu)
-            du = _mm(rd4, mu)
-            ov = _mm(ro4, mv)
-            dv = _mm(rd4, mv)
-            u = ou + t * du
-            v = ov + t * dv
+            u = os_[:, 0:128] + t * ds_[:, 0:128]
+            v = os_[:, 128:256] + t * ds_[:, 128:256]
             hit = (t > 1e-5) & (t < t_cur) & (u >= 0) & (v >= 0) \
                 & (u + v <= 1.0)
             tm = jnp.where(hit, t, big)
-            tmin = jnp.min(tm, axis=1, keepdims=True)  # (R, 1)
-            sl = jnp.where(tm == tmin, c * 128 + lane, -1)
-            smax = jnp.max(sl, axis=1, keepdims=True)
-            return tmin, smax
+            tp = jax.lax.bitcast_convert_type(
+                (jax.lax.bitcast_convert_type(tm, jnp.uint32)
+                 & jnp.uint32(0xFFFFFF80)) | lane_u, jnp.float32)
+            tmin = jnp.min(tp, axis=1, keepdims=True)  # (R, 1) packed
+            return tmin, c
 
         s0 = jnp.full((R_BLK, 1), -1, jnp.int32)
+
+        def _slot_of(tp, c):
+            """(packed t, cluster) -> global slot id."""
+            lane = (jax.lax.bitcast_convert_type(tp, jnp.uint32)
+                    & jnp.uint32(0x7F)).astype(jnp.int32)
+            return c * 128 + lane
 
         def outer_body(st):
             ptr, n, t_cur, slot = st
@@ -222,15 +244,18 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             # past the list end clamp to the last valid entry (idempotent
             # re-visit — min-folding makes redundant visits harmless)
             last = jnp.maximum(n - 1, 0)
-            tg, sg = visit_tm(lst[jnp.minimum(ptr, last)], t_cur)
+            tg, cg = visit_tm(lst[jnp.minimum(ptr, last)], t_cur)
+            sg = jnp.broadcast_to(jnp.int32(cg), (R_BLK, 1))
             for k in range(1, K_VISITS):
-                tk, sk = visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
+                tk, ck = visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
                 bet = tk < tg
-                sg = jnp.where(bet, sk, sg)
+                sg = jnp.where(bet, ck, sg)
                 tg = jnp.where(bet, tk, tg)
-            better = tg < t_cur
+            # packed(BIG) compares < BIG (lane bits rounded down), so a
+            # miss guard keeps no-hit visits from claiming the slot
+            better = (tg < t_cur) & (tg < jnp.float32(BIG * 0.5))
             t_cur = jnp.where(better, tg, t_cur)
-            slot = jnp.where(better, sg, slot)
+            slot = jnp.where(better, _slot_of(tg, sg), slot)
             if any_hit_mode:
                 # occluded rays retire: refilter sees them as dead lanes
                 t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
@@ -282,13 +307,15 @@ VMEM_MAX_CP = 1024
 
 
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret"))
-def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
-                      interpret=False):
-    """rays: (G, R_BLK, 8). Returns (t (G,R_BLK), slot (G,R_BLK), diag)."""
+def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
+                      any_hit_mode=False, interpret=False):
+    """rays: (G, R_BLK, 8). Returns (t (G,R_BLK), slot (G,R_BLK), diag).
+    cl_map/inst_woop non-None => instanced mode (bvh/instanced.py layout)."""
     G = rays.shape[0]
     assert G % M_SUB == 0, "pad ray blocks to a multiple of M_SUB"
     Cp = cbl_oct.shape[2]
-    big = Cp > VMEM_MAX_CP
+    inst = cl_map is not None
+    big = Cp > VMEM_MAX_CP and not inst
     d0 = rays[:, 0, 3:6]  # block octant from its first ray's direction
     oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
@@ -298,12 +325,23 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
         pltpu.SMEM((Cp + 16,), jnp.int32),
     ]
     if big:
-        scratch += [pltpu.VMEM((12, 128), jnp.float32),
+        scratch += [pltpu.VMEM((4, 384), jnp.float32),
                     pltpu.SemaphoreType.DMA]
         # lane-0 VMEM layout for scalar-readable cluster ids
         perm = jnp.broadcast_to(perm[:, :, None], perm.shape + (8,))
+    inst_in = []
+    inst_specs = []
+    if inst:
+        inst_in = [cl_map, inst_woop]
+        inst_specs = [
+            pl.BlockSpec(cl_map.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(inst_woop.shape, lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     out, outi = pl.pallas_call(
-        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big),
+        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big,
+                     inst_mode=inst),
         interpret=interpret,
         grid=(G // M_SUB,),
         in_specs=[
@@ -319,7 +357,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
              pl.BlockSpec(perm.shape, lambda i: (0, 0),
                           memory_space=pltpu.SMEM)),
             pl.BlockSpec((G,), lambda i: (0,), memory_space=pltpu.SMEM),
-        ],
+        ] + inst_specs,
         out_specs=[
             pl.BlockSpec((M_SUB, R_BLK, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -333,7 +371,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, any_hit_mode=False,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
-    )(rays, cbl_oct, tris, perm, oct_)
+    )(rays, cbl_oct, tris, perm, oct_, *inst_in)
     return out[:, :, 0], outi[:, :, 0], out[:, :, 1]
 
 
@@ -351,21 +389,56 @@ def _to_blocks(ro, rd, t_max, active):
     return r.reshape(Rp // R_BLK, R_BLK, 8), R
 
 
+def _scene_inst(scene):
+    """Instanced-layout arrays or (None, None); instanced scenes run the
+    inst_mode kernel variant (and interpret mode off-TPU, where the Mosaic
+    kernel cannot lower natively — instancing has no XLA fallback)."""
+    cl_map = getattr(scene, "cl_map", None)
+    if cl_map is None:
+        return None, None, False
+    interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
+    return cl_map, scene.inst_woop, interp
+
+
+def local_rays(scene, inst, ray_o, ray_d):
+    """Per-ray transform into instance-local space: one (R,32) inst_attr
+    row gather + vector FMAs (rows [12:24) hold invM 3x4 row-major)."""
+    im = scene.inst_attr[jnp.clip(inst, 0, scene.inst_attr.shape[0] - 1)]
+    ro = jnp.stack([
+        im[:, 12] * ray_o[:, 0] + im[:, 13] * ray_o[:, 1]
+        + im[:, 14] * ray_o[:, 2] + im[:, 15],
+        im[:, 16] * ray_o[:, 0] + im[:, 17] * ray_o[:, 1]
+        + im[:, 18] * ray_o[:, 2] + im[:, 19],
+        im[:, 20] * ray_o[:, 0] + im[:, 21] * ray_o[:, 1]
+        + im[:, 22] * ray_o[:, 2] + im[:, 23]], axis=1)
+    rd = jnp.stack([
+        im[:, 12] * ray_d[:, 0] + im[:, 13] * ray_d[:, 1]
+        + im[:, 14] * ray_d[:, 2],
+        im[:, 16] * ray_d[:, 0] + im[:, 17] * ray_d[:, 1]
+        + im[:, 18] * ray_d[:, 2],
+        im[:, 20] * ray_d[:, 0] + im[:, 21] * ray_d[:, 1]
+        + im[:, 22] * ray_d[:, 2]], axis=1)
+    return ro, rd
+
+
 def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
-    """Returns (t, tri_id, u, v); t = +inf on miss (trace_api contract)."""
+    """Returns (t, tri_id, u, v); t = +inf on miss (trace_api contract).
+    Instanced scenes return the SLOT id in place of tri_id (still <0 on
+    miss); compute_hit resolves slot -> (mesh tri, instance) through
+    cl_slot_tri2 — the same gather, CSE'd."""
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
+    cl_map, iwoop, interp = _scene_inst(scene)
     t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, scene.cl_tris,
-                                   scene.cl_oct_perm,
-                                   any_hit_mode=False, interpret=INTERPRET)
+                                   scene.cl_oct_perm, cl_map, iwoop,
+                                   any_hit_mode=False,
+                                   interpret=interp or INTERPRET)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
     # slot->tri via the 2-wide table (scalar (S,) gathers are ~2x slower
     # than row gathers on this TPU, tools/exp_gather.py)
-    tri = jnp.where(
-        hit,
-        scene.cl_slot_tri2[jnp.clip(slot, 0, scene.cl_slot_tri2.shape[0] - 1), 0],
-        -1)
+    row = scene.cl_slot_tri2[jnp.clip(slot, 0, scene.cl_slot_tri2.shape[0] - 1)]
+    tri = jnp.where(hit, row[:, 0], -1)
     # u, v recomputed outside the kernel: one gathered MT per ray is far
     # cheaper than carrying 2 extra lane reductions through every visit.
     # v0/e1/e2 come from the packed tri_attr row — the SAME gather
@@ -373,22 +446,31 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     tid = jnp.clip(tri, 0, scene.tri_attr.shape[0] - 1)
     a = scene.tri_attr[tid]
     v0, e1, e2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
-    d = ray_d
+    if cl_map is not None:  # MT runs in mesh-local space
+        o_mt, d = local_rays(scene, row[:, 1], ray_o, ray_d)
+    else:
+        o_mt, d = ray_o, ray_d
     pv = jnp.cross(d, e2)
     det = jnp.sum(e1 * pv, axis=1)
     inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    s = ray_o - v0
+    s = o_mt - v0
     u = jnp.sum(s * pv, axis=1) * inv
     qv = jnp.cross(s, e1)
     v = jnp.sum(d * qv, axis=1) * inv
-    t = jnp.where(hit, t, jnp.inf)
-    return t, tri, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+    # exact t from the same MT (the kernel's t carries the winning lane in
+    # its low mantissa bits — ordering-exact, value-rounded)
+    t_e = jnp.sum(e2 * qv, axis=1) * inv
+    t = jnp.where(hit, t_e, jnp.inf)
+    tri_out = jnp.where(hit, slot, -1) if cl_map is not None else tri
+    return t, tri_out, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
 
 def any_hit(scene, ray_o, ray_d, t_max, active=None):
     """Shadow traversal: True where occluded."""
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
+    cl_map, iwoop, interp = _scene_inst(scene)
     _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, scene.cl_tris,
-                                   scene.cl_oct_perm,
-                                   any_hit_mode=True, interpret=INTERPRET)
+                                   scene.cl_oct_perm, cl_map, iwoop,
+                                   any_hit_mode=True,
+                                   interpret=interp or INTERPRET)
     return slot.reshape(-1)[:R] >= 0

@@ -55,7 +55,7 @@ class SceneData:
     pkt_tris: np.ndarray  # (Bp,128) f32
     # cluster-dense pools (ops/traverse_cluster.py / bvh/clusters.py)
     cl_bounds: np.ndarray  # (8, Cp) f32 lane-form AABBs
-    cl_tris: np.ndarray  # (Cp, 12, 128) f32
+    cl_tris: np.ndarray  # (Cp, 4, 384) f32 lane-concat Woop [Mu|Mv|Mw]
     cl_slot_tri: np.ndarray  # (Cp*128,) i32
     cl_oct_perm: np.ndarray  # (8, Cp) i32 per-octant front-to-back order
     cl_bounds_oct: np.ndarray  # (8, 8, Cp) f32 bounds pre-permuted per octant
@@ -84,17 +84,111 @@ class SceneData:
     # ~1.6 ms per OP regardless of row width (tools/exp_gather.py), so all
     # per-ray attribute fetches are packed into single wide-row gathers.
     tri_attr: np.ndarray = None  # (T, 40) f32 [v0 e1 e2 n0 n1 n2 t0 t1 t2 uv0 uv1 uv2 mat light inst]
-    cl_slot_tri2: np.ndarray = None  # (S, 2) i32 slot->tri (wide: scalar gathers are slower)
+    cl_slot_tri2: np.ndarray = None  # (S, 2) i32 slot->[tri, instance]
     mat_attr: np.ndarray = None  # (M, MA_WIDTH) f32 packed material rows
     light_attr: np.ndarray = None  # (L, LA_WIDTH) f32 packed light rows
     tex_meta: np.ndarray = None  # (K, 12) f32 [bitcast(off,w,h,flags) | sampler 8f]
+    # ---- two-level instancing (bvh/instanced.py): geometry above is
+    # mesh-LOCAL, cl_* clusters are instantiated world AABBs over a shared
+    # Woop pool; None for flattened scenes
+    cl_map: np.ndarray = None  # (2, Ci) i32 [pool cluster; instance]
+    cl_slot_inst: np.ndarray = None  # (S,) i32 slot -> instance id
+    inst_attr: np.ndarray = None  # (I, 32) f32 [M 3x4 | invM 3x4 | pad]
+    inst_woop: np.ndarray = None  # (I, 4, 4) f32 A^T Woop-operand fold
 
     @property
     def num_triangles(self) -> int:
         return int(self.tri_v0.shape[0])
 
 
-def assemble(desc: SceneDesc, width: int | None = None, height: int | None = None) -> SceneData:
+# auto instancing kicks in above this many flattened triangles (when the
+# two-level layout actually saves memory; see _should_instance)
+INSTANCING_AUTO_TRIS = 400_000
+
+
+def _settings_flags(materials) -> dict:
+    """Static material feature gates shared by both assembly paths."""
+    return {
+        "has_alpha": bool((np.asarray(materials.opacity_tex) != 0).any()),
+        "has_blend": bool((np.asarray(materials.blend_node) >= 0).any()),
+        "has_rough_glass": bool(((np.asarray(materials.transp_gloss) < 0.999)
+                                 & (np.asarray(materials.transp_color).max(-1) > 0)).any()),
+        "has_transl": bool((np.asarray(materials.transl_color).max(-1) > 0).any()),
+        "has_aniso": bool((np.asarray(materials.refl_aniso) > 1e-3).any()),
+        "has_ms_comp": bool((((np.asarray(materials.refl_dist) == 2)
+                              | (np.asarray(materials.refl_dist) == 3))
+                             & (np.asarray(materials.refl_alpha) > 0.05)).any()),
+    }
+
+
+def _build_env(desc, lights):
+    """Sky fallback color + env importance tables (shared by both paths)."""
+    from hydracore_tpu.lights.envmap import build_env_pdf
+    from hydracore_tpu.scene.textures import load_texture_array
+
+    env = np.zeros(3, np.float32)
+    env_img = None
+    for row in range(len(np.asarray(lights.ltype))):
+        if int(np.asarray(lights.ltype)[row]) == 3:  # LIGHT_SKY
+            env = np.asarray(lights.intensity)[row]
+            sid = int(np.asarray(lights.statefile_id)[row])
+            lnode = desc.lights.get(sid)
+            if lnode is not None:
+                inten = lnode.find("intensity")
+                t = inten.find("texture") if inten is not None else None
+                if t is not None:
+                    env_img = load_texture_array(desc, int(t.get("id", -1)))
+            break
+    if env_img is None:
+        env_img = np.ones((8, 16, 4), np.float32)  # sin-weighted uniform sky
+    env_rows, env_cols, env_pdf = build_env_pdf(env_img)
+    return env, env_rows, env_cols, env_pdf
+
+
+def _partition_instances(desc, lid_to_row):
+    """Split instances into (instanceable, must-flatten). Emissive meshes,
+    remapped instances, single-use meshes and absent chunks flatten; meshes
+    instanced >= 2x without those features keep shared local geometry
+    (the reference instances everything through its two-level tree,
+    ctrace.h:841; flattening the rest is this design's simplification)."""
+    from collections import Counter
+
+    uses = Counter()
+    for inst in desc.instances:
+        if desc.meshes.get(inst.mesh_id) is not None:
+            uses[inst.mesh_id] += 1
+
+    keep, flat = [], []
+    for inst in desc.instances:
+        mesh = desc.meshes.get(inst.mesh_id)
+        if mesh is None:
+            continue
+        light_id = inst.light_id if inst.light_id >= 0 else \
+            desc.mesh_light_id.get(inst.mesh_id, -1)
+        remapped = inst.remap_list is not None and inst.remap_list.size >= 2
+        if light_id >= 0 or remapped or uses[inst.mesh_id] < 2:
+            flat.append(inst)
+        else:
+            keep.append(inst)
+    return keep, flat
+
+
+def _should_instance(desc, keep, flat, instancing: str) -> bool:
+    if instancing == "off" or not keep:
+        return False
+    if instancing == "force":
+        return True
+    flat_tris = sum(desc.meshes[i.mesh_id].num_triangles for i in keep + flat)
+    unique_tris = sum(desc.meshes[m].num_triangles
+                      for m in {i.mesh_id for i in keep})
+    stored = unique_tris + sum(desc.meshes[i.mesh_id].num_triangles for i in flat)
+    return flat_tris > INSTANCING_AUTO_TRIS and stored < 0.6 * flat_tris
+
+
+def assemble(desc: SceneDesc, width: int | None = None, height: int | None = None,
+             instancing: str = "auto") -> SceneData:
+    """instancing: 'auto' (two-level layout when it saves memory on big
+    scenes), 'force' (always when any instanceable mesh exists), 'off'."""
     st = desc.settings
     W = width or st.width
     H = height or st.height
@@ -108,6 +202,12 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     for row, sid in enumerate(np.asarray(lights.statefile_id)):
         if sid >= 0 and int(sid) not in lid_to_row:
             lid_to_row[int(sid)] = row
+
+    keep, flat = _partition_instances(desc, lid_to_row)
+    if _should_instance(desc, keep, flat, instancing):
+        return _assemble_instanced(desc, W, H, keep, flat, lid_to_row,
+                                   materials, lights, texels, tex_table,
+                                   tex_sampler)
 
     # ---- flatten instances to world space
     v0s, e1s, e2s = [], [], []
@@ -217,36 +317,10 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     # env fallback: sky light color if present else black; build env
     # importance tables from the sky texture (constant-sky fallback table)
-    from hydracore_tpu.lights.envmap import build_env_pdf
-    from hydracore_tpu.scene.textures import load_texture_array
-
-    env = np.zeros(3, np.float32)
-    env_img = None
-    for row in range(len(np.asarray(lights.ltype))):
-        if int(np.asarray(lights.ltype)[row]) == 3:  # LIGHT_SKY
-            env = np.asarray(lights.intensity)[row]
-            sid = int(np.asarray(lights.statefile_id)[row])
-            lnode = desc.lights.get(sid)
-            if lnode is not None:
-                inten = lnode.find("intensity")
-                t = inten.find("texture") if inten is not None else None
-                if t is not None:
-                    env_img = load_texture_array(desc, int(t.get("id", -1)))
-            break
-    if env_img is None:
-        env_img = np.ones((8, 16, 4), np.float32)  # sin-weighted uniform sky
-    env_rows, env_cols, env_pdf = build_env_pdf(env_img)
+    env, env_rows, env_cols, env_pdf = _build_env(desc, lights)
 
     st2 = RenderSettings(**{**st.__dict__, "width": W, "height": H,
-                           "has_alpha": bool((np.asarray(materials.opacity_tex) != 0).any()),
-                           "has_blend": bool((np.asarray(materials.blend_node) >= 0).any()),
-                           "has_rough_glass": bool(((np.asarray(materials.transp_gloss) < 0.999)
-                                                    & (np.asarray(materials.transp_color).max(-1) > 0)).any()),
-                           "has_transl": bool((np.asarray(materials.transl_color).max(-1) > 0).any()),
-                           "has_aniso": bool((np.asarray(materials.refl_aniso) > 1e-3).any()),
-                           "has_ms_comp": bool((((np.asarray(materials.refl_dist) == 2)
-                                                 | (np.asarray(materials.refl_dist) == 3))
-                                                & (np.asarray(materials.refl_alpha) > 0.05)).any())})
+                            **_settings_flags(materials)})
 
     return finalize_scene(SceneData(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
@@ -267,6 +341,84 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         camera=cam, env_color=env,
         env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
         settings=st2,
+    ))
+
+
+def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
+                        lights, texels, tex_table, tex_sampler) -> SceneData:
+    """Two-level layout: shared local-space mesh pools + instantiated
+    cluster AABBs (bvh/instanced.py). Non-instanceable geometry (lights,
+    remaps, single-use meshes) flattens into the identity instance 0."""
+    from hydracore_tpu.bvh.instanced import (build_instanced_layout,
+                                             concat_tris, mesh_local_tris,
+                                             transform_tris)
+
+    world_parts = []
+    for inst_id, inst in enumerate(flat):
+        mesh = desc.meshes[inst.mesh_id]
+        remap = None
+        if inst.remap_list is not None and inst.remap_list.size >= 2:
+            rl = inst.remap_list.reshape(-1, 2)
+            remap = {int(f): int(t) for f, t in rl}
+        lrow = -1
+        light_id = inst.light_id if inst.light_id >= 0 else \
+            desc.mesh_light_id.get(inst.mesh_id, -1)
+        if light_id >= 0:
+            lrow = lid_to_row.get(light_id, -1)
+        world_parts.append(transform_tris(
+            mesh_local_tris(mesh, remap, lrow, inst_id), inst.matrix))
+    world = concat_tris(world_parts) if world_parts else None
+
+    local = {mid: mesh_local_tris(desc.meshes[mid])
+             for mid in {i.mesh_id for i in keep}}
+    layout = build_instanced_layout(
+        world, local, [(i.mesh_id, i.matrix) for i in keep])
+    mt = layout.tris
+
+    # legacy single-level pools (binary/wide/packet/dense): 1-tri dummies —
+    # the dispatcher routes instanced scenes to the cluster kernel only
+    dummy_v0 = np.full((1, 3), 1e30, np.float32)
+    dz = np.zeros((1, 3), np.float32)
+    bvh = build_bvh_auto(dummy_v0, dummy_v0, dummy_v0)
+
+    from hydracore_tpu.bvh.wide import collapse_wide
+    from hydracore_tpu.ops.traverse_packet import pack_pools
+
+    wbvh = collapse_wide(bvh, dummy_v0, dz, dz)
+    pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f,
+                                                 wbvh.max_depth)
+
+    cam = build_camera(desc.camera, W, H)
+    lights2, ml_cdf, ml_tri = build_mesh_light_tables(
+        lights, mt.light, mt.v0, mt.e1, mt.e2)
+    env, env_rows, env_cols, env_pdf = _build_env(desc, lights2)
+
+    st2 = RenderSettings(**{**desc.settings.__dict__, "width": W, "height": H,
+                            **_settings_flags(materials), "has_inst": True})
+
+    return finalize_scene(SceneData(
+        tri_v0=mt.v0, tri_e1=mt.e1, tri_e2=mt.e2,
+        n0=mt.n0, n1=mt.n1, n2=mt.n2, t0=mt.t0, t1=mt.t1, t2=mt.t2,
+        uv0=mt.uv0, uv1=mt.uv1, uv2=mt.uv2,
+        tri_mat=mt.mat, tri_light=mt.light, tri_inst=mt.inst,
+        bvh_bmin=bvh.bmin, bvh_bmax=bvh.bmax,
+        bvh_left=bvh.left, bvh_right=bvh.right, bvh_count=bvh.count,
+        wbvh_nodes=wbvh.nodes, wbvh_tri9f=wbvh.tri9f,
+        wbvh_slot_tri=wbvh.slot_tri, wbvh_depth=wbvh.max_depth,
+        pkt_nodes=pkt_nodes, pkt_nodesi=pkt_nodesi, pkt_tris=pkt_tris,
+        cl_bounds=layout.bounds_lane, cl_tris=layout.pool_tris,
+        cl_slot_tri=np.ascontiguousarray(layout.slot_tri2[:, 0]),
+        cl_oct_perm=layout.oct_perm, cl_bounds_oct=layout.bounds_oct,
+        world_bmin=layout.world_bmin, world_bext=layout.world_bext,
+        ml_cdf=ml_cdf, ml_tri=ml_tri,
+        materials=materials, lights=lights2,
+        texels=texels, tex_table=tex_table, tex_sampler=tex_sampler,
+        camera=cam, env_color=env,
+        env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
+        settings=st2,
+        cl_map=layout.cl_map,
+        cl_slot_inst=np.ascontiguousarray(layout.slot_tri2[:, 1]),
+        inst_attr=layout.inst_attr, inst_woop=layout.inst_woop,
     ))
 
 
@@ -317,7 +469,9 @@ def finalize_scene(sc: SceneData) -> SceneData:
         axis=1)
 
     slot = np.asarray(sc.cl_slot_tri, np.int32)
-    cl_slot_tri2 = np.stack([slot, slot], axis=1)
+    col1 = (np.asarray(sc.cl_slot_inst, np.int32)
+            if sc.cl_slot_inst is not None else slot)
+    cl_slot_tri2 = np.stack([slot, col1], axis=1)
 
     tex_meta = np.concatenate(
         [np.asarray(sc.tex_table, np.int32).view(np.float32),
@@ -359,9 +513,10 @@ def finalize_scene(sc: SceneData) -> SceneData:
                       tex_meta=tex_meta, settings=st)
 
 
-def load_scene(lib_dir: str, width: int | None = None, height: int | None = None) -> SceneData:
+def load_scene(lib_dir: str, width: int | None = None, height: int | None = None,
+               instancing: str = "auto") -> SceneData:
     """Load a HydraAPI scene library directory into a device-ready pytree."""
-    return assemble(load_statefile(lib_dir), width, height)
+    return assemble(load_statefile(lib_dir), width, height, instancing)
 
 
 def build_mesh_light_tables(lights, tri_light, tri_v0, tri_e1, tri_e2):

@@ -134,6 +134,7 @@ class RenderSettings:
     has_bump: bool = True
     has_sss: bool = False  # any subsurface-scattering material
     blend_depth: int = 1  # deepest blend-tree chain in the scene
+    has_inst: bool = False  # two-level instanced layout (bvh/instanced.py)
 
 
 @dataclass
