@@ -436,6 +436,36 @@ def _ggx_E_avg(alpha):
     return ea[ai]
 
 
+_TRANSP_E = None
+
+
+def _transp_energy_table():
+    """64^3 rough-dielectric directional albedo E(ior, alpha, mu) — the
+    reference's m_essTranspTable (cfetch.h:79, bakeBrdfEnergy/)."""
+    global _TRANSP_E
+    if _TRANSP_E is None:
+        from hydracore_tpu.bsdf.energy_tables import get_transp_albedo_table
+        _TRANSP_E = np.asarray(get_transp_albedo_table(), np.float32)
+    return jnp.asarray(_TRANSP_E)
+
+
+def _transp_ms_factor(alpha, mu, ior, color):
+    """Pms = 1 + color*(1-Ess)/Ess of GetMultiscatteringFrom3dTable
+    (cmaterial.h:161-196); identity outside the baked ior range [0.42,2.4]."""
+    from hydracore_tpu.bsdf.energy_tables import (TRANSP_IOR_MAX,
+                                                  TRANSP_IOR_MIN)
+    E3 = _transp_energy_table()
+    n = E3.shape[0]
+    zf = (ior - TRANSP_IOR_MIN) / (TRANSP_IOR_MAX - TRANSP_IOR_MIN)
+    zi = jnp.clip((zf * n - 0.5).astype(jnp.int32), 0, n - 1)
+    ai = jnp.clip((alpha * n - 0.5).astype(jnp.int32), 0, n - 1)
+    mi = jnp.clip((mu * n - 0.5).astype(jnp.int32), 0, n - 1)
+    Ess = jnp.maximum(E3[zi, ai, mi], 1e-3)
+    pms = 1.0 + color * ((1.0 - Ess) / Ess)[..., None]
+    in_range = (ior >= TRANSP_IOR_MIN) & (ior <= TRANSP_IOR_MAX)
+    return jnp.where(in_range[..., None], pms, 1.0)
+
+
 def _aniso_frame(ns, rot):
     """Tangent frame for anisotropy, rotated by `rot` turns about ns."""
     t, b = make_orthonormal_basis(ns)
@@ -595,6 +625,16 @@ def eval_bsdf(p: MatParams, wo, wi, n, feats=FEATS_ALL):
     pdf_gr = jnp.where(rough_glass & refl_side,
                        F_r * d_r * jnp.maximum(dot3(hr, ns), 0.0)
                        / (4.0 * woh_r), 0.0)
+
+    # multiscatter energy compensation for rough glass from the baked 64^3
+    # transp table (ref: Pms in GlassSampleAndEvalBRDF, cmaterial.h:863 —
+    # applied to f only; pdfs stay single-scatter so MIS stays consistent)
+    if "mscomp" in feats:
+        pms = _transp_ms_factor(jnp.maximum(p.transp_alpha, 1e-3), cos_o,
+                                1.0 / jnp.maximum(eta, 1e-6), p.transp_color)
+        pms = jnp.where(rough_glass[..., None], pms, 1.0)
+        f_gt = f_gt * pms
+        f_gr = f_gr * pms
 
     alive = total > EPS_PDF
     f = jnp.where(alive[..., None], f_d + f_s + f_l + f_gt + f_gr, 0.0)

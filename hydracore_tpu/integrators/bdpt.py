@@ -44,17 +44,13 @@ from hydracore_tpu.bsdf.core import (apply_bump, fetch_material, scene_feats)
 from hydracore_tpu.bsdf.core import eval_bsdf as _eval_bsdf_raw
 from hydracore_tpu.bsdf.core import sample_bsdf as _sample_bsdf_raw
 
-_SCENE_FEATS = [None]  # set by _bdpt_core for the duration of a trace
-
-
-def eval_bsdf(p, wo, wi, n):
-    feats = _SCENE_FEATS[0]
+def eval_bsdf(p, wo, wi, n, feats=None):
+    """feats is threaded explicitly from _bdpt_core (no module state)."""
     return _eval_bsdf_raw(p, wo, wi, n) if feats is None else \
         _eval_bsdf_raw(p, wo, wi, n, feats)
 
 
-def sample_bsdf(p, wo, n, rands):
-    feats = _SCENE_FEATS[0]
+def sample_bsdf(p, wo, n, rands, feats=None):
     return _sample_bsdf_raw(p, wo, n, rands) if feats is None else \
         _sample_bsdf_raw(p, wo, n, rands, feats)
 from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays
@@ -148,7 +144,8 @@ def light_emit_pdf_w(cos_at_light):
 # Subpath generation
 # ----------------------------------------------------------------------------
 
-def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int):
+def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int,
+                         feats=None):
     """Trace z_1..z_{n_surf} (z_0 = camera pinhole, implicit).
 
     Vertex fields: pos, ns, ng, wo (unit, toward previous vertex), beta
@@ -186,13 +183,13 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int):
             break
 
         r_b = rand_fn(i, DG_BD_CAM_BSDF)
-        bs = sample_bsdf(p, -ray_d, n, r_b)
+        bs = sample_bsdf(p, -ray_d, n, r_b, feats)
         v_rec.spec = bs.is_specular
         beta = beta * bs.weight
         alive = hit & (beta.max(axis=-1) > 1e-7)
 
         # pr of the PREVIOUS vertex: this vertex scattering back to it
-        _, pdf_back = eval_bsdf(p, bs.wi, -ray_d, n)
+        _, pdf_back = eval_bsdf(p, bs.wi, -ray_d, n, feats)
         pdf_back = jnp.where(bs.is_specular, 0.0, pdf_back)
         if i >= 1:
             verts[i - 1].pr = _to_area(pdf_back, pos, verts[i - 1].pos,
@@ -207,7 +204,7 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int):
     return verts
 
 
-def trace_light_subpath(scene, rand_fn, n_surf: int):
+def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
     """Sample y_0 on a light, trace y_1..y_{n_surf}.
 
     y0 fields: pos, ns, ng, beta (= Le/(pick*pdfA)), pf (= pick*pdfA),
@@ -257,12 +254,12 @@ def trace_light_subpath(scene, rand_fn, n_surf: int):
             break
 
         r_b = rand_fn(j + 1, DG_BD_LGT_BSDF)
-        bs = sample_bsdf(p, -ray_d, n, r_b)
+        bs = sample_bsdf(p, -ray_d, n, r_b, feats)
         v_rec.spec = bs.is_specular
         beta = beta * bs.weight
         alive = hit & (beta.max(axis=-1) > 1e-7)
 
-        _, pdf_back = eval_bsdf(p, bs.wi, -ray_d, n)
+        _, pdf_back = eval_bsdf(p, bs.wi, -ray_d, n, feats)
         pdf_back = jnp.where(bs.is_specular, 0.0, pdf_back)
         if j >= 1:
             verts[j - 1].pr = _to_area(pdf_back, pos, verts[j - 1].pos,
@@ -381,15 +378,15 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
     R = ray_o.shape[0]
     three_way = strategies == "3way"
 
-    _SCENE_FEATS[0] = scene_feats(scene)
+    feats = scene_feats(scene)
     if k_only is None:
         NC = max_depth        # camera surface vertices z_1..z_NC
         NL = max_depth - 1    # light surface vertices y_1..y_NL
     else:
         NC = k_only - 1
         NL = max(k_only - 2, 1)
-    zs = trace_camera_subpath(scene, ray_o, ray_d, rand_fn, NC)
-    y0, ys = trace_light_subpath(scene, rand_fn, NL)
+    zs = trace_camera_subpath(scene, ray_o, ray_d, rand_fn, NC, feats)
+    y0, ys = trace_light_subpath(scene, rand_fn, NL, feats)
 
     out = []
 
@@ -449,7 +446,7 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         wl = d / dist[:, None]
         cos_z = dot3(z.ns, wl)
         cos_y = dot3(y0.ns, -wl)
-        f_z, pdf_z_w = eval_bsdf(z.mat, z.wo, wl, z.ns)
+        f_z, pdf_z_w = eval_bsdf(z.mat, z.wo, wl, z.ns, feats)
         can = z.valid & ~z.spec & (cos_z > 0) & (cos_y > 1e-6)
         sray_o = offs_ray_pos(z.pos, z.ng, wl)
         occ = any_hit_sorted(scene, sray_o, wl, dist * 0.995, active=can)
@@ -461,7 +458,7 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
             "pl_junc": _to_area(light_emit_pdf_w(cos_y), y0.pos, z.pos, z.ng),
         }
         if t >= 3:
-            _, pdf_back = eval_bsdf(z.mat, wl, z.wo, z.ns)
+            _, pdf_back = eval_bsdf(z.mat, wl, z.wo, z.ns, feats)
             junc["pl_junc2"] = _to_area(pdf_back, z.pos, zs[t - 3].pos,
                                         zs[t - 3].ng)
         pf, pl, spec = _assemble(R, zs, ys, y0, t, 1, junc)
@@ -477,7 +474,7 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         y = ys[s - 2]
         flat, on, w_cam, dist, cos_cam = project_to_screen(cam, y.pos)
         _, d_img = _camera_data(cam)
-        f_y, _ = eval_bsdf(y.mat, y.wo, w_cam, y.ns)
+        f_y, _ = eval_bsdf(y.mat, y.wo, w_cam, y.ns, feats)
         cos_x = jnp.abs(dot3(w_cam, y.ns))
         img_factor = (d_img / cos_cam) ** 2 / cos_cam
         factor = img_factor * cos_x / jnp.maximum(dist * dist, 1e-12)
@@ -491,7 +488,7 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                                 jnp.broadcast_to(cam.pos, y.pos.shape),
                                 y.pos, y.ng),
         }
-        _, pdf_down = eval_bsdf(y.mat, w_cam, y.wo, y.ns)
+        _, pdf_down = eval_bsdf(y.mat, w_cam, y.wo, y.ns, feats)
         nxt = ys[s - 3] if s >= 3 else y0
         junc["pf_junc2"] = _to_area(pdf_down, y.pos, nxt.pos, nxt.ng)
         pf, pl, spec = _assemble(R, zs, ys, y0, 1, s, junc)
@@ -512,8 +509,8 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                 d2 = jnp.maximum(dot3(d, d), 1e-12)
                 dist = jnp.sqrt(d2)
                 wl = d / dist[:, None]
-                f_z, pdf_z_w = eval_bsdf(z.mat, z.wo, wl, z.ns)
-                f_y, pdf_y_w = eval_bsdf(y.mat, y.wo, -wl, y.ns)
+                f_z, pdf_z_w = eval_bsdf(z.mat, z.wo, wl, z.ns, feats)
+                f_y, pdf_y_w = eval_bsdf(y.mat, y.wo, -wl, y.ns, feats)
                 cos_z = dot3(z.ns, wl)
                 cos_y = dot3(y.ns, -wl)
                 can = (z.valid & y.valid & ~z.spec & ~y.spec
@@ -528,12 +525,12 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                     "pf_junc": _to_area(pdf_z_w, z.pos, y.pos, y.ng),
                     "pl_junc": _to_area(pdf_y_w, y.pos, z.pos, z.ng),
                 }
-                _, pdf_y_down = eval_bsdf(y.mat, wl, y.wo, y.ns)
+                _, pdf_y_down = eval_bsdf(y.mat, wl, y.wo, y.ns, feats)
                 nxt = ys[s - 3] if s >= 3 else y0
                 junc["pf_junc2"] = _to_area(pdf_y_down, y.pos, nxt.pos,
                                             nxt.ng)
                 if t >= 3:
-                    _, pdf_z_back = eval_bsdf(z.mat, wl, z.wo, z.ns)
+                    _, pdf_z_back = eval_bsdf(z.mat, wl, z.wo, z.ns, feats)
                     junc["pl_junc2"] = _to_area(pdf_z_back, z.pos,
                                                 zs[t - 3].pos, zs[t - 3].ng)
                 pf, pl, spec = _assemble(R, zs, ys, y0, t, s, junc)

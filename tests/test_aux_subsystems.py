@@ -97,6 +97,20 @@ def test_ggx_albedo_table_properties():
     assert E[-1, 0] < E[0, -1]
 
 
+def test_transp_albedo_table_properties():
+    """64^3 rough-dielectric table analogue of m_essTranspTable
+    (cfetch.h:79): smooth glass conserves energy (refl+refr ~ 1), rough
+    glass at grazing loses it to multiple scattering."""
+    from hydracore_tpu.bsdf.energy_tables import bake_transp_albedo
+    E = bake_transp_albedo(size=8, n_samples=512, seed=3)
+    assert E.shape == (8, 8, 8)
+    assert (E > 0).all() and (E <= 1.0).all()
+    # mid ior (~1.4), alpha->0, mu->1: near-total single-scatter energy
+    assert E[3, 0, -1] > 0.93
+    # rough + grazing loses energy vs smooth + normal at every ior
+    assert (E[:, -1, 0] < E[:, 0, -1]).all()
+
+
 def test_procedural_texture_modulates_diffuse():
     from hydracore_tpu.integrators.pt import render
     from hydracore_tpu.ops.proctex import checker, clear_registry, register_proc_tex
