@@ -3,10 +3,10 @@
 TPU rebuild of the reference gbuffer pass (GPUOCLLayerOther.cpp:694
 EvalGBuffer + material.cl:1347 GetGBufferSample): anti-aliased primary rays
 per pixel produce depth / world normal / diffuse texcolor / matId / objId /
-instId / coverage layers; ids come from the dominant (closest of the
-center) sample, scalars are averaged over subsamples (the reference uses
-GBUFFER_SAMPLES=64 Hammersley with a median filter; we average a
-configurable sample count).
+instId / coverage layers; ids and canonical depth come from the DOMINANT
+sample — the subsample whose depth is the per-pixel median (the reference
+picks the median-depth sample of GBUFFER_SAMPLES=64 Hammersley the same
+way); scalars are averaged over subsamples.
 """
 from __future__ import annotations
 
@@ -41,9 +41,7 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
     cover_acc = jnp.zeros((R,), jnp.float32)
     shadow_acc = jnp.zeros((R,), jnp.float32)
     alpha_acc = jnp.zeros((R,), jnp.float32)
-    mat_first = jnp.full((R,), -1, jnp.int32)
-    inst_first = jnp.full((R,), -1, jnp.int32)
-    t_center = jnp.full((R,), jnp.inf, jnp.float32)
+    t_all, mat_all, inst_all = [], [], []
 
     for s in range(n_samples):
         sample_idx = pix * jnp.uint32(0x9E3779B9) ^ jnp.uint32(s)
@@ -84,10 +82,26 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         # alpha layer: surface opacity at the hit (PutAlphaToGBuffer
         # analogue, material.cl:1475)
         alpha_acc = alpha_acc + jnp.where(hit, p.opacity, 0.0)
-        if s == 0:  # center sample defines ids + canonical depth
-            mat_first = jnp.where(hit, mat_id, -1)
-            inst_first = inst
-            t_center = jnp.where(hit, t, jnp.inf)
+        t_all.append(jnp.where(hit, t, jnp.inf))
+        mat_all.append(jnp.where(hit, mat_id, -1))
+        inst_all.append(inst)
+
+    # dominant sample = the depth-MEDIAN subsample; ids/canonical depth come
+    # from it (GetGBufferSample picks the median-depth sample the same way,
+    # material.cl:1347 + CPUExp_GBuffer median filter) — stable on edges
+    # where the center sample flickers between foreground and background
+    ts = jnp.stack(t_all)  # (S, R), inf on miss -> sorts last
+    ts_sorted = jnp.sort(ts, axis=0)
+    hits = cover_acc.astype(jnp.int32)
+    med_idx = jnp.maximum((hits - 1) // 2, 0)
+    t_med = jnp.take_along_axis(ts_sorted, med_idx[None, :], axis=0)[0]
+    s_star = jnp.argmin(jnp.abs(ts - t_med[None, :]), axis=0)
+    mat_dom = jnp.take_along_axis(jnp.stack(mat_all), s_star[None, :], 0)[0]
+    inst_dom = jnp.take_along_axis(jnp.stack(inst_all), s_star[None, :], 0)[0]
+    any_hit_px = hits > 0
+    mat_dom = jnp.where(any_hit_px, mat_dom, -1)
+    inst_dom = jnp.where(any_hit_px, inst_dom, -1)
+    t_dom = jnp.where(any_hit_px, t_med, jnp.inf)
 
     denom = jnp.maximum(cover_acc, 1.0)
     return {
@@ -97,9 +111,9 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         "coverage": (cover_acc / n_samples).reshape(H, W),
         "shadow": (shadow_acc / denom).reshape(H, W),
         "alpha": (alpha_acc / denom).reshape(H, W),
-        "mat_id": mat_first.reshape(H, W),
-        "inst_id": inst_first.reshape(H, W),
-        "depth_center": t_center.reshape(H, W),
+        "mat_id": mat_dom.reshape(H, W),
+        "inst_id": inst_dom.reshape(H, W),
+        "depth_center": t_dom.reshape(H, W),
     }
 
 

@@ -61,12 +61,67 @@ class OracleRenderer:
         self.n0 = np.asarray(scene.n0)
         self.n1 = np.asarray(scene.n1)
         self.n2 = np.asarray(scene.n2)
+        self.uv0 = np.asarray(scene.uv0)
+        self.uv1 = np.asarray(scene.uv1)
+        self.uv2 = np.asarray(scene.uv2)
         self.tri_mat = np.asarray(scene.tri_mat)
         self.tri_light = np.asarray(scene.tri_light)
         self.mt = scene.materials
         self.lt = scene.lights
         self.cam = scene.camera
         self.env = np.asarray(scene.env_color)
+        self.texels = np.asarray(scene.texels)
+        self.tex_table = np.asarray(scene.tex_table)
+        self.ml_cdf = np.asarray(scene.ml_cdf)
+        self.ml_tri = np.asarray(scene.ml_tri)
+        self.has_alpha = bool((np.asarray(self.mt.opacity_tex) != 0).any()
+                              | (np.asarray(self.mt.skip_shadow) != 0).any())
+        # first sky light row (textured env)
+        self.sky_row = -1
+        lts = np.asarray(self.lt.ltype)
+        for i in range(len(lts)):
+            if int(lts[i]) == 3:
+                self.sky_row = i
+                break
+
+    # ---- textures (independent numpy mirror of ops/texture.sample_bilinear
+    # bilinear/wrap semantics, identity sampler)
+    def _tex(self, slot: int, uv) -> np.ndarray:
+        off, w, h, flags = (int(x) for x in self.tex_table[slot])
+        u = float(uv[0]) % 1.0 if not (flags & 1) else min(max(float(uv[0]), 0.0), 1.0)
+        v = float(uv[1]) % 1.0 if not (flags & 2) else min(max(float(uv[1]), 0.0), 1.0)
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+
+        def texel(xi, yi):
+            xi = min(max(xi, 0), w - 1) if (flags & 1) else xi % max(w, 1)
+            yi = min(max(yi, 0), h - 1) if (flags & 2) else yi % max(h, 1)
+            return self.texels[off + yi * w + xi].astype(np.float64)
+
+        top = texel(x0, y0) * (1 - fx) + texel(x0 + 1, y0) * fx
+        bot = texel(x0, y0 + 1) * (1 - fx) + texel(x0 + 1, y0 + 1) * fx
+        return top * (1 - fy) + bot * fy
+
+    def _env_radiance(self, d) -> np.ndarray:
+        """Sky radiance along d — textured lat-long like
+        lights/sampling.env_radiance (same mapping so integrands match)."""
+        if self.sky_row < 0:
+            return self.env.astype(np.float64)
+        inten = np.asarray(self.lt.intensity)[self.sky_row].astype(np.float64)
+        slot = int(np.asarray(self.lt.tex)[self.sky_row])
+        if slot <= 0:
+            return inten
+        u = 0.5 + np.arctan2(d[0], -d[2]) * (0.5 / np.pi)
+        v = np.arccos(np.clip(d[1], -1.0, 1.0)) / np.pi
+        return inten * self._tex(slot, (u, v))[:3]
+
+    def _opacity(self, mat: int, uv) -> float:
+        slot = int(np.asarray(self.mt.opacity_tex)[mat])
+        if slot == 0:
+            return 1.0
+        return float(self._tex(slot, uv)[0])
 
     # ---- geometry
     def trace(self, o, d, t_max=1e30):
@@ -75,20 +130,58 @@ class OracleRenderer:
         t, tri, u, v = brute_force_closest_hit(o[None], d[None], self.v0, self.e1, self.e2, t_max)
         return t[0], int(tri[0]), float(u[0]), float(v[0])
 
-    def occluded(self, o, d, dist):
-        t, tri, _, _ = self.trace(o, d, dist * 0.995)
-        return np.isfinite(t)
+    def occluded(self, o, d, dist, u_alpha: float = 0.5):
+        if not self.has_alpha:
+            t, tri, _, _ = self.trace(o, d, dist * 0.995)
+            return np.isfinite(t)
+        # stochastic transparent-layer walk (pt.shadow_trace semantics:
+        # up to 2 alpha layers pass w.p. 1-opacity / skip_shadow, 3rd
+        # surface counts opaque)
+        oo, d_left = o.copy(), dist * 0.995
+        for step in range(3):
+            t, tri, u, v = self.trace(oo, d, d_left)
+            if not np.isfinite(t):
+                return False
+            if step == 2:
+                return True
+            mat = int(self.tri_mat[tri])
+            w = 1.0 - u - v
+            uvh = w * self.uv0[tri] + u * self.uv1[tri] + v * self.uv2[tri]
+            op = self._opacity(mat, uvh)
+            skip = int(np.asarray(self.mt.skip_shadow)[mat]) != 0
+            ustep = (u_alpha + step * 0.618034) % 1.0
+            if not (((op < 0.999) and (ustep >= op)) or skip):
+                return True
+            oo = oo + (t + 1e-4) * d
+            d_left = max(d_left - t - 1e-4, 0.0)
+        return False
 
     # ---- shading
     def radiance(self, o, d, sample_index, seed, depth, max_depth, prev_pdf, prev_spec):
         t, tri, u, v = self.trace(o, d)
         if not np.isfinite(t):
-            return self.env.astype(np.float64)  # constant env (oracle scenes)
+            # BSDF-only env estimator (no env NEE): unbiased on its own,
+            # textured to match the production integrand
+            return self._env_radiance(d)
         w = 1.0 - u - v
         pos = o + t * d
         n = w * self.n0[tri] + u * self.n1[tri] + v * self.n2[tri]
         n = n / max(np.linalg.norm(n), 1e-12)
         mat = int(self.tri_mat[tri])
+        uv = w * self.uv0[tri] + u * self.uv1[tri] + v * self.uv2[tri]
+
+        # ---- stochastic alpha pass-through (one step consumed, specular
+        # for MIS — mirrors pt.py passthru semantics)
+        if self.has_alpha:
+            op = self._opacity(mat, uv)
+            ua = _rand4(sample_index, depth, 4, seed)[0]
+            if op < 0.999 and ua >= op:
+                if depth >= max_depth - 1:
+                    return np.zeros(3)
+                eps_a = 2e-4 * max(1.0, np.abs(pos).max())
+                return self.radiance(pos + d * eps_a, d, sample_index, seed,
+                                     depth + 1, max_depth, 0.0, True)
+
         em = np.asarray(self.mt.em_color)[mat].astype(np.float64)
         if em.max() > 1e-6:
             if float(np.dot(n, -d)) <= 0.0:
@@ -104,9 +197,13 @@ class OracleRenderer:
         if depth >= max_depth - 1:
             return np.zeros(3)
 
-        ns = n if np.dot(n, -d) >= 0 else -n
+        facing = np.dot(n, -d) >= 0
+        ns = n if facing else -n
         albedo = np.asarray(self.mt.diff_color)[mat].astype(np.float64)
         refl = np.asarray(self.mt.refl_color)[mat].astype(np.float64)
+        transp = np.asarray(self.mt.transp_color)[mat].astype(np.float64)
+        transl = np.asarray(self.mt.transl_color)[mat].astype(np.float64)
+        ior = float(np.asarray(self.mt.transp_ior)[mat])
         rdist = int(np.asarray(self.mt.refl_dist)[mat])
         ralpha = float(np.asarray(self.mt.refl_alpha)[mat])
 
@@ -114,13 +211,15 @@ class OracleRenderer:
             return 0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2]
 
         kd_, ks_ = lum(albedo), lum(refl)
-        ktot = kd_ + ks_
+        kt_, kl_ = lum(transp), lum(transl)
+        ktot = kd_ + ks_ + kt_ + kl_
         is_mirror = rdist == 4
 
         out = np.zeros(3)
         # ---- NEE over one light picked by the CDF (diffuse + GGX lobes;
         # pure mirrors skip NEE)
         r_l = _rand4(sample_index, depth, 2, seed)
+        u_sh = _rand4(sample_index, depth, 6, seed)[0]  # alpha shadow walk
         cdf = np.asarray(self.lt.pick_cdf)
         lrow = int(np.clip(np.searchsorted(cdf, r_l[3], side="right") - 1, 0, len(cdf) - 2))
         pick = float(cdf[lrow + 1] - cdf[lrow])
@@ -129,10 +228,16 @@ class OracleRenderer:
         lnorm = np.asarray(self.lt.norm)[lrow].astype(np.float64)
         inten = np.asarray(self.lt.intensity)[lrow].astype(np.float64)
         def eval_f_pdf(wi):
-            """mixture (f, pdf) for NEE MIS: diffuse + GGX reflection."""
+            """mixture (f, pdf) for NEE MIS: diffuse + GGX reflection on the
+            facing side, lambert transmission (translucency) on the back
+            (eval_bsdf two-sided semantics, bsdf/core.py:548)."""
             cos_i = float(np.dot(wi, ns))
-            if cos_i <= 0 or ktot <= 0:
+            if ktot <= 0:
                 return np.zeros(3), 0.0
+            if cos_i <= 0:  # transmission side: translucency lobe only
+                if kl_ <= 0:
+                    return np.zeros(3), 0.0
+                return transl / np.pi, (kl_ / ktot) * abs(cos_i) / np.pi
             f = albedo / np.pi
             pdf = (kd_ / ktot) * cos_i / np.pi
             if ks_ > 0 and rdist == 2 and not is_mirror:  # GGX
@@ -164,11 +269,12 @@ class OracleRenderer:
             dist = np.sqrt(d2)
             wi = to_l / dist
             cos_l = float(np.dot(lnorm, -wi))
-            cos_s = float(np.dot(wi, ns))
+            cos_s = abs(float(np.dot(wi, ns)))
             if cos_l > 1e-6 and cos_s > 0:
                 pdf_w = d2 / (area * cos_l)
-                sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
-                if not self.occluded(sro, wi, dist):
+                side = 1.0 if float(np.dot(wi, ns)) >= 0 else -1.0
+                sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist, u_sh):
                     fv, pdf_b = eval_f_pdf(wi)
                     wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
                     out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
@@ -190,14 +296,42 @@ class OracleRenderer:
             bb2 = np.array([bb_, sign + wd[1] ** 2 * aa, -wd[1]])
             wi = sin_t * np.cos(phi) * tb2 + sin_t * np.sin(phi) * bb2 + cos_t * wd
             wi /= max(np.linalg.norm(wi), 1e-12)
-            cos_s = float(np.dot(wi, ns))
+            cos_s = abs(float(np.dot(wi, ns)))
             b_ = float(np.dot(wi, to_c))
             disc = max(b_ * b_ - dc2 + rad * rad, 0.0)
             dist = b_ - np.sqrt(disc)
             if cos_s > 0 and dist > 1e-5:
                 pdf_w = 1.0 / max(2 * np.pi * (1 - cos_max), 1e-9)
-                sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
-                if not self.occluded(sro, wi, dist):
+                side = 1.0 if float(np.dot(wi, ns)) >= 0 else -1.0
+                sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist, u_sh):
+                    fv, pdf_b = eval_f_pdf(wi)
+                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
+                    out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
+        elif ltype == 8:  # mesh light: tri by area CDF + uniform point
+            mrow = int(np.asarray(self.lt.mesh_row)[lrow])
+            area = float(np.asarray(self.lt.area)[lrow])
+            cdfm = self.ml_cdf[mrow]
+            ti = int(np.clip((cdfm < r_l[0]).sum(), 0, self.ml_tri.shape[1] - 1))
+            trim = int(np.clip(self.ml_tri[mrow, ti], 0, len(self.v0) - 1))
+            ub1 = (r_l[0] * 4096.0) % 1.0
+            ub2 = (r_l[1] * 4096.0) % 1.0
+            r1m = np.sqrt(max(ub1, 0.0))
+            pm = (self.v0[trim] + r1m * (1.0 - ub2) * self.e1[trim]
+                  + r1m * ub2 * self.e2[trim]).astype(np.float64)
+            nm = np.cross(self.e1[trim], self.e2[trim]).astype(np.float64)
+            nm /= max(np.linalg.norm(nm), 1e-12)
+            to_l = pm - pos
+            d2 = max(float(np.dot(to_l, to_l)), 1e-12)
+            dist = np.sqrt(d2)
+            wi = to_l / dist
+            cos_m = abs(float(np.dot(nm, -wi)))  # two-sided emission
+            cos_s = abs(float(np.dot(wi, ns)))
+            if cos_m > 1e-6 and cos_s > 0:
+                pdf_w = d2 / (area * cos_m)
+                side = 1.0 if float(np.dot(wi, ns)) >= 0 else -1.0
+                sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist * 0.998, u_sh):
                     fv, pdf_b = eval_f_pdf(wi)
                     wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
                     out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
@@ -206,7 +340,7 @@ class OracleRenderer:
             d2 = float(np.dot(to_l, to_l))
             dist = np.sqrt(d2)
             wi = to_l / dist
-            cos_s = float(np.dot(wi, ns))
+            cos_s = abs(float(np.dot(wi, ns)))
             fall = 1.0
             if ltype == 1:  # spot smoothstep falloff (clight.h:7 semantics)
                 ci = float(np.asarray(self.lt.cos_in)[lrow])
@@ -215,24 +349,58 @@ class OracleRenderer:
                 x = np.clip((sc - co_) / max(ci - co_, 1e-6), 0.0, 1.0)
                 fall = x * x * (3 - 2 * x)
             if cos_s > 0 and fall > 0:
-                sro = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
-                if not self.occluded(sro, wi, dist):
+                side = 1.0 if float(np.dot(wi, ns)) >= 0 else -1.0
+                sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
+                if not self.occluded(sro, wi, dist, u_sh):
                     fv, _ = eval_f_pdf(wi)
                     out += fv * (inten * fall / d2) * cos_s / max(pick, 1e-12)
 
-        # ---- bounce: one-sample mixture over diffuse / mirror / GGX
+        # ---- bounce: one-sample mixture over diffuse / glossy-mirror /
+        # glass / translucency (sample_bsdf's kd/ks/kt/kl partition,
+        # bsdf/core.py:707-713)
         if ktot <= 0:
             return out
         r_b = _rand4(sample_index, depth, 1, seed)
-        pick_d = r_b[0] < kd_ / ktot
-        ro2 = pos + ns * 2e-4 * max(1.0, np.abs(pos).max())
+        u_lobe = r_b[0] * ktot
+        pick_d = u_lobe < kd_
+        pick_s = (not pick_d) and u_lobe < kd_ + ks_
+        pick_t = (not pick_d) and (not pick_s) and u_lobe < kd_ + ks_ + kt_
+        eps2 = 2e-4 * max(1.0, np.abs(pos).max())
+        ro2 = pos + ns * eps2
         # Frisvad basis (same as device math3d)
         sign = 1.0 if ns[2] >= 0 else -1.0
         a = -1.0 / (sign + ns[2])
         b = ns[0] * ns[1] * a
         tb = np.array([1.0 + sign * ns[0] ** 2 * a, sign * b, -sign * ns[0]])
         bb = np.array([b, sign + ns[1] ** 2 * a, -ns[1]])
-        if pick_d:
+        if pick_t:
+            # smooth glass: delta Fresnel split (sample_bsdf glass branch,
+            # bsdf/core.py:737-763; oracle scenes keep transp_gloss = 1)
+            eta = ior if facing else 1.0 / max(ior, 1e-4)
+            cos_io = max(float(np.dot(ns, -d)), 0.0)
+            sin2_t = max(0.0, 1.0 - cos_io * cos_io) / max(eta * eta, 1e-12)
+            tir = sin2_t >= 1.0
+            cos_t = np.sqrt(max(1.0 - sin2_t, 0.0))
+            rp = (eta * cos_io - cos_t) / max(eta * cos_io + cos_t, 1e-12)
+            rs = (cos_io - eta * cos_t) / max(cos_io + eta * cos_t, 1e-12)
+            F = 1.0 if tir else min(max(0.5 * (rp * rp + rs * rs), 0.0), 1.0)
+            if r_b[3] < F or tir:
+                wi = d - 2 * float(np.dot(d, ns)) * ns
+            else:
+                inv_eta = 1.0 / max(eta, 1e-6)
+                wi = inv_eta * d + (inv_eta * cos_io - cos_t) * ns
+                wi /= max(np.linalg.norm(wi), 1e-12)
+                ro2 = pos - ns * eps2
+            lo = self.radiance(ro2, wi, sample_index, seed, depth + 1,
+                               max_depth, 0.0, True)
+            return out + transp * (ktot / max(kt_, 1e-9)) * lo
+        if (not pick_d) and (not pick_s):  # translucency: back cosine lobe
+            ct = np.sqrt(max(r_b[1], 0.0))
+            st = np.sqrt(max(1.0 - r_b[1], 0.0))
+            phi = 2 * np.pi * r_b[2]
+            wi = -(st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * ns)
+            ro2 = pos - ns * eps2
+        elif pick_d:
             ct = np.sqrt(max(r_b[1], 0.0))
             st = np.sqrt(max(1.0 - r_b[1], 0.0))
             phi = 2 * np.pi * r_b[2]
@@ -252,14 +420,14 @@ class OracleRenderer:
             wi = d - 2 * float(np.dot(d, h)) * h
             wi /= max(np.linalg.norm(wi), 1e-12)
         cos_i = float(np.dot(wi, ns))
-        if cos_i <= 0:
+        if (cos_i <= 0 and kl_ <= 0) or cos_i == 0:
             return out
         fv, pdf = eval_f_pdf(wi)
         if pdf <= 0:
             return out
         lo = self.radiance(ro2, wi, sample_index, seed, depth + 1, max_depth,
                            pdf, False)
-        return out + fv * cos_i / pdf * lo
+        return out + fv * abs(cos_i) / pdf * lo
 
     def render(self, width: int, height: int, spp: int, max_depth: int = 3, seed: int = 777):
         """(H, W, 3) image; pixel-center rays + per-sample decorrelation

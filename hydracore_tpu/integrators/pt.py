@@ -91,6 +91,38 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool,
             return any_hit(scene, sray_o, sdir, dist * 0.995, active=active)
         return any_hit_sorted(scene, sray_o, sdir, dist * 0.995, active=active)
 
+    from hydracore_tpu.ops.trace_api import (alpha_layer_hit, any_hit_opaque,
+                                             has_shadow_split)
+
+    if has_shadow_split(scene):
+        # split sets (scene._build_shadow_split): ONE opaque any-hit walk
+        # (alpha lanes degenerate in the shadow pool) + stochastic layers
+        # over the small dense alpha set — occlusion by opaque vs alpha
+        # surfaces is order-independent, so the split is exact
+        occluded = any_hit_opaque(scene, sray_o, sdir, dist * 0.995,
+                                  active=active, presorted=presorted)
+        searching = active & ~occluded
+        t_lo = jnp.full(sray_o.shape[0], 1e-5, jnp.float32)
+        t_hi = dist * 0.995
+        for step in range(MAX_ALPHA_SHADOW_STEPS + 1):
+            t, tri, u, v = alpha_layer_hit(scene, sray_o, sdir, t_lo, t_hi,
+                                           searching)
+            hit = searching & (tri >= 0)
+            if step == MAX_ALPHA_SHADOW_STEPS:  # out of layers: opaque
+                return occluded | hit
+            pos_d, n_d, ng_d, uv, mat_id, _, _ = compute_hit(
+                scene, tri, u, v, sray_o, sdir, t)
+            p = fetch_material(scene, mat_id, uv)
+            ua = rng.hash_u32(u_alpha + jnp.uint32(step * 0x9E3779B9))
+            ua = (ua >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            skip_sh = p.skip_shadow != 0
+            passthru = hit & (((p.opacity < 0.999) & (ua >= p.opacity))
+                              | skip_sh)
+            occluded = occluded | (hit & ~passthru)
+            searching = passthru
+            t_lo = t + 1e-4
+        return occluded
+
     occluded = jnp.zeros(sray_o.shape[0], bool)
     searching = active
     o = sray_o
@@ -248,6 +280,13 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     # static sky gate: closed scenes (no sky light) drop the whole env
     # machinery from the jit graph (finalize_scene sets settings.has_sky)
     has_sky_s = scene.settings is None or scene.settings.has_sky
+    # static back-plate gate (sky <back>): camera-visible rays (primary or
+    # behind pure transmission) take the second-env color instead
+    # (environmentColorExtended, cbidir.h:619-625)
+    has_back = (scene.settings is not None
+                and getattr(scene.settings, "has_env_back", False))
+    if has_back:
+        pure_t = jnp.ones((R,), bool)  # no D/G/reflect event yet
     # static SSS gate: medium state + random-walk code only when the scene
     # has subsurface materials (SSSMaterial / CPUExp_IntegratorSSS.cpp)
     has_sss = scene.settings is not None and getattr(scene.settings, "has_sss", False)
@@ -287,6 +326,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             alive = packed[:, 14] > 0.5
             sidx = jax.lax.bitcast_convert_type(packed[:, 15], jnp.uint32)
             orig_pos = jax.lax.bitcast_convert_type(packed[:, 16], jnp.int32)
+            if has_back:
+                pure_t = pure_t[perm]
             if has_sss:  # medium state rides the same permute
                 med = jnp.concatenate([
                     in_med.astype(f32)[:, None], med_sig_s[:, None],
@@ -342,7 +383,15 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 1.0,
                 mis_weight(prev_pdf, env_pdf * sky_pick),
             )
-            acc = acc + jnp.where(miss[:, None], throughput * env * w_env[:, None], 0.0)
+            env_c = env * w_env[:, None]
+            if has_back:
+                from hydracore_tpu.lights.sampling import env_back_radiance
+
+                # back plate REPLACES the env color (unweighted) for
+                # camera-visible rays (cbidir.h:624)
+                env_c = jnp.where(pure_t[:, None],
+                                  env_back_radiance(scene, ray_d), env_c)
+            acc = acc + jnp.where(miss[:, None], throughput * env_c, 0.0)
         alive = alive & hit
 
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
@@ -418,6 +467,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
         prev_spec = jnp.where(passthru, True, bs.is_specular)
         is_trans_sss = jnp.zeros_like(passthru)
+        if has_back:  # RAY_EVENT_T-only paths stay camera-visible
+            pure_t = pure_t & (passthru | bs.is_transmission) & ~scat
 
         # ---- SSS boundary event (ref sampleAndEvalBxDF SSS branch,
         # CPUExp_IntegratorSSS.cpp:36): cosine lobe about the facing normal;

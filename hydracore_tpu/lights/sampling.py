@@ -89,6 +89,45 @@ def env_radiance(scene, d):
     return base[None, :] * jnp.where(has_sky & (tex > 0), texc, jnp.ones_like(texc))
 
 
+def env_back_radiance(scene, d):
+    """Second-env back plate color along direction d (R,3): spherical
+    lat-long lookup or camera-projected screen-space lookup of the sky
+    light's <back> texture (ref backColorOfSecondEnv, cbidir.h:543-572).
+    Only call under settings.has_env_back — replaces env radiance for
+    camera-visible rays (environmentColorExtended, cbidir.h:624)."""
+    from hydracore_tpu.ops.texture import sample_tex
+
+    eb = scene.env_back
+    slot = eb[0].astype(jnp.int32)
+    spherical = eb[1] < 1.5
+    mult = eb[3:6]
+
+    # spherical: same lat-long mapping as the primary env
+    u_s = 0.5 + jnp.arctan2(d[:, 0], -d[:, 2]) * (0.5 / np.pi)
+    v_s = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) * (1.0 / np.pi)
+
+    # camera-projected: project the ray direction through the camera
+    # (screen uv of the pixel the ray left from — exact for pinhole
+    # primaries, the reference uses the packed pixel id)
+    cam = scene.camera
+    w2v = jnp.linalg.inv(cam.mWorldViewInv)
+    proj = jnp.linalg.inv(cam.mProjInv)
+    dv = d @ w2v[:3, :3].T
+    # homogeneous point at infinity [dv, 0]: the direction's vanishing
+    # point — exact screen uv for pinhole primaries
+    pv = jnp.concatenate([dv, jnp.zeros((d.shape[0], 1), jnp.float32)], -1) \
+        @ proj.T
+    ndc = pv[:, :2] / jnp.maximum(jnp.abs(pv[:, 3:4]), 1e-12)
+    u_c = jnp.clip(ndc[:, 0] * 0.5 + 0.5, 0.0, 1.0)
+    v_c = jnp.clip(0.5 - ndc[:, 1] * 0.5, 0.0, 1.0)
+
+    uv = jnp.where(spherical,
+                   jnp.stack([u_s, v_s], -1), jnp.stack([u_c, v_c], -1))
+    texc = sample_tex(scene.texels, scene.tex_meta,
+                      jnp.broadcast_to(slot, (d.shape[0],)), uv)[:, :3]
+    return mult[None, :] * texc
+
+
 def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
     """Sample one point/direction on light l_idx (R,) from surface points sp
     (R,3) with rnds (R,3) uniforms.

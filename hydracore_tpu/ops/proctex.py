@@ -39,7 +39,8 @@ def register_proc_tex(fn) -> int:
     """Register a procedural texture; returns its id for material records
     (MaterialTable.diff_proc)."""
     try:
-        n = len(inspect.signature(fn).parameters)
+        n = sum(1 for p in inspect.signature(fn).parameters.values()
+                if p.default is inspect.Parameter.empty)
     except (TypeError, ValueError):
         n = 3
     _REGISTRY.append((fn, n))

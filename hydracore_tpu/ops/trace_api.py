@@ -113,6 +113,70 @@ def closest_hit_sorted(scene, ray_o, ray_d, t_max=1e30, active=None):
     return t[inv], tri[inv], u[inv], v[inv]
 
 
+def has_shadow_split(scene) -> bool:
+    """True when the opaque/alpha split shadow sets are available and the
+    active backend can consume them (cluster kernel, flattened layout)."""
+    return (getattr(scene, "cl_tris_shadow", None) is not None
+            and _pick(scene) is traverse_cluster)
+
+
+def any_hit_opaque(scene, ray_o, ray_d, t_max, active=None,
+                   presorted=False):
+    """Occlusion by OPAQUE geometry only (the shadow pool degenerates
+    alpha/skip_shadow lanes). Callers handle the alpha set separately via
+    alpha_layer_hit — together the reference's one-walk transparent shadow
+    query (trace.cl:244-551)."""
+    if presorted:
+        return traverse_cluster.any_hit(scene, ray_o, ray_d, t_max,
+                                        active=active, opaque_only=True)
+    R = ray_o.shape[0]
+    key = ray_sort_key(scene, ray_o, ray_d)
+    if active is not None:
+        key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    _, idx = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+    act = None if active is None else active[idx]
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    occ = traverse_cluster.any_hit(scene, ray_o[idx], ray_d[idx], tm[idx],
+                                   active=act, opaque_only=True)
+    inv = jnp.zeros(R, jnp.int32).at[idx].set(jnp.arange(R, dtype=jnp.int32))
+    return occ[inv]
+
+
+def alpha_layer_hit(scene, ray_o, ray_d, t_lo, t_hi, active):
+    """Closest hit strictly inside (t_lo, t_hi) over the DENSE alpha
+    triangle set (scene.alpha_tri9f) — one fused MT block, no traversal.
+    Returns (t, tri_id, u, v); tri_id -1 on miss."""
+    tri = scene.alpha_tri9f  # (9, A)
+    ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
+    dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
+    v0x, v0y, v0z = tri[0][None], tri[1][None], tri[2][None]
+    e1x, e1y, e1z = tri[3][None], tri[4][None], tri[5][None]
+    e2x, e2y, e2z = tri[6][None], tri[7][None], tri[8][None]
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) > 1e-12,
+                    1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = (sx * px + sy * py + sz * pz) * inv
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    hit = (inv != 0.0) & (u >= 0) & (v >= 0) & (u + v <= 1.0) \
+        & (t > t_lo[:, None]) & (t < t_hi[:, None]) & active[:, None]
+    t_m = jnp.where(hit, t, jnp.float32(3.0e38))
+    k = jnp.argmin(t_m, axis=1)
+    t_k = jnp.take_along_axis(t_m, k[:, None], 1)[:, 0]
+    u_k = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
+    v_k = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+    found = t_k < 3.0e38
+    tid = jnp.where(found, scene.alpha_tri_id[k], -1)
+    return t_k, tid, jnp.where(found, u_k, 0.0), jnp.where(found, v_k, 0.0)
+
+
 def any_hit_sorted(scene, ray_o, ray_d, t_max, active=None):
     if not wants_sorted_rays(scene):
         return any_hit(scene, ray_o, ray_d, t_max, active)

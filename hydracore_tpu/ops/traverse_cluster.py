@@ -465,11 +465,14 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     return t, tri_out, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
 
 
-def any_hit(scene, ray_o, ray_d, t_max, active=None):
-    """Shadow traversal: True where occluded."""
+def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
+    """Shadow traversal: True where occluded. opaque_only=True runs over
+    the shadow pool (soft/alpha lanes degenerated at build — see
+    scene._build_shadow_split), so alpha surfaces never occlude here."""
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
     cl_map, iwoop, interp = _scene_inst(scene)
-    _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, scene.cl_tris,
+    pool = scene.cl_tris_shadow if opaque_only else scene.cl_tris
+    _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
                                    scene.cl_oct_perm, cl_map, iwoop,
                                    any_hit_mode=True,
                                    interpret=interp or INTERPRET)

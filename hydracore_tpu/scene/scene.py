@@ -95,6 +95,18 @@ class SceneData:
     cl_slot_inst: np.ndarray = None  # (S,) i32 slot -> instance id
     inst_attr: np.ndarray = None  # (I, 32) f32 [M 3x4 | invM 3x4 | pad]
     inst_woop: np.ndarray = None  # (I, 4, 4) f32 A^T Woop-operand fold
+    # ---- split shadow sets (alpha scenes; integrators/pt.shadow_trace):
+    # opaque-only Woop pool (soft lanes degenerate) for the ONE-walk shadow
+    # query + the small dense set of alpha/skip_shadow triangles for the
+    # layered opacity walk (the reference's dedicated alpha shadow traversal,
+    # trace.cl:244-551 / material.cl:1151 TransparentShadowKenrel)
+    cl_tris_shadow: np.ndarray = None  # (Cp, 4, 384) f32
+    alpha_tri9f: np.ndarray = None  # (9, A) f32 field-major [v0 e1 e2]
+    alpha_tri_id: np.ndarray = None  # (A,) i32 global tri ids (-1 pad)
+    # second-env back plate (sky <back>, ref backColorOfSecondEnv
+    # cbidir.h:543): (8,) f32 [tex_slot, mode(0 none/1 spherical/2 camproj),
+    # gamma, mult r, g, b, 0, 0]; gated statically by settings.has_env_back
+    env_back: np.ndarray = None
 
     @property
     def num_triangles(self) -> int:
@@ -121,13 +133,19 @@ def _settings_flags(materials) -> dict:
     }
 
 
-def _build_env(desc, lights):
-    """Sky fallback color + env importance tables (shared by both paths)."""
+def _build_env(desc, lights, tex_remap=None):
+    """Sky fallback color + env importance tables + the optional second-env
+    back plate row (<back> under the sky light: camera-mapped or spherical
+    texture replacing the env for camera-visible rays — the reference's
+    backColorOfSecondEnv machinery, RenderDriverRTE.cpp:945-963,
+    cbidir.h:543-572, consumed in environmentColorExtended :624)."""
     from hydracore_tpu.lights.envmap import build_env_pdf
+    from hydracore_tpu.scene.statefile import parse_floats
     from hydracore_tpu.scene.textures import load_texture_array
 
     env = np.zeros(3, np.float32)
     env_img = None
+    env_back = np.zeros(8, np.float32)
     for row in range(len(np.asarray(lights.ltype))):
         if int(np.asarray(lights.ltype)[row]) == 3:  # LIGHT_SKY
             env = np.asarray(lights.intensity)[row]
@@ -138,11 +156,23 @@ def _build_env(desc, lights):
                 t = inten.find("texture") if inten is not None else None
                 if t is not None:
                     env_img = load_texture_array(desc, int(t.get("id", -1)))
+                back = lnode.find("back")
+                bt = back.find("texture") if back is not None else None
+                if bt is not None and tex_remap is not None:
+                    tid = int(bt.get("id", -1))
+                    slot = int(tex_remap[tid]) if 0 <= tid < len(tex_remap) else 0
+                    if slot > 0:
+                        mode = 1.0 if (back.get("mode") or "") == "spherical" \
+                            else 2.0
+                        gamma = float(bt.get("input_gamma", 2.2))
+                        mult = parse_floats(back.get("multcolor"), [1, 1, 1])
+                        env_back[:6] = [slot, mode, gamma,
+                                        mult[0], mult[1], mult[2]]
             break
     if env_img is None:
         env_img = np.ones((8, 16, 4), np.float32)  # sin-weighted uniform sky
     env_rows, env_cols, env_pdf = build_env_pdf(env_img)
-    return env, env_rows, env_cols, env_pdf
+    return env, env_rows, env_cols, env_pdf, env_back
 
 
 def _partition_instances(desc, lid_to_row):
@@ -207,7 +237,7 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
     if _should_instance(desc, keep, flat, instancing):
         return _assemble_instanced(desc, W, H, keep, flat, lid_to_row,
                                    materials, lights, texels, tex_table,
-                                   tex_sampler)
+                                   tex_sampler, tex_remap)
 
     # ---- flatten instances to world space
     v0s, e1s, e2s = [], [], []
@@ -317,10 +347,12 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     # env fallback: sky light color if present else black; build env
     # importance tables from the sky texture (constant-sky fallback table)
-    env, env_rows, env_cols, env_pdf = _build_env(desc, lights)
+    env, env_rows, env_cols, env_pdf, env_back = _build_env(desc, lights,
+                                                            tex_remap)
 
     st2 = RenderSettings(**{**st.__dict__, "width": W, "height": H,
-                            **_settings_flags(materials)})
+                            **_settings_flags(materials),
+                            "has_env_back": bool(env_back[1] > 0)})
 
     return finalize_scene(SceneData(
         tri_v0=tri_v0, tri_e1=tri_e1, tri_e2=tri_e2,
@@ -338,14 +370,15 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         ml_cdf=ml_cdf, ml_tri=ml_tri,
         materials=materials, lights=lights,
         texels=texels, tex_table=tex_table, tex_sampler=tex_sampler,
-        camera=cam, env_color=env,
+        camera=cam, env_color=env, env_back=env_back,
         env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
         settings=st2,
     ))
 
 
 def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
-                        lights, texels, tex_table, tex_sampler) -> SceneData:
+                        lights, texels, tex_table, tex_sampler,
+                        tex_remap=None) -> SceneData:
     """Two-level layout: shared local-space mesh pools + instantiated
     cluster AABBs (bvh/instanced.py). Non-instanceable geometry (lights,
     remaps, single-use meshes) flattens into the identity instance 0."""
@@ -391,10 +424,12 @@ def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
     cam = build_camera(desc.camera, W, H)
     lights2, ml_cdf, ml_tri = build_mesh_light_tables(
         lights, mt.light, mt.v0, mt.e1, mt.e2)
-    env, env_rows, env_cols, env_pdf = _build_env(desc, lights2)
+    env, env_rows, env_cols, env_pdf, env_back = _build_env(desc, lights2,
+                                                            tex_remap)
 
     st2 = RenderSettings(**{**desc.settings.__dict__, "width": W, "height": H,
-                            **_settings_flags(materials), "has_inst": True})
+                            **_settings_flags(materials), "has_inst": True,
+                            "has_env_back": bool(env_back[1] > 0)})
 
     return finalize_scene(SceneData(
         tri_v0=mt.v0, tri_e1=mt.e1, tri_e2=mt.e2,
@@ -413,7 +448,7 @@ def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
         ml_cdf=ml_cdf, ml_tri=ml_tri,
         materials=materials, lights=lights2,
         texels=texels, tex_table=tex_table, tex_sampler=tex_sampler,
-        camera=cam, env_color=env,
+        camera=cam, env_color=env, env_back=env_back,
         env_rows_cdf=env_rows, env_cols_cdf=env_cols, env_pdf_uv=env_pdf,
         settings=st2,
         cl_map=layout.cl_map,
@@ -507,10 +542,69 @@ def finalize_scene(sc: SceneData) -> SceneData:
                                      np.asarray(mt.blend_top)),
         )
 
+    shadow_fields = _build_shadow_split(sc, st)
     return sc.replace(tri_attr=tri_attr, cl_slot_tri2=cl_slot_tri2,
                       mat_attr=pack_mat_attr(sc.materials),
                       light_attr=pack_light_attr(sc.lights),
-                      tex_meta=tex_meta, settings=st)
+                      tex_meta=tex_meta, settings=st, **shadow_fields)
+
+
+# alpha sets beyond this keep the legacy layered closest-hit shadow walk
+ALPHA_SPLIT_MAX = 4096
+
+
+def _mat_shadow_soft(mt) -> np.ndarray:
+    """Per-material 'may pass shadow rays' flag: own opacity texture or
+    skip_shadow, closed over blend children (a blend root inherits a soft
+    leaf's behavior at fetch time)."""
+    soft = (np.asarray(mt.opacity_tex) != 0) | (np.asarray(mt.skip_shadow) != 0)
+    node = np.asarray(mt.blend_node)
+    top = np.asarray(mt.blend_top)
+    for _ in range(max(_blend_depth(node, top), 1)):
+        soft = soft | ((node >= 0) & soft[np.clip(node, 0, len(soft) - 1)]) \
+            | ((top >= 0) & soft[np.clip(top, 0, len(soft) - 1)])
+    return soft
+
+
+def _build_shadow_split(sc: SceneData, st) -> dict:
+    """Opaque-only cluster pool + dense alpha triangle set — lets
+    shadow_trace run ONE opaque any-hit walk plus a few cheap dense MT
+    layers over the (small) alpha set instead of 3 full closest-hit
+    traversals (ref: dedicated alpha shadow kernels, trace.cl:244-551).
+    Flattened cluster scenes only; instanced/huge-alpha scenes keep the
+    legacy path."""
+    none = dict(cl_tris_shadow=None, alpha_tri9f=None, alpha_tri_id=None)
+    if st is None or not getattr(st, "has_alpha", False):
+        return none
+    if sc.cl_map is not None:  # instanced: slot ids are not global tris
+        return none
+    soft_mat = _mat_shadow_soft(sc.materials)
+    tri_soft = soft_mat[np.clip(np.asarray(sc.tri_mat), 0, len(soft_mat) - 1)]
+    ids = np.where(tri_soft)[0].astype(np.int32)
+    if ids.size == 0 or ids.size > ALPHA_SPLIT_MAX:
+        return none
+
+    # opaque pool: degenerate the soft lanes (all-zero Woop block -> the
+    # kernel's t = -0/0 = nan fails every hit comparison)
+    slot = np.asarray(sc.cl_slot_tri, np.int32)
+    lane_soft = (slot >= 0) & tri_soft[np.clip(slot, 0, len(tri_soft) - 1)]
+    cl_shadow = np.array(sc.cl_tris, np.float32, copy=True)
+    Cp = cl_shadow.shape[0]
+    lane_soft = lane_soft.reshape(Cp, 128)
+    kill = np.repeat(lane_soft[:, None, :], 4, axis=1)  # (Cp, 4, 128)
+    kill = np.concatenate([kill, kill, kill], axis=2)  # [Mu|Mv|Mw] lanes
+    cl_shadow[kill] = 0.0
+
+    # dense alpha set, field-major (9, A) padded to a lane multiple
+    A = int(np.ceil(ids.size / 128) * 128)
+    tri9 = np.zeros((9, A), np.float32)
+    tri9[0:3, : ids.size] = np.asarray(sc.tri_v0)[ids].T
+    tri9[0:3, ids.size:] = 1e30  # far-away degenerate padding
+    tri9[3:6, : ids.size] = np.asarray(sc.tri_e1)[ids].T
+    tri9[6:9, : ids.size] = np.asarray(sc.tri_e2)[ids].T
+    tid = np.full(A, -1, np.int32)
+    tid[: ids.size] = ids
+    return dict(cl_tris_shadow=cl_shadow, alpha_tri9f=tri9, alpha_tri_id=tid)
 
 
 def load_scene(lib_dir: str, width: int | None = None, height: int | None = None,

@@ -135,6 +135,7 @@ class RenderSettings:
     has_sss: bool = False  # any subsurface-scattering material
     blend_depth: int = 1  # deepest blend-tree chain in the scene
     has_inst: bool = False  # two-level instanced layout (bvh/instanced.py)
+    has_env_back: bool = False  # sky <back> plate (scene.env_back row)
 
 
 @dataclass

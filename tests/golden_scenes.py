@@ -81,6 +81,23 @@ SCENES = {
     "spot_sphere": scene_spot_sphere_lights,
 }
 
+# ---- statefile-path goldens over the reference's bundled scene libraries
+# (main_app_tests.cpp:46-164 runs the same statefiles through the real
+# renderer and gates MSE<50): these pin the FULL ingestion path — XML
+# materials/lights/camera, vsgf meshes, texture heap — not just the
+# procedural builder. Rendered at 256^2 like the reference gate's scale;
+# spp is low because the pin is deterministic (same seed + CPU backend =>
+# near-bit-exact), catching semantic regressions rather than noise.
+STATEFILE_ROOT = "/root/reference/hydra_app/tests"
+STATEFILE_SCENES = {
+    "sf_test_42": ("test_42", 256, 16),
+    "sf_test_42_ggx": ("test_42_ggx", 256, 16),
+    "sf_test_42_mirror": ("test_42_with_mirror", 256, 16),
+    "sf_test_224": ("test_224", 256, 8),
+    "sf_014_bump": ("014_Bump_height", 256, 16),
+    "sf_test_223": ("test_223_small", 256, 16),
+}
+
 
 def hdr_to_ldr255(img, gamma=2.2):
     x = np.clip(np.asarray(img), 0.0, 1.0) ** (1.0 / gamma)
@@ -88,7 +105,19 @@ def hdr_to_ldr255(img, gamma=2.2):
 
 
 def render_golden(name):
+    import os
+
     from hydracore_tpu.integrators.pt import render
 
+    if name in STATEFILE_SCENES:
+        from hydracore_tpu.scene.scene import load_scene
+
+        lib, size, spp = STATEFILE_SCENES[name]
+        sc = load_scene(os.path.join(STATEFILE_ROOT, lib),
+                        width=size, height=size)
+        return hdr_to_ldr255(render(sc, spp=spp, seed=SEED))
     sc = SCENES[name]()
     return hdr_to_ldr255(render(sc, spp=SPP, seed=SEED))
+
+
+ALL_GOLDEN = {**SCENES, **{k: None for k in STATEFILE_SCENES}}

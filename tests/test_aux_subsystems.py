@@ -6,6 +6,7 @@ import pytest
 
 from hydracore_tpu.bsdf.energy_tables import bake_ggx_albedo
 from hydracore_tpu.lights.ies import ies_to_texture, parse_ies
+from hydracore_tpu.scene.scene import finalize_scene
 from hydracore_tpu.utils.denoise import bilateral_filter, nlm_filter, normalmap_from_height
 
 
@@ -30,7 +31,8 @@ def test_alpha_transparency_passthrough():
         b.point_light([0, 2.5, 0], [10.0] * 3)
         sc = b.build(cam_pos=[0, 3, 3], cam_lookat=[0, 0, 0], width=17, height=17, trace_depth=4)
         texels, table, samplers = storage.finalize()
-        sc = sc.replace(texels=texels, tex_table=table, tex_sampler=samplers)
+        sc = finalize_scene(sc.replace(texels=texels, tex_table=table,
+                                       tex_sampler=samplers))
         return sc
 
     img_open = np.asarray(render(make(0.0), spp=48, seed=3))
@@ -39,6 +41,54 @@ def test_alpha_transparency_passthrough():
     c_blocked = img_blocked[8, 8].mean()
     assert c_open > 0.3, f"transparent quad blocked the view: {c_open}"
     assert c_blocked < 0.05 * max(c_open, 1e-9) + 0.02, f"opaque black quad leaked: {c_blocked}"
+
+
+def test_shadow_split_matches_legacy_walk(monkeypatch):
+    """The split shadow sets (opaque pool + dense alpha set,
+    scene._build_shadow_split) must reproduce the legacy layered
+    closest-hit walk: same hash streams, same per-layer decisions, so the
+    render is identical up to float noise."""
+    import jax
+
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.ops import trace_api as ta
+    from hydracore_tpu.ops import traverse_cluster as tc
+    from hydracore_tpu.scene.procedural import SceneBuilder
+    from hydracore_tpu.scene.textures import TextureStorage
+
+    b = SceneBuilder()
+    m = b.lambert([0.8, 0.8, 0.8])
+    b.add_rect([0, 0, 0], [5, 0, 0], [0, 0, 5], m, flip=True)
+    storage = TextureStorage()
+    tex = np.zeros((1, 1, 4), np.float32)
+    tex[..., 0] = 0.5
+    slot = storage.add(tex)
+    occ = b.add_material(diff_color=np.full(3, 0.2, np.float32),
+                         opacity_tex=slot)
+    b.add_rect([-0.5, 1.0, -0.5], [2, 0, 0], [0, 0, 2], occ, flip=True)
+    # opaque blocker covering part of the light
+    b.add_rect([0.8, 1.6, 0.8], [1, 0, 0], [0, 0, 1], m, flip=True)
+    b.point_light([0, 2.5, 0], [10.0] * 3)
+    sc = b.build(cam_pos=[0, 3, 3], cam_lookat=[0, 0, 0], width=17,
+                 height=17, trace_depth=3)
+    texels, table, samplers = storage.finalize()
+    sc = finalize_scene(sc.replace(texels=texels, tex_table=table,
+                                       tex_sampler=samplers))
+    assert sc.cl_tris_shadow is not None and sc.alpha_tri9f is not None
+    assert int((np.asarray(sc.alpha_tri_id) >= 0).sum()) == 2
+
+    img_legacy = np.asarray(render(sc, spp=16, seed=5))
+
+    monkeypatch.setattr(tc, "INTERPRET", True)
+    monkeypatch.setattr(ta, "_use_dense", lambda s: False)
+    monkeypatch.setattr(ta, "_use_cluster", lambda s: True)
+    jax.clear_caches()  # same avals -> force a retrace onto the new pick
+    try:
+        img_split = np.asarray(render(sc, spp=16, seed=5))
+    finally:
+        jax.clear_caches()
+    assert np.allclose(img_legacy, img_split, atol=5e-3), (
+        np.abs(img_legacy - img_split).max())
 
 
 IES_SAMPLE = """IESNA:LM-63-1995
@@ -194,7 +244,8 @@ def test_bump_mapping_perturbs_shading():
         b.point_light([2, 3, 2], [25.0] * 3)
         sc = b.build(cam_pos=[0, 3.5, 0.01], cam_lookat=[0, 0, 0], width=24, height=24, trace_depth=2)
         texels, table, samplers = storage.finalize()
-        return sc.replace(texels=texels, tex_table=table, tex_sampler=samplers)
+        return finalize_scene(sc.replace(texels=texels, tex_table=table,
+                                         tex_sampler=samplers))
 
     flat = np.asarray(render(scene(False), spp=48, seed=2, max_depth=2)).mean(-1)
     bumped = np.asarray(render(scene(True), spp=48, seed=2, max_depth=2)).mean(-1)
@@ -234,7 +285,8 @@ def test_ies_profile_shapes_point_light():
     b.light_recs[lid]["norm"] = np.array([0, -1, 0], np.float32)  # axis down
     sc = b.build(cam_pos=[0, 5, 0.01], cam_lookat=[0, 0, 0], width=33, height=33, trace_depth=2)
     texels, table, samplers = storage.finalize()
-    sc = sc.replace(texels=texels, tex_table=table, tex_sampler=samplers)
+    sc = finalize_scene(sc.replace(texels=texels, tex_table=table,
+                                       tex_sampler=samplers))
 
     img = np.asarray(render(sc, spp=24, seed=4, max_depth=2)).mean(-1)
     center = img[14:19, 14:19].mean()  # directly under the light (theta~0)

@@ -41,3 +41,44 @@ def test_furnace_still_holds_with_tables():
     img = np.asarray(render(sc, spp=96, seed=11))
     c = img[12:20, 12:20].mean(axis=(0, 1))
     assert np.allclose(c, rho, atol=0.03), f"furnace {c} != {rho}"
+
+
+def test_env_back_plate_cam_projected():
+    """Sky <back> second env (backColorOfSecondEnv, cbidir.h:543):
+    camera-visible misses show the back texture in SCREEN space; surfaces
+    still shade from the primary env."""
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.scene.procedural import SceneBuilder
+    from hydracore_tpu.scene.scene import finalize_scene
+    from hydracore_tpu.scene.textures import TextureStorage
+
+    b = SceneBuilder()
+    b.sky([1.0, 1.0, 1.0])
+    m = b.lambert([0.7] * 3)
+    b.add_rect([0, -1.2, 0], [4, 0, 0], [0, 0, 4], m, flip=True)  # floor
+    sc = b.build(cam_pos=[0, 0, 4], cam_lookat=[0, 0, 0], width=24,
+                 height=24, trace_depth=3)
+
+    storage = TextureStorage()
+    tex = np.zeros((4, 16, 4), np.float32)
+    tex[:, 8:, :3] = 4.0  # right half bright, left black
+    tex[..., 3] = 1.0
+    slot = storage.add(tex, gamma=1.0)
+    texels, table, samplers = storage.finalize()
+    env_back = np.zeros(8, np.float32)
+    env_back[:6] = [slot, 2.0, 1.0, 1.0, 1.0, 1.0]  # cam-projected
+    import dataclasses
+    sc = finalize_scene(sc.replace(
+        texels=texels, tex_table=table, tex_sampler=samplers,
+        env_back=env_back,
+        settings=dataclasses.replace(sc.settings, has_env_back=True)))
+
+    img = np.asarray(render(sc, spp=8, seed=7))
+    # sky region (top rows): left dark, right bright per the back plate
+    left = img[2:8, 2:8].mean()
+    right = img[2:8, 16:22].mean()
+    assert right > 2.0, f"back plate right half missing: {right}"
+    assert left < 0.1, f"back plate left half leaked: {left}"
+    # floor (bottom center) still lit by the white primary env, not black
+    floor = img[18:22, 8:16].mean()
+    assert 0.2 < floor < 1.5, f"floor should shade from primary env: {floor}"

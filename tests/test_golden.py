@@ -8,12 +8,12 @@ import os
 import numpy as np
 import pytest
 
-from tests.golden_scenes import SCENES, render_golden
+from tests.golden_scenes import ALL_GOLDEN, render_golden
 
 GOLD_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-@pytest.mark.parametrize("name", sorted(SCENES))
+@pytest.mark.parametrize("name", sorted(ALL_GOLDEN))
 def test_golden_mse(name):
     path = os.path.join(GOLD_DIR, f"{name}.npz")
     if not os.path.exists(path):
