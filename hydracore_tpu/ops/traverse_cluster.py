@@ -39,13 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 R_BLK = 256
 M_SUB = 4  # ray blocks processed per grid step (amortizes step overhead)
 BIG = 3.0e38
+K_VISITS = 8  # visits between refilters (= big-mode DMA prefetch depth)
 
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                  big_mode: bool = False, inst_mode: bool = False):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
-    K_VISITS = 8  # visits between refilters
 
     def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref, *rest):
         if inst_mode:
@@ -169,8 +169,8 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         lane_u = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
         big = jnp.float32(BIG)
 
-        def visit_tm(pos, t_cur):
-            """One cluster visit -> (per-ray packed min-t (R,1), cluster id).
+        def _mt_block(blk, t_cur):
+            """Dense MT over one Woop block -> per-ray packed min-t (R,1).
 
             The Woop transform runs as VPU broadcast FMAs, not MXU matmuls:
             at (R,4)x(4,384) the f32 MXU path costs ~1.6 us/visit while 7
@@ -179,37 +179,6 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             mantissa bits of t (positive-float bit order == value order), so
             ONE lane reduction replaces the min + eq-select + max pair; the
             exact t is recomputed in the epilogue's gathered MT."""
-            if big_mode:
-                # VMEM scalar reads need a static lane: perm is laid out
-                # (8, Cp, 8) with the id in lane 0
-                c = perm_ref[oct_, pos, 0]
-            else:
-                c = perm_ref[oct_, pos]  # true cluster id (SMEM, cheap)
-            if big_mode:
-                # triangle pool lives in HBM: DMA the visited block into a
-                # VMEM scratch tile — scales the kernel past the VMEM
-                # budget (bvh_access streams leaves from global memory the
-                # same way)
-                tbuf, dsem = big_scratch
-                cp = pltpu.make_async_copy(tris_ref.at[c], tbuf, dsem)
-                cp.start()
-                cp.wait()
-                blk = tbuf[...]
-            elif inst_mode:
-                # instance-cluster: c names an INSTANCED cluster; its Woop
-                # block lives in the shared per-mesh pool and the ray is
-                # moved into mesh-local space by folding A^T (the affine
-                # inverse instance transform, bvh/instanced.py) into the
-                # Woop operands: [o_w 1] @ (A^T blk) == [o_l 1] @ blk. t
-                # stays the world ray parameter (directions unnormalized).
-                blk = tris_ref[map_ref[0, c]]
-                At = imat_ref[map_ref[1, c]]  # (4, 4)
-                blk = jax.lax.dot_general(
-                    At, blk, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            else:
-                blk = tris_ref[c]  # (4, 384): Woop lane-concat [Mu|Mv|Mw]
             bx = blk[0:1]  # (1, 384) broadcast rows
             by = blk[1:2]
             bz = blk[2:3]
@@ -227,8 +196,27 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             tp = jax.lax.bitcast_convert_type(
                 (jax.lax.bitcast_convert_type(tm, jnp.uint32)
                  & jnp.uint32(0xFFFFFF80)) | lane_u, jnp.float32)
-            tmin = jnp.min(tp, axis=1, keepdims=True)  # (R, 1) packed
-            return tmin, c
+            return jnp.min(tp, axis=1, keepdims=True)  # (R, 1) packed
+
+        def visit_tm(pos, t_cur):
+            """One cluster visit -> (packed min-t, cluster id)."""
+            c = perm_ref[oct_, pos]  # true cluster id (SMEM, cheap)
+            if inst_mode:
+                # instance-cluster: c names an INSTANCED cluster; its Woop
+                # block lives in the shared per-mesh pool and the ray is
+                # moved into mesh-local space by folding A^T (the affine
+                # inverse instance transform, bvh/instanced.py) into the
+                # Woop operands: [o_w 1] @ (A^T blk) == [o_l 1] @ blk. t
+                # stays the world ray parameter (directions unnormalized).
+                blk = tris_ref[map_ref[0, c]]
+                At = imat_ref[map_ref[1, c]]  # (4, 4)
+                blk = jax.lax.dot_general(
+                    At, blk, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            else:
+                blk = tris_ref[c]  # (4, 384): Woop lane-concat [Mu|Mv|Mw]
+            return _mt_block(blk, t_cur), c
 
         s0 = jnp.full((R_BLK, 1), -1, jnp.int32)
 
@@ -244,10 +232,32 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             # past the list end clamp to the last valid entry (idempotent
             # re-visit — min-folding makes redundant visits harmless)
             last = jnp.maximum(n - 1, 0)
-            tg, cg = visit_tm(lst[jnp.minimum(ptr, last)], t_cur)
+            if big_mode:
+                # triangle pool lives in HBM (bvh_access streams leaves from
+                # global memory the same way): prefetch the whole group's
+                # Woop blocks up front — K independent DMAs, one VMEM tile +
+                # one semaphore EACH — then wait per visit. Keeps every DMA
+                # in flight while earlier visits compute.
+                tbuf, dsem = big_scratch
+                cks = []
+                for k in range(K_VISITS):
+                    ck = perm_ref[oct_, lst[jnp.minimum(ptr + k, last)]]
+                    pltpu.make_async_copy(tris_ref.at[ck], tbuf.at[k],
+                                          dsem.at[k]).start()
+                    cks.append(ck)
+
+                def visit_k(k, t_cur):
+                    pltpu.make_async_copy(tris_ref.at[cks[k]], tbuf.at[k],
+                                          dsem.at[k]).wait()
+                    return _mt_block(tbuf[k], t_cur), cks[k]
+            else:
+                def visit_k(k, t_cur):
+                    return visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
+
+            tg, cg = visit_k(0, t_cur)
             sg = jnp.broadcast_to(jnp.int32(cg), (R_BLK, 1))
             for k in range(1, K_VISITS):
-                tk, ck = visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
+                tk, ck = visit_k(k, t_cur)
                 bet = tk < tg
                 sg = jnp.where(bet, ck, sg)
                 tg = jnp.where(bet, tk, tg)
@@ -325,10 +335,10 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         pltpu.SMEM((Cp + 16,), jnp.int32),
     ]
     if big:
-        scratch += [pltpu.VMEM((4, 384), jnp.float32),
-                    pltpu.SemaphoreType.DMA]
-        # lane-0 VMEM layout for scalar-readable cluster ids
-        perm = jnp.broadcast_to(perm[:, :, None], perm.shape + (8,))
+        # K-deep DMA prefetch ring: one (4,384) tile + one semaphore per
+        # visit of an unrolled group (see outer_body)
+        scratch += [pltpu.VMEM((K_VISITS, 4, 384), jnp.float32),
+                    pltpu.SemaphoreType.DMA((K_VISITS,))]
     inst_in = []
     inst_specs = []
     if inst:
@@ -352,10 +362,8 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
             pl.BlockSpec(memory_space=pltpu.ANY) if big else
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            (pl.BlockSpec(perm.shape, lambda i: (0, 0, 0),
-                          memory_space=pltpu.VMEM) if big else
-             pl.BlockSpec(perm.shape, lambda i: (0, 0),
-                          memory_space=pltpu.SMEM)),
+            pl.BlockSpec(perm.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((G,), lambda i: (0,), memory_space=pltpu.SMEM),
         ] + inst_specs,
         out_specs=[
@@ -370,7 +378,9 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            # big mode issues its own DMAs: "arbitrary" keeps the grid
+            # pipeliner from interleaving steps around them
+            dimension_semantics=("arbitrary" if big else "parallel",)),
     )(rays, cbl_oct, tris, perm, oct_, *inst_in)
     return out[:, :, 0], outi[:, :, 0], out[:, :, 1]
 

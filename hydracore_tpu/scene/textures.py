@@ -10,7 +10,11 @@ Deviations from the reference, by design:
  - LDR textures are linearized (input gamma 2.2) at LOAD time instead of at
    fetch (SWTexSampler carries per-sampler gamma, cfetch.h:108-131); keeps
    the fetch kernel branchless.
- - No budget-driven downscale yet (FitTextureRes, RenderDriverRTE.cpp:650).
+
+Memory budgeting: fit_texture_res mirrors FitTextureRes
+(RenderDriverRTE.cpp:565-650 + AllocAll :604): when the packed heap would
+exceed the budget, the heaviest texture is halved (box filter, ≤3 times
+each = mip 4) until common + bump pools fit their budgets.
 """
 from __future__ import annotations
 
@@ -55,6 +59,60 @@ def load_texture_array(desc: SceneDesc, tid: int) -> np.ndarray | None:
 # tex_table flags (SWTexSampler flags analogue)
 TEX_CLAMP_U = 1
 TEX_CLAMP_V = 2
+
+# default texture heap budgets, bytes of f32 RGBA texels (AllocAll's
+# memForTex/memForTex2 defaults, RenderDriverRTE.cpp:604-650). 1 GiB common
+# + 256 MiB bump at 16 B/texel = 64M + 16M texels.
+TEX_MEM_BUDGET = 1 << 30
+TEX_MEM_BUDGET_BUMP = 256 << 20
+_BYTES_PER_TEXEL = 16  # float32 RGBA
+
+
+def downscale2x(img: np.ndarray) -> np.ndarray:
+    """Half-resolution box filter (the reference's texture resize step)."""
+    h, w = img.shape[:2]
+    h2, w2 = max(h // 2, 1), max(w // 2, 1)
+    img = img[: h2 * 2, : w2 * 2]
+    if h >= 2 and w >= 2:
+        return 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                       + img[0::2, 1::2] + img[1::2, 1::2])
+    return img[:h2, :w2]
+
+
+def fit_texture_res(imgs: dict, is_bump: dict,
+                    budget: int = TEX_MEM_BUDGET,
+                    budget_bump: int = TEX_MEM_BUDGET_BUMP) -> dict:
+    """FitTextureRes (RenderDriverRTE.cpp:565): iteratively halve the
+    HEAVIEST texture of the over-budget pool (≤3 halvings each — max mip
+    level 4) until both pools fit. imgs: {tid: ndarray}; is_bump: {tid:
+    bool}. Returns possibly-downscaled {tid: ndarray} and logs resizes."""
+    halved: dict[int, int] = {t: 0 for t in imgs}
+
+    def pool_bytes(bump: bool) -> int:
+        return sum(im.shape[0] * im.shape[1] * _BYTES_PER_TEXEL
+                   for t, im in imgs.items() if is_bump.get(t, False) == bump)
+
+    def heaviest(bump: bool) -> int:
+        best, best_sz = -1, 0
+        for t, im in imgs.items():
+            if is_bump.get(t, False) != bump or halved[t] >= 3:
+                continue
+            sz = im.shape[0] * im.shape[1]
+            if sz > best_sz and min(im.shape[:2]) >= 2:
+                best, best_sz = t, sz
+        return best
+
+    for bump, cap in ((False, budget), (True, budget_bump)):
+        while pool_bytes(bump) > cap:
+            t = heaviest(bump)
+            if t < 0:
+                break
+            h, w = imgs[t].shape[:2]
+            imgs[t] = downscale2x(imgs[t])
+            halved[t] += 1
+            print(f"[scene] texture {t} downscaled {w}x{h} -> "
+                  f"{imgs[t].shape[1]}x{imgs[t].shape[0]} (mem budget)")
+    return imgs
 
 
 class TextureStorage:
@@ -130,11 +188,13 @@ def _height_to_normalmap(height: np.ndarray, amount: float) -> np.ndarray:
     return out
 
 
-def bake_aux_normalmaps(desc: SceneDesc, storage: "TextureStorage") -> dict:
+def bake_aux_normalmaps(desc: SceneDesc, storage: "TextureStorage",
+                        fitted: dict | None = None) -> dict:
     """Convert height_bump displacement maps to normal-map texture slots —
     the aux-texture pass of the reference (RenderDriverRTE_AuxTextures.cpp
     GetAuxNormalMapFromDisaplacement, cached per (mat, tex)).
-    Returns {material_id: slot}."""
+    fitted: budget-fitted source images (fit_texture_res) so baked maps
+    honor the aux budget. Returns {material_id: slot}."""
     slots: dict[int, int] = {}
     cache: dict[tuple, int] = {}
     for mid, node in desc.materials.items():
@@ -149,7 +209,9 @@ def bake_aux_normalmaps(desc: SceneDesc, storage: "TextureStorage") -> dict:
         amount = float(hm.get("amount", 1.0))
         key = (tid, amount)
         if key not in cache:
-            img = load_texture_array(desc, tid)
+            img = fitted.get(tid) if fitted is not None else None
+            if img is None:
+                img = load_texture_array(desc, tid)
             if img is None:
                 continue
             height = img[..., :3].mean(-1)
@@ -185,15 +247,42 @@ def bake_ies_textures(desc: SceneDesc, storage: "TextureStorage") -> dict:
     return slots
 
 
-def build_texture_storage(desc: SceneDesc):
+def build_texture_storage(desc: SceneDesc, budget: int | None = None,
+                          budget_bump: int | None = None):
     """Pack every scene texture (+ baked aux normal maps + IES profiles);
-    returns (texels, table, id_remap, bump_slots, ies_slots)."""
+    returns (texels, table, id_remap, bump_slots, ies_slots). Textures are
+    budget-fitted first (fit_texture_res; override via HYDRA_TEX_MEM_MB /
+    HYDRA_TEX_MEM_BUMP_MB or the params)."""
     storage = TextureStorage()
     max_id = max(desc.textures.keys(), default=-1)
     remap = np.zeros(max(max_id + 2, 1), np.int32)  # default white
     is_ldr = {}
+    if budget is None:
+        budget = int(os.environ.get("HYDRA_TEX_MEM_MB",
+                                    TEX_MEM_BUDGET >> 20)) << 20
+    if budget_bump is None:
+        budget_bump = int(os.environ.get("HYDRA_TEX_MEM_BUMP_MB",
+                                         TEX_MEM_BUDGET_BUMP >> 20)) << 20
+
+    # displacement height sources count against the bump/aux budget
+    # (AllocAll splits memForTex / memForTex2, RenderDriverRTE.cpp:647)
+    bump_src = set()
+    for node in desc.materials.values():
+        displ = node.find("displacement")
+        if displ is not None:
+            for t in displ.iter("texture"):
+                bump_src.add(int(t.get("id", -1)))
+
+    imgs: dict[int, np.ndarray] = {}
     for tid in sorted(desc.textures.keys()):
         img = load_texture_array(desc, tid)
+        if img is not None:
+            imgs[tid] = img
+    imgs = fit_texture_res(imgs, {t: t in bump_src for t in imgs},
+                           budget, budget_bump)
+
+    for tid in sorted(desc.textures.keys()):
+        img = imgs.get(tid)
         if img is None:
             remap[tid] = 0
         else:
@@ -226,7 +315,7 @@ def build_texture_storage(desc: SceneDesc):
             g = float(t.get("input_gamma", 2.2 if is_ldr.get(tid) else 1.0))
             storage.set_sampler(int(remap[tid]), m, flags, g)
 
-    bump_slots = bake_aux_normalmaps(desc, storage)
+    bump_slots = bake_aux_normalmaps(desc, storage, imgs)
     ies_slots = bake_ies_textures(desc, storage)
     texels, table, samplers = storage.finalize()
     return texels, table, samplers, remap, bump_slots, ies_slots

@@ -44,6 +44,38 @@ def test_scene_assemble(test42_scene):
     assert sc.camera.pos[2] == pytest.approx(15.0)
 
 
+def test_fit_texture_res_budget():
+    """FitTextureRes analogue (RenderDriverRTE.cpp:565-650): heaviest
+    texture of the over-budget pool is halved, max 3 times each, per-pool
+    (common vs bump) budgets."""
+    from hydracore_tpu.scene.textures import _BYTES_PER_TEXEL, downscale2x, fit_texture_res
+
+    # box filter halves resolution and preserves the mean
+    img = np.random.default_rng(0).random((8, 6, 4)).astype(np.float32)
+    half = downscale2x(img)
+    assert half.shape == (4, 3, 4)
+    assert np.allclose(half.mean(), img.mean(), atol=1e-6)
+
+    big = np.ones((64, 64, 4), np.float32)
+    small = np.ones((8, 8, 4), np.float32)
+    bump = np.ones((32, 32, 4), np.float32)
+    imgs = {1: big.copy(), 2: small.copy(), 3: bump.copy()}
+    is_bump = {1: False, 2: False, 3: True}
+    # common budget fits small + big/4 (one halving of the big texture);
+    # bump budget fits bump untouched
+    budget = (8 * 8 + 32 * 32) * _BYTES_PER_TEXEL
+    out = fit_texture_res(imgs, is_bump, budget=budget,
+                          budget_bump=32 * 32 * _BYTES_PER_TEXEL)
+    assert out[1].shape[:2] == (32, 32)       # halved once
+    assert out[2].shape[:2] == (8, 8)         # untouched
+    assert out[3].shape[:2] == (32, 32)       # bump pool within budget
+
+    # cap: never more than 3 halvings even if still over budget
+    out = fit_texture_res({1: big.copy()}, {1: False}, budget=1,
+                          budget_bump=1)
+    assert out[1].shape[:2] == (8, 8)
+
+
 def test_all_bundled_scenes_parse():
     import pathlib
 
