@@ -184,7 +184,12 @@ def render_mlt(scene, n_passes: int, n_chains: int | None = None,
     if f_np.sum() > 0:
         cdf = np.cumsum(f_np)
         cdf /= cdf[-1]
-        rs = np.random.default_rng(seed).random(R)
+        # stratified picks from the counter RNG (seed discipline: the same
+        # PCG3D stream family as every other random in the renderer)
+        lane = jnp.arange(R, dtype=jnp.uint32)
+        jit_u = np.asarray(rng.rand1(lane, jnp.uint32(0), 23,
+                                     jnp.uint32(seed)), np.float64)
+        rs = (np.arange(R, dtype=np.float64) + jit_u) / R
         pick = np.searchsorted(cdf, rs).clip(0, R - 1).astype(np.int32)
         chain_u = chain_u[pick]
         chain_c = chain_c[pick]

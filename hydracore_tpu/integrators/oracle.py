@@ -52,9 +52,23 @@ def _rand4(sample_index: int, bounce: int, group: int, seed: int) -> np.ndarray:
 
 
 class OracleRenderer:
-    """Per-pixel recursive MISPT over a SceneData pytree (numpy views)."""
+    """Per-pixel recursive path tracer over a SceneData pytree (numpy
+    views). Three estimator modes — the reference's CPU integrator family
+    (CPUExp_Integrators.h):
 
-    def __init__(self, scene):
+      * "mispt"    — NEE + BSDF sampling combined by the power heuristic
+                     (IntegratorMISPT:381)
+      * "ptstupid" — BSDF sampling only, emitter hits weight 1
+                     (IntegratorStupidPT:317)
+      * "shadowpt" — NEE only; emitter light reaches the camera solely
+                     through delta/specular chains (IntegratorShadowPT:369)
+
+    All three estimate the same integral: they cross-check each other AND
+    the production wavefront (tests/test_oracle.py)."""
+
+    def __init__(self, scene, mode: str = "mispt"):
+        assert mode in ("mispt", "ptstupid", "shadowpt")
+        self.mode = mode
         self.v0 = np.asarray(scene.tri_v0)
         self.e1 = np.asarray(scene.tri_e1)
         self.e2 = np.asarray(scene.tri_e2)
@@ -157,6 +171,15 @@ class OracleRenderer:
         return False
 
     # ---- shading
+    def _nee_w(self, pdf_light, pdf_bsdf):
+        """NEE estimator weight per mode: 0 kills the NEE branch (stupid
+        PT), 1 takes it whole (shadow PT), else power-heuristic MIS."""
+        if self.mode == "ptstupid":
+            return 0.0
+        if self.mode == "shadowpt":
+            return 1.0
+        return pdf_light**2 / max(pdf_light**2 + pdf_bsdf**2, 1e-20)
+
     def radiance(self, o, d, sample_index, seed, depth, max_depth, prev_pdf, prev_spec):
         t, tri, u, v = self.trace(o, d)
         if not np.isfinite(t):
@@ -187,8 +210,10 @@ class OracleRenderer:
             if float(np.dot(n, -d)) <= 0.0:
                 return np.zeros(3)
             lrow = int(self.tri_light[tri])
-            if prev_spec or lrow < 0:
-                return em
+            if self.mode == "ptstupid" or prev_spec or lrow < 0:
+                return em  # BSDF-only estimator: implicit hits weight 1
+            if self.mode == "shadowpt":
+                return np.zeros(3)  # NEE-only: implicit hits dropped
             # MIS vs the light pdf
             lp = self._light_pdf_hit(lrow, o, d, pos, n)
             pick = float(np.asarray(self.lt.pick_cdf)[lrow + 1] - np.asarray(self.lt.pick_cdf)[lrow])
@@ -276,7 +301,7 @@ class OracleRenderer:
                 sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
                 if not self.occluded(sro, wi, dist, u_sh):
                     fv, pdf_b = eval_f_pdf(wi)
-                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
+                    wmis = self._nee_w(pdf_w * pick, pdf_b)
                     out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
         elif ltype == 6:  # sphere: cone sampling toward the center
             rad = float(np.asarray(self.lt.radius)[lrow])
@@ -306,7 +331,7 @@ class OracleRenderer:
                 sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
                 if not self.occluded(sro, wi, dist, u_sh):
                     fv, pdf_b = eval_f_pdf(wi)
-                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
+                    wmis = self._nee_w(pdf_w * pick, pdf_b)
                     out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
         elif ltype == 8:  # mesh light: tri by area CDF + uniform point
             mrow = int(np.asarray(self.lt.mesh_row)[lrow])
@@ -333,7 +358,7 @@ class OracleRenderer:
                 sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
                 if not self.occluded(sro, wi, dist * 0.998, u_sh):
                     fv, pdf_b = eval_f_pdf(wi)
-                    wmis = (pdf_w * pick) ** 2 / max((pdf_w * pick) ** 2 + pdf_b ** 2, 1e-20)
+                    wmis = self._nee_w(pdf_w * pick, pdf_b)
                     out += fv * inten * cos_s * wmis / max(pdf_w * pick, 1e-12)
         elif ltype in (0, 1):  # point / spot (delta)
             to_l = lpos - pos
@@ -348,7 +373,7 @@ class OracleRenderer:
                 sc = float(np.dot(lnorm, -wi))
                 x = np.clip((sc - co_) / max(ci - co_, 1e-6), 0.0, 1.0)
                 fall = x * x * (3 - 2 * x)
-            if cos_s > 0 and fall > 0:
+            if cos_s > 0 and fall > 0 and self.mode != "ptstupid":
                 side = 1.0 if float(np.dot(wi, ns)) >= 0 else -1.0
                 sro = pos + side * ns * 2e-4 * max(1.0, np.abs(pos).max())
                 if not self.occluded(sro, wi, dist, u_sh):

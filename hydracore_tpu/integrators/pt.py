@@ -304,8 +304,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             1.0,
         )
 
+    # re-sort cadence A/B knob: 1 = every bounce (default); N sorts on
+    # bounces 1, 1+N, … and lets coherence decay in between (results are
+    # order-independent — the permute is perf-only)
+    import os as _os
+    sort_every = int(_os.environ.get("HYDRA_SORT_EVERY", "1"))
+
     for depth in range(max_depth):
-        if sorted_mode and depth > 0:
+        if sorted_mode and depth > 0 and (depth - 1) % sort_every == 0:
             # permute the whole live state into (octant, origin-Morton)
             # coherence order: ONE u32 sort + ONE packed (R,17) gather
             key = ray_sort_key(scene, ray_o, ray_d)
@@ -566,8 +572,13 @@ def _morton_pixel_order(W: int, H: int):
 
 
 # megablock: max rays per dispatch — decouples image size from compile
-# size / device footprint (CalcMegaBlockSize, GPUOCLLayer.cpp:841-876)
-MEGABLOCK = 1 << 18
+# size / device footprint (CalcMegaBlockSize, GPUOCLLayer.cpp:841-876).
+# Bigger bands amortize per-op fixed costs (gathers/sorts cost ~ms per OP
+# on this TPU) at the price of footprint; HYDRA_MEGABLOCK_LOG2 overrides
+# for A/B measurement.
+import os as _os
+
+MEGABLOCK = 1 << int(_os.environ.get("HYDRA_MEGABLOCK_LOG2", "18"))
 
 
 def render_band_impl(scene, pass_idx, seed, max_depth: int = 5,

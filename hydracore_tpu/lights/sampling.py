@@ -50,6 +50,17 @@ class LightSample(NamedTuple):
     pick_prob: jnp.ndarray = None  # (R,) pick probability of this light
 
 
+def _light_rows(scene, l_idx):
+    """Packed light_attr row fetch. Single-light scenes (the common case)
+    broadcast row 0 statically — XLA gathers cost ~1.6 ms per OP on this
+    TPU regardless of width (tools/exp_gather.py), and a uniform-index
+    gather still pays it."""
+    la = scene.light_attr
+    if la.shape[0] == 1:
+        return jnp.broadcast_to(la[0], (l_idx.shape[0], la.shape[1]))
+    return la[l_idx]
+
+
 def select_light(lights, u):
     """CDF pick: returns (index (R,), pick_prob (R,)). Broadcast compare-sum
     instead of searchsorted: elementwise on TPU, no per-ray gather."""
@@ -143,7 +154,7 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
                                             LA_VX, LA_VY)
 
     types = _light_types(scene)
-    a = scene.light_attr[l_idx]  # (R, LA_WIDTH) — the one gather
+    a = _light_rows(scene, l_idx)  # (R, LA_WIDTH) — at most one gather
     ltype = a[:, LA_TYPE].astype(jnp.int32)
     pos = a[:, LA_POS:LA_POS + 3]
     nrm = a[:, LA_NORM:LA_NORM + 3]
@@ -352,17 +363,22 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     (clight.h:1064), all light types: area rect/disk, sphere, cylinder,
     point (+IES), spot (cone + smoothstep falloff + IES), direct(sun) and
     sky (env-importance direction from a scene-bounds disk)."""
-    lt = scene.lights
-    ltype = lt.ltype[l_idx]
-    pos_c = lt.pos[l_idx]
-    nrm = lt.norm[l_idx]
-    vx = lt.vx[l_idx]
-    vy = lt.vy[l_idx]
-    inten = lt.intensity[l_idx]
-    radius = lt.radius[l_idx]
-    area = jnp.maximum(lt.area[l_idx], 1e-12)
-    cos_in = lt.cos_in[l_idx]
-    cos_out = lt.cos_out[l_idx]
+    from hydracore_tpu.scene.lights import (LA_AREA, LA_COS_IN, LA_COS_OUT,
+                                            LA_INTEN, LA_MESH_ROW, LA_NORM,
+                                            LA_POS, LA_RADIUS, LA_TEX,
+                                            LA_TYPE, LA_VX, LA_VY)
+
+    a = _light_rows(scene, l_idx)  # ONE packed row gather for all fields
+    ltype = a[:, LA_TYPE].astype(jnp.int32)
+    pos_c = a[:, LA_POS:LA_POS + 3]
+    nrm = a[:, LA_NORM:LA_NORM + 3]
+    vx = a[:, LA_VX:LA_VX + 3]
+    vy = a[:, LA_VY:LA_VY + 3]
+    inten = a[:, LA_INTEN:LA_INTEN + 3]
+    radius = a[:, LA_RADIUS]
+    area = jnp.maximum(a[:, LA_AREA], 1e-12)
+    cos_in = a[:, LA_COS_IN]
+    cos_out = a[:, LA_COS_OUT]
 
     u1, u2, u3, u4 = rnds[:, 0], rnds[:, 1], rnds[:, 2], rnds[:, 3]
 
@@ -397,7 +413,8 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     surf = is_area | is_sph | is_cyl | is_mesh  # cosine-emitting surfaces
 
     # mesh light: triangle by area CDF + uniform point (MeshLight fwd)
-    mrow = jnp.clip(lt.mesh_row[l_idx], 0, scene.ml_cdf.shape[0] - 1)
+    mrow = jnp.clip(a[:, LA_MESH_ROW].astype(jnp.int32), 0,
+                    scene.ml_cdf.shape[0] - 1)
     cdf_rows = scene.ml_cdf[mrow]
     ti = jnp.clip(jnp.sum((cdf_rows < u1[:, None]).astype(jnp.int32), axis=1),
                   0, scene.ml_tri.shape[1] - 1)
@@ -476,7 +493,7 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
     radiance = inten
     # IES photometric profile applied to the emitted direction for point /
     # spot (matches sample_light_rev so LT agrees with PT)
-    tex_slot = lt.tex[l_idx]
+    tex_slot = a[:, LA_TEX].astype(jnp.int32)
     cos_ax = jnp.clip(dot3(direction, nrm), -1.0, 1.0)
     theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
     phi_v = (jnp.arctan2(dot3(direction, ba), dot3(direction, ta)) * (0.5 / np.pi)) % 1.0
@@ -504,7 +521,7 @@ def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm,
                                             LA_RADIUS, LA_TYPE)
 
     types = _light_types(scene)
-    a = scene.light_attr[l_idx]
+    a = _light_rows(scene, l_idx)
     ltype = a[:, LA_TYPE].astype(jnp.int32)
     area = jnp.maximum(a[:, LA_AREA], 1e-12)
 

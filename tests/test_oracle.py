@@ -115,3 +115,28 @@ def test_wavefront_matches_oracle_alpha_mesh_env():
     mask = wf.max(-1) < 4.0
     rel = abs(wf[mask].mean() - orc[mask].mean()) / max(wf[mask].mean(), 1e-9)
     assert rel < 0.13, f"wavefront={wf[mask].mean():.4f} oracle={orc[mask].mean():.4f}"
+
+
+def test_integrator_family_consistency():
+    """StupidPT (BSDF-only), ShadowPT (NEE-only) and MISPT estimate the
+    same integral — the reference's CPU integrator family cross-check
+    (CPUExp_Integrators.h:317,369,381). A big area light keeps the
+    BSDF-only estimator's variance workable at low spp."""
+    b = SceneBuilder()
+    m = b.lambert([0.55, 0.55, 0.55])
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.rect_light([0, 1.95, 0], 1.2, 1.2, [4.0, 4.0, 4.0])
+    sc = b.build(cam_pos=[0, 0, 5.4], cam_lookat=[0, 0, 0], width=6,
+                 height=6, trace_depth=3)
+
+    imgs = {mode: OracleRenderer(sc, mode=mode).render(
+        6, 6, spp=220, max_depth=3, seed=5) for mode in
+        ("mispt", "ptstupid", "shadowpt")}
+    # exclude direct-emitter pixels (shadowpt drops them by design unless
+    # reached through specular chains)
+    mask = imgs["mispt"].max(-1) < 2.0
+    ref = imgs["mispt"][mask].mean()
+    for mode in ("ptstupid", "shadowpt"):
+        got = imgs[mode][mask].mean()
+        rel = abs(got - ref) / max(ref, 1e-9)
+        assert rel < 0.15, f"{mode}={got:.4f} vs mispt={ref:.4f} rel={rel:.3f}"

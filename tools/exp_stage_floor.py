@@ -24,6 +24,8 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+if os.environ.get("HC_CPU"):  # JAX_PLATFORMS is overridden by the harness
+    jax.config.update("jax_platforms", "cpu")
 
 from hydracore_tpu.bsdf.core import eval_bsdf, fetch_material, sample_bsdf, scene_feats
 from hydracore_tpu.integrators.pt import compute_hit
@@ -100,7 +102,8 @@ def g_hit(c):
     p_, n_, ng_, uv_, m_, l_, t_ = compute_hit(
         scene, (tri + c.astype(jnp.int32)) % A.shape[0],
         uv[:, 0], uv[:, 1] * 0.5, pos, wo, jnp.ones(R))
-    return jnp.sum(p_) * 1e-30 + c
+    return (jnp.sum(n_) + jnp.sum(uv_)
+            + jnp.sum(m_.astype(jnp.float32))) * 1e-30 + c
 
 
 scan_diff("compute_hit", g_hit)
@@ -124,7 +127,8 @@ r4 = rng.rand4(sidx, 0, 1, seed)
 
 
 def g_bsdf(c):
-    f, pdf = eval_bsdf(p0, wo, n * jnp.sign(c + 1.0), n, feats)
+    wi_v = n + c * 1e-9  # carry-dependent: keeps the eval inside the scan
+    f, pdf = eval_bsdf(p0, wo, wi_v, n, feats)
     bs = sample_bsdf(p0, wo, n, r4 + c * 1e-9, feats)
     return (jnp.sum(f) + jnp.sum(bs.wi) + jnp.sum(pdf)) * 1e-30 + c
 
