@@ -69,6 +69,9 @@ class MatParams(NamedTuple):
     sss_scattering: jnp.ndarray = None  # (R,)
     sss_phase: jnp.ndarray = None  # (R,)
     sss_transmission: jnp.ndarray = None  # (R,)
+    # thick-glass Beer fog (attenuationStep, cmaterial.h:2787-2827)
+    fog_color: jnp.ndarray = None  # (R,3)
+    fog_mult: jnp.ndarray = None  # (R,)
 
 
 def luminance(c):
@@ -188,6 +191,8 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatParams:
         sss_scattering=col(MC.MA_SSS_SCATTERING) if _gate(st, "has_sss") else None,
         sss_phase=col(MC.MA_SSS_PHASE) if _gate(st, "has_sss") else None,
         sss_transmission=col(MC.MA_SSS_TRANSMISSION) if _gate(st, "has_sss") else None,
+        fog_color=col3(MC.MA_FOG_COLOR) if _gate(st, "has_fog") else None,
+        fog_mult=col(MC.MA_FOG_MULT) if _gate(st, "has_fog") else None,
     )
 
 

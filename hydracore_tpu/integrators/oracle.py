@@ -180,7 +180,25 @@ class OracleRenderer:
             return 1.0
         return pdf_light**2 / max(pdf_light**2 + pdf_bsdf**2, 1e-20)
 
-    def radiance(self, o, d, sample_index, seed, depth, max_depth, prev_pdf, prev_spec):
+    def radiance(self, o, d, sample_index, seed, depth, max_depth, prev_pdf,
+                 prev_spec, fog=None):
+        """fog: None or (color (3,), mult) — the armed thick-glass Beer fog
+        of the medium this segment travels through (attenuationStep,
+        cmaterial.h:2787). Attenuates everything arriving along it."""
+        if fog is not None:
+            t_f, _, _, _ = self.trace(o, d)
+            inner = self._radiance_inner(o, d, sample_index, seed, depth,
+                                         max_depth, prev_pdf, prev_spec, fog)
+            if np.isfinite(t_f):
+                att = np.exp(-np.maximum(1.0 - np.asarray(fog[0], np.float64),
+                                         0.0) * fog[1] * t_f)
+                return att * inner
+            return inner
+        return self._radiance_inner(o, d, sample_index, seed, depth,
+                                    max_depth, prev_pdf, prev_spec, None)
+
+    def _radiance_inner(self, o, d, sample_index, seed, depth, max_depth,
+                        prev_pdf, prev_spec, fog=None):
         t, tri, u, v = self.trace(o, d)
         if not np.isfinite(t):
             # BSDF-only env estimator (no env NEE): unbiased on its own,
@@ -203,7 +221,7 @@ class OracleRenderer:
                     return np.zeros(3)
                 eps_a = 2e-4 * max(1.0, np.abs(pos).max())
                 return self.radiance(pos + d * eps_a, d, sample_index, seed,
-                                     depth + 1, max_depth, 0.0, True)
+                                     depth + 1, max_depth, 0.0, True, fog=fog)
 
         em = np.asarray(self.mt.em_color)[mat].astype(np.float64)
         if em.max() > 1e-6:
@@ -409,15 +427,21 @@ class OracleRenderer:
             rp = (eta * cos_io - cos_t) / max(eta * cos_io + cos_t, 1e-12)
             rs = (cos_io - eta * cos_t) / max(cos_io + eta * cos_t, 1e-12)
             F = 1.0 if tir else min(max(0.5 * (rp * rp + rs * rs), 0.0), 1.0)
+            fogm = float(np.asarray(self.mt.fog_mult)[mat])
+            fogc = np.asarray(self.mt.fog_color)[mat].astype(np.float64)
             if r_b[3] < F or tir:
                 wi = d - 2 * float(np.dot(d, ns)) * ns
+                fog_child = fog  # reflection stays in the current medium
             else:
                 inv_eta = 1.0 / max(eta, 1e-6)
                 wi = inv_eta * d + (inv_eta * cos_io - cos_t) * ns
                 wi /= max(np.linalg.norm(wi), 1e-12)
                 ro2 = pos - ns * eps2
+                # entering arms the Beer fog; exiting clears it (pt.py fog
+                # state machine / attenuationStep semantics)
+                fog_child = (fogc, fogm) if (facing and fogm > 0.0) else None
             lo = self.radiance(ro2, wi, sample_index, seed, depth + 1,
-                               max_depth, 0.0, True)
+                               max_depth, 0.0, True, fog=fog_child)
             return out + transp * (ktot / max(kt_, 1e-9)) * lo
         if (not pick_d) and (not pick_s):  # translucency: back cosine lobe
             ct = np.sqrt(max(r_b[1], 0.0))
@@ -433,7 +457,7 @@ class OracleRenderer:
         elif is_mirror:
             wi = d - 2 * float(np.dot(d, ns)) * ns
             lo = self.radiance(ro2, wi, sample_index, seed, depth + 1,
-                               max_depth, 0.0, True)
+                               max_depth, 0.0, True, fog=fog)
             return out + refl * (ktot / max(ks_, 1e-9)) * lo
         else:  # GGX half-vector sampling
             a2 = ralpha * ralpha
@@ -451,7 +475,7 @@ class OracleRenderer:
         if pdf <= 0:
             return out
         lo = self.radiance(ro2, wi, sample_index, seed, depth + 1, max_depth,
-                           pdf, False)
+                           pdf, False, fog=fog)
         return out + fv * abs(cos_i) / pdf * lo
 
     def render(self, width: int, height: int, spp: int, max_depth: int = 3, seed: int = 777):

@@ -295,6 +295,11 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         med_sig_s = jnp.zeros((R,), jnp.float32)
         med_sig_a = jnp.zeros((R, 3), jnp.float32)
         med_g = jnp.zeros((R,), jnp.float32)
+    # static thick-glass fog gate (attenuationStep, cmaterial.h:2787-2827):
+    # rgb = armed fog color, w = fog multiplier (0 = ray outside any fog)
+    has_fog = scene.settings is not None and getattr(scene.settings, "has_fog", False)
+    if has_fog:
+        fog_state = jnp.zeros((R, 4), jnp.float32)
     if has_sky_s:
         has_sky = (scene.lights.ltype == LIGHT_SKY).any()
         sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
@@ -342,6 +347,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 med_sig_s = med[:, 1]
                 med_sig_a = med[:, 2:5]
                 med_g = med[:, 5]
+            if has_fog:
+                fog_state = fog_state[perm]
 
         rays_traced = rays_traced + alive.sum()
         # primaries arrive Morton-ordered; in sorted mode the wavefront is
@@ -354,6 +361,17 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
+
+        # ---- thick-glass Beer fog over the segment just traced
+        # (attenuationStep: T = exp(-max(1-fogColor,0)*fogMult*dist),
+        # cmaterial.h:2787); misses stay unattenuated like the reference
+        if has_fog:
+            fog_on = hit & (fog_state[:, 3] > 0.0)
+            seg = jnp.where(jnp.isfinite(t), t, 0.0)
+            att = jnp.exp(-jnp.maximum(1.0 - fog_state[:, 0:3], 0.0)
+                          * (fog_state[:, 3] * seg)[:, None])
+            throughput = jnp.where(fog_on[:, None], throughput * att,
+                                   throughput)
 
         # ---- subsurface medium walk (ref PathTraceVol,
         # CPUExp_IntegratorSSS.cpp:143): rays inside an SSS medium sample a
@@ -475,6 +493,19 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         is_trans_sss = jnp.zeros_like(passthru)
         if has_back:  # RAY_EVENT_T-only paths stay camera-visible
             pure_t = pure_t & (passthru | bs.is_transmission) & ~scat
+
+        # ---- fog state machine: transmission INTO a Beer glass arms the
+        # fog; transmission OUT (hit on the far side) clears it; internal
+        # reflection keeps it armed. (Deviation from attenuationStep's
+        # arm-on-any-hit: the reference also arms on front-face REFLECTIONS,
+        # wrongly fogging the next outside segment — we arm on entry only.)
+        if has_fog:
+            beer = alive & (p.fog_mult > 0.0) & ~passthru
+            enter = beer & bs.is_transmission & front
+            leave = beer & bs.is_transmission & ~front
+            armed = jnp.concatenate([p.fog_color, p.fog_mult[:, None]], 1)
+            fog_state = jnp.where(enter[:, None], armed,
+                                  jnp.where(leave[:, None], 0.0, fog_state))
 
         # ---- SSS boundary event (ref sampleAndEvalBxDF SSS branch,
         # CPUExp_IntegratorSSS.cpp:36): cosine lobe about the facing normal;

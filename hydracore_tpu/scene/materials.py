@@ -141,7 +141,9 @@ MA_SSS_SCATTERING = 44
 MA_SSS_PHASE = 45
 MA_SSS_TRANSMISSION = 46
 MA_PROC_ARGS = 48  # [48:56) per-material proc-tex arg stack
-MA_WIDTH = 56
+MA_FOG_COLOR = 56  # [56:59) thick-glass Beer fog (cmaterial.h:2787)
+MA_FOG_MULT = 59
+MA_WIDTH = 60
 
 
 def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
@@ -155,6 +157,8 @@ def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
     a[:, MA_TRANSL:MA_TRANSL + 3] = np.asarray(mt.transl_color)
     a[:, MA_SSS_ABSORPTION:MA_SSS_ABSORPTION + 3] = np.asarray(mt.sss_absorption)
     a[:, MA_PROC_ARGS:MA_PROC_ARGS + 8] = np.asarray(mt.proc_args)
+    a[:, MA_FOG_COLOR:MA_FOG_COLOR + 3] = np.asarray(mt.fog_color)
+    a[:, MA_FOG_MULT] = np.asarray(mt.fog_mult)
     for col, field in [
         (MA_DIFF_ROUGH, mt.diff_rough), (MA_REFL_COSPOW, mt.refl_cospow),
         (MA_REFL_ALPHA, mt.refl_alpha), (MA_REFL_DIST, mt.refl_dist),

@@ -133,6 +133,7 @@ class RenderSettings:
     has_proc_tex: bool = True
     has_bump: bool = True
     has_sss: bool = False  # any subsurface-scattering material
+    has_fog: bool = False  # any glass with Beer fog (fog_multiplier > 0)
     blend_depth: int = 1  # deepest blend-tree chain in the scene
     has_inst: bool = False  # two-level instanced layout (bvh/instanced.py)
     has_env_back: bool = False  # sky <back> plate (scene.env_back row)

@@ -140,3 +140,40 @@ def test_integrator_family_consistency():
         got = imgs[mode][mask].mean()
         rel = abs(got - ref) / max(ref, 1e-9)
         assert rel < 0.15, f"{mode}={got:.4f} vs mispt={ref:.4f} rel={rel:.3f}"
+
+
+def test_glass_fog_attenuation():
+    """Thick-glass Beer fog (attenuationStep, cmaterial.h:2787): a foggy
+    glass sphere darkens what is seen through it, and the wavefront
+    matches the oracle's independent fog implementation."""
+    def build(fog_mult):
+        b = SceneBuilder()
+        m = b.lambert([0.6, 0.6, 0.6])
+        glass = b.add_material(
+            transp_color=np.array([0.95, 0.95, 0.95], np.float32),
+            transp_gloss=1.0, transp_ior=1.5,
+            fog_color=np.array([0.9, 0.3, 0.3], np.float32),
+            fog_mult=np.float32(fog_mult))
+        b.add_box_interior(2.0, m, m, m, m, m)
+        b.add_sphere([0.0, 0.0, 1.5], 0.9, glass, n_seg=20, n_ring=10)
+        b.rect_light([0, 1.95, 0], 0.7, 0.7, [12.0] * 3)
+        return b.build(cam_pos=[0, 0, 5.4], cam_lookat=[0, 0, 0], width=8,
+                       height=8, trace_depth=5)
+
+    sc_fog = build(2.5)
+    sc_clear = build(0.0)
+    assert sc_fog.settings.has_fog and not sc_clear.settings.has_fog
+
+    wf_fog = np.asarray(render(sc_fog, spp=192, seed=3, max_depth=5))
+    wf_clear = np.asarray(render(sc_clear, spp=192, seed=3, max_depth=5))
+    # center pixels look through ~1.8 units of fog: exp(-0.1*2.5*1.8)~0.64
+    # on red, ~0.04 on green/blue -> strong, colored darkening
+    c_fog = wf_fog[3:5, 3:5]
+    c_clear = wf_clear[3:5, 3:5]
+    assert c_fog[..., 1].mean() < 0.35 * c_clear[..., 1].mean()
+    assert c_fog[..., 0].mean() > c_fog[..., 1].mean()  # red fog tint
+
+    orc = OracleRenderer(sc_fog).render(8, 8, spp=56, max_depth=5, seed=9)
+    mask = wf_fog.max(-1) < 4.0
+    rel = abs(wf_fog[mask].mean() - orc[mask].mean()) / max(wf_fog[mask].mean(), 1e-9)
+    assert rel < 0.13, f"wavefront={wf_fog[mask].mean():.4f} oracle={orc[mask].mean():.4f}"
