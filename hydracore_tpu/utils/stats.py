@@ -39,12 +39,17 @@ class MRaysStat:
 
 def profile_pass(scene, n_rays: int = 65536, max_depth: int = 5, seed: int = 777,
                  n_timed: int = 4) -> MRaysStat:
-    """Measure stage costs on the current default device."""
+    """Measure stage costs on the current default device.
+
+    DIFFERENTIAL timing throughout (bench.py design): each probe runs the
+    op N_LO and N_HI times INSIDE one dispatch (chained so XLA cannot CSE
+    the repeats) and reports (T_hi - T_lo)/(N_hi - N_lo) — per-call tunnel
+    latency, which is large and sticky on this TPU, cancels exactly."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from hydracore_tpu.integrators.pt import make_eye_rays, render_pass
+    from hydracore_tpu.integrators.pt import make_eye_rays, render_passes
     from hydracore_tpu.ops import rng as _rng
     from hydracore_tpu.ops.trace_api import any_hit, closest_hit
 
@@ -59,21 +64,51 @@ def profile_pass(scene, n_rays: int = 65536, max_depth: int = 5, seed: int = 777
     lens = jnp.zeros((R, 2), jnp.float32)
     ray_o, ray_d = make_eye_rays(cam, px, py, jitter, lens)
 
-    def timed(f, *a):
-        out = jax.block_until_ready(f(*a))
-        t0 = time.perf_counter()
-        for _ in range(n_timed):
-            out = f(*a)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n_timed * 1e3
+    N_LO, N_HI = 2, 6
 
-    t_trav = timed(lambda o, d: closest_hit(scene, o, d), ray_o, ray_d)
-    t_shadow = timed(lambda o, d: any_hit(scene, o, d, 1e30), ray_o, ray_d)
+    @jax.jit
+    def trav_n(o, d, n):
+        def body(i, st):
+            o_, d_ = st
+            t, tri, u, v = closest_hit(scene, o_, d_)
+            t_ = jnp.where(jnp.isfinite(t), t, 0.0)
+            return o_ + (t_ * 1e-7)[:, None] * d_, d_
 
-    pass_fn = lambda i: render_pass(scene, i, jnp.uint32(seed), max_depth=max_depth)[0]
-    t_sample = timed(pass_fn, jnp.uint32(1)) * (W * H) / max(W * H, 1)
+        return jax.lax.fori_loop(0, n, body, (o, d))[0]
 
-    _, rays = render_pass(scene, jnp.uint32(0), jnp.uint32(seed), max_depth=max_depth)
+    @jax.jit
+    def shadow_n(o, d, n):
+        def body(i, st):
+            o_, acc = st
+            occ = any_hit(scene, o_, d, 1e30)
+            return o_ + jnp.where(occ, 1e-7, 0.0)[:, None] * d, acc + occ.sum()
+
+        return jax.lax.fori_loop(0, n, body, (o, jnp.zeros((), jnp.int32)))[1]
+
+    def diff_time(run, reps=2):
+        """run(n) executes the op n times in one dispatch; ms per op."""
+        run(N_LO)
+        run(N_HI)  # compile both before timing
+        ts = {N_LO: 0.0, N_HI: 0.0}
+        for _ in range(reps):
+            for n in (N_LO, N_HI):
+                t0 = time.perf_counter()
+                run(n)
+                ts[n] += time.perf_counter() - t0
+        return (ts[N_HI] - ts[N_LO]) / (reps * (N_HI - N_LO)) * 1e3
+
+    t_trav = diff_time(lambda n: np.asarray(trav_n(ray_o, ray_d, n)))
+    t_shadow = diff_time(lambda n: np.asarray(shadow_n(ray_o, ray_d, n)))
+
+    def run_pass(n):
+        fb, _ = render_passes(scene, jnp.uint32(100), jnp.uint32(seed),
+                              n_pass=n, max_depth=max_depth)
+        np.asarray(fb)
+
+    t_sample = diff_time(run_pass)
+
+    _, rays = render_passes(scene, jnp.uint32(0), jnp.uint32(seed), n_pass=1,
+                            max_depth=max_depth)
     rays = float(rays)
 
     trav_total = (t_trav + t_shadow) * max_depth * (W * H) / R

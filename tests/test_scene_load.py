@@ -76,6 +76,26 @@ def test_fit_texture_res_budget():
     assert out[1].shape[:2] == (8, 8)
 
 
+def test_texture_budget_through_scene_path(test42_dir):
+    """build_texture_storage honors the memory budget end-to-end: a tiny
+    budget forces downscales (AllocAll + FitTextureRes semantics) and the
+    packed heap shrinks accordingly."""
+    from hydracore_tpu.scene.statefile import load_statefile
+    from hydracore_tpu.scene.textures import build_texture_storage
+
+    lib = "/root/reference/hydra_app/tests/014_Bump_height"
+    import os
+
+    if not os.path.exists(lib):
+        pytest.skip("bundled scene missing")
+    desc = load_statefile(lib)
+    full = build_texture_storage(desc)
+    small = build_texture_storage(desc, budget=64 << 10, budget_bump=64 << 10)
+    assert small[0].shape[0] < full[0].shape[0]  # heap texel count shrank
+    # every downscaled texture keeps its table entry and stays addressable
+    assert small[1].shape == full[1].shape
+
+
 def test_all_bundled_scenes_parse():
     import pathlib
 
