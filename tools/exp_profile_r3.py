@@ -11,6 +11,10 @@ Prints a JSON dict. Usage: python tools/exp_profile_r3.py [W] [scene_dir]
 """
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time
