@@ -69,10 +69,10 @@ print("RESULT %.9f %.1f %.3f" % (dt, rays_hi / n_hi, spread))
 """
 
 
-def _probe(scene_dir: str, width: int):
+def _probe(scene_dir: str, width: int, timeout: int = 5400):
     out = subprocess.run(
         [sys.executable, "-c", _PROBE, scene_dir, str(width), str(N_LO), str(N_HI)],
-        capture_output=True, text=True, timeout=5400, cwd="/root/repo",
+        capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
@@ -92,6 +92,18 @@ def main():
     dt_tiny, _, _ = _probe("/root/reference/hydra_app/tests/test_42", 1024)
     msamples_tiny = 1024 * 1024 / dt_tiny / 1e6
 
+    # large-scene probe (339k tris, Benchmark_Scene03) — best-effort: the
+    # scene currently routes to the wide-BVH fallback above the cluster
+    # VMEM cap (trace_api._CL_MAX_CP); never fails the bench
+    big = None
+    try:
+        dt_big, _, _ = _probe(
+            "/root/reference/hydra_app/tests/Benchmark_Scene03", 256,
+            timeout=2400)
+        big = round(256 * 256 / dt_big / 1e6, 3)
+    except Exception:
+        pass
+
     import jax
 
     print(
@@ -105,6 +117,7 @@ def main():
                     "Mrays/s_1024": round(rays1k / dt1k / 1e6, 1),
                     "Msamples/s_512": round(msamples_512, 3),
                     "tiny_scene_Msamples/s": round(msamples_tiny, 1),
+                    "big_scene_256_Msamples/s": big,
                     "repeat_spread_1024": round(spread1k, 3),
                     "repeat_spread_512": round(spread512, 3),
                     "device": str(jax.devices()[0]),

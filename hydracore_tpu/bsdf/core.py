@@ -105,7 +105,8 @@ def _gate(st, name: str) -> bool:
     return True if st is None else bool(getattr(st, name, True))
 
 
-def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatParams:
+def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
+                ao=None) -> MatParams:
     """ONE packed-row gather (scene.mat_attr) + statically-gated texture
     fetches. Gather cost on this TPU is per-OP (tools/exp_gather.py), so the
     ~25 per-field gathers of the naive SoA fetch collapse into one."""
@@ -141,7 +142,8 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None) -> MatParams:
         pargs = m[:, MC.MA_PROC_ARGS:MC.MA_PROC_ARGS + 8]
         dc = dc * jnp.where((proc >= 0)[:, None],
                             eval_proc_tex(proc, uv, pos, nn, wo=wo,
-                                          args=pargs, scene=scene), 1.0)
+                                          args=pargs, scene=scene,
+                                          ao=ao), 1.0)
     rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_REFL_TEX, _gate(st, "has_refl_tex"))
     if _gate(st, "has_alpha"):
         op = sample_tex(scene.texels, scene.tex_meta,
@@ -253,7 +255,7 @@ def resolve_blend_leaf(scene, mat_id, uv, normal, wo, pos, u_blend):
 
 
 def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
-                   u_blend=None) -> MatParams:
+                   u_blend=None, ao=None) -> MatParams:
     """Gather material record + modulate by textures (ref: materialLeafEval
     texture fetch path via SWTexSampler, cmaterial.h/cfetch.h). Registered
     procedural textures (ops/proctex.py) modulate the diffuse color when
@@ -268,7 +270,7 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
     st = scene.settings
     # static fast path: no blend materials in the scene -> single fetch
     if st is not None and not st.has_blend:
-        return _fetch_leaf(scene, mat_id, uv, pos, normal, wo)
+        return _fetch_leaf(scene, mat_id, uv, pos, normal, wo, ao)
     # N-level blend trees: stochastic random walk to ONE leaf per ray
     # (materialRandomWalkBRDF, cmaterial.h:2345). 1-level scenes keep the
     # deterministic two-leaf lerp below (lower variance).
@@ -276,8 +278,8 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
         if u_blend is None:
             u_blend = jnp.full(mat_id.shape, 0.5, jnp.float32)
         leaf = resolve_blend_leaf(scene, mat_id, uv, normal, wo, pos, u_blend)
-        return _fetch_leaf(scene, leaf, uv, pos, normal, wo)
-    p_top = _fetch_leaf(scene, mat_id, uv, pos, normal, wo)
+        return _fetch_leaf(scene, leaf, uv, pos, normal, wo, ao)
+    p_top = _fetch_leaf(scene, mat_id, uv, pos, normal, wo, ao)
     from hydracore_tpu.ops.texture import sample_tex
     from hydracore_tpu.scene import materials as MC
 
@@ -286,7 +288,7 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
     btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
     has = bn >= 0
     bot_id = jnp.where(has, jnp.clip(bn, 0, scene.mat_attr.shape[0] - 1), mat_id)
-    p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal, wo)
+    p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal, wo, ao)
 
     mask = sample_tex(scene.texels, scene.tex_meta,
                       mrow[:, MC.MA_BLEND_TEX].astype(jnp.int32), uv)[:, :3]

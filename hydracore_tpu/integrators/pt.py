@@ -39,7 +39,9 @@ from hydracore_tpu.ops import rng
 from hydracore_tpu.ops.trace_api import (any_hit, any_hit_sorted,
                                           closest_hit, closest_hit_sorted)
 from hydracore_tpu.scene.lights import LIGHT_SKY
-from hydracore_tpu.utils.math3d import cross3, dot3, normalize3, offs_ray_pos
+from hydracore_tpu.utils.math3d import (cross3, dot3,
+                                         make_orthonormal_basis, normalize3,
+                                         offs_ray_pos)
 
 # rng dimension groups per bounce (role analogue of QMC_VAR_* slots)
 DG_LENS = 0
@@ -48,6 +50,7 @@ DG_LIGHT = 2
 DG_RR = 3
 DG_ALPHA = 4  # col 0: stochastic alpha; col 1: blend-tree walk
 DG_SSS = 5  # subsurface medium events
+DG_AO = 6  # proc-tex AO probe directions
 
 
 def hg_sample(d, g, e1, e2):
@@ -77,6 +80,40 @@ def mis_weight(a, b):
 
 
 MAX_ALPHA_SHADOW_STEPS = 2  # transparent layers a shadow ray may cross
+
+AO_PROBES = 4  # hemisphere probes per hit (MakeAORaysPacked4 analogue)
+
+
+def ao_probe(scene, pos, n, ng, ao_type, ao_len, need, r_ao):
+    """Hemisphere-occlusion input for AO proc-texes (MakeAORays packed
+    probes -> surfHit.ao, light.cl:274-457 + texproc.cl:152): AO_PROBES
+    cosine-weighted rays of length ao_len about +n ('up'/'both') or -n
+    ('down'), averaged unoccluded fraction. One fused (K*R) any-hit."""
+    R = pos.shape[0]
+    down = (ao_type == 2)[:, None]
+    nh = jnp.where(down, -n, n)
+    ngh = jnp.where(down, -ng, ng)
+    t_, b_ = make_orthonormal_basis(nh)
+    o_list, d_list = [], []
+    for k in range(AO_PROBES):
+        # golden-ratio rotations stretch 2 uniforms over K probes
+        u1 = (r_ao[:, 0] + k * 0.618034) % 1.0
+        u2 = (r_ao[:, 1] + k * 0.381966) % 1.0
+        ct = jnp.sqrt(jnp.clip(u1, 0.0, 1.0))
+        st = jnp.sqrt(jnp.clip(1.0 - u1, 0.0, 1.0))
+        ph = 2.0 * np.pi * u2
+        d = (st * jnp.cos(ph))[:, None] * t_ \
+            + (st * jnp.sin(ph))[:, None] * b_ + ct[:, None] * nh
+        o_list.append(offs_ray_pos(pos, ngh, d))
+        d_list.append(d)
+    O = jnp.concatenate(o_list, axis=0)
+    D = jnp.concatenate(d_list, axis=0)
+    occ = any_hit_sorted(scene, O, D,
+                         jnp.tile(jnp.maximum(ao_len, 1e-5), AO_PROBES),
+                         active=jnp.tile(need, AO_PROBES))
+    occ = occ.reshape(AO_PROBES, R)
+    ao = 1.0 - occ.astype(jnp.float32).mean(axis=0)
+    return jnp.where(need, ao, 1.0)
 
 
 def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool,
@@ -300,6 +337,9 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     has_fog = scene.settings is not None and getattr(scene.settings, "has_fog", False)
     if has_fog:
         fog_state = jnp.zeros((R, 4), jnp.float32)
+    # static proc-tex AO gate (MakeAORays -> surfHit.ao input channel)
+    has_proc_ao = (scene.settings is not None
+                   and getattr(scene.settings, "has_proc_ao", False))
     if has_sky_s:
         has_sky = (scene.lights.ltype == LIGHT_SKY).any()
         sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
@@ -420,8 +460,19 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
 
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         r_a = rand_fn(depth, DG_ALPHA)
+        ao_val = None
+        if has_proc_ao:  # static gate: AO probes only when a proc-tex asks
+            from hydracore_tpu.scene import materials as MC
+
+            arow = scene.mat_attr[jnp.clip(mat_id, 0,
+                                           scene.mat_attr.shape[0] - 1)]
+            ao_t = arow[:, MC.MA_AO_TYPE].astype(jnp.int32)
+            rays_traced = rays_traced + (alive & (ao_t > 0)).sum() * AO_PROBES
+            ao_val = ao_probe(scene, pos, n, ng, ao_t,
+                              arow[:, MC.MA_AO_LENGTH],
+                              alive & (ao_t > 0), rand_fn(depth, DG_AO))
         p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
-                           u_blend=r_a[:, 1])
+                           u_blend=r_a[:, 1], ao=ao_val)
         n = apply_bump(scene, p, n, tang, uv)
 
         # ---- stochastic alpha transparency (ref: alpha-tested traversal

@@ -55,11 +55,13 @@ def num_proc_tex() -> int:
     return len(_REGISTRY)
 
 
-def eval_proc_tex(proc_id, uv, pos, normal, wo=None, args=None, scene=None):
+def eval_proc_tex(proc_id, uv, pos, normal, wo=None, args=None, scene=None,
+                  ao=None):
     """Evaluate registered textures for per-ray ids (R,); id < 0 -> white.
     All registered branches are traced and blended by id (few proc-texes
     per scene; matches the reference's one-switch-per-hit ProcTexExec,
-    texproc.cl:94)."""
+    texproc.cl:94). ao: (R,) hemisphere occlusion input (readAttr_AO,
+    texproc.cl:56) — 1 everywhere when the scene traces no AO probes."""
     R = uv.shape[0]
     out = jnp.ones(uv.shape[:-1] + (3,), jnp.float32)
     if not _REGISTRY:
@@ -68,6 +70,8 @@ def eval_proc_tex(proc_id, uv, pos, normal, wo=None, args=None, scene=None):
         wo = normal
     if args is None:
         args = jnp.zeros((R, 8), jnp.float32)
+    if ao is None:
+        ao = jnp.ones(uv.shape[:-1], jnp.float32)
 
     if scene is not None:
         from hydracore_tpu.ops.texture import sample_tex
@@ -82,8 +86,10 @@ def eval_proc_tex(proc_id, uv, pos, normal, wo=None, args=None, scene=None):
     for i, (fn, n) in enumerate(_REGISTRY):
         if n <= 3:
             val = fn(uv, pos, normal)
-        else:
+        elif n <= 6:
             val = fn(uv, pos, normal, wo, args, sample2d)
+        else:  # AO-consuming shader (readAttr_AO semantics)
+            val = fn(uv, pos, normal, wo, args, sample2d, ao)
         out = jnp.where((proc_id == i)[..., None], val[..., :3], out)
     return out
 
@@ -128,11 +134,22 @@ def hexaplanar(uv, pos, normal, wo, args, sample2d):
     return cx * w[:, 0:1] + cy * w[:, 1:2] + cz * w[:, 2:3]
 
 
+def ao_dirt(uv, pos, normal, wo, args, sample2d, ao):
+    """mix(dirt color, clean color, ao) — the canonical AO-input shader
+    shape (dirt-in-crevices; readAttr_AO consumer, texproc.cl:56).
+    args: [0:3) dirt color, [3:6) clean color."""
+    c_dirt, c_clean = args[:, 0:3], args[:, 3:6]
+    a = jnp.clip(ao, 0.0, 1.0)[:, None]
+    return c_dirt * (1.0 - a) + c_clean * a
+
+
 #: statefile `type="proc"` textures resolve here by texture `name` or by
 #: the .c main symbol (prtexN_<name>); extend for site-local shader packs.
 STDLIB = {
     "falloff": falloff,
     "hexaplanar": hexaplanar,
+    "ao_dirt": ao_dirt,
+    "dirt": ao_dirt,
 }
 
 

@@ -97,6 +97,10 @@ class MaterialTable:
     sss_scattering: np.ndarray  # (M,) scattering cross-section (x density)
     sss_phase: np.ndarray  # (M,) Henyey-Greenstein g
     sss_transmission: np.ndarray  # (M,) boundary diffuse-transmission prob
+    # proc-tex AO input channel (PROC_TEX_AO_*, RenderDriverRTE_ProcTex
+    # .cpp:290-340): hemisphere occlusion fed to the bound proc texture
+    ao_type: np.ndarray  # (M,) 0 none / 1 up / 2 down / 3 both
+    ao_length: np.ndarray  # (M,) probe ray length (world units)
 
 
 # ----------------------------------------------------------------------------
@@ -143,7 +147,9 @@ MA_SSS_TRANSMISSION = 46
 MA_PROC_ARGS = 48  # [48:56) per-material proc-tex arg stack
 MA_FOG_COLOR = 56  # [56:59) thick-glass Beer fog (cmaterial.h:2787)
 MA_FOG_MULT = 59
-MA_WIDTH = 60
+MA_AO_TYPE = 60  # proc-tex AO input (PROC_TEX_AO_TYPE/LENGTH)
+MA_AO_LENGTH = 61
+MA_WIDTH = 62
 
 
 def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
@@ -159,6 +165,8 @@ def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
     a[:, MA_PROC_ARGS:MA_PROC_ARGS + 8] = np.asarray(mt.proc_args)
     a[:, MA_FOG_COLOR:MA_FOG_COLOR + 3] = np.asarray(mt.fog_color)
     a[:, MA_FOG_MULT] = np.asarray(mt.fog_mult)
+    a[:, MA_AO_TYPE] = np.asarray(mt.ao_type)
+    a[:, MA_AO_LENGTH] = np.asarray(mt.ao_length)
     for col, field in [
         (MA_DIFF_ROUGH, mt.diff_rough), (MA_REFL_COSPOW, mt.refl_cospow),
         (MA_REFL_ALPHA, mt.refl_alpha), (MA_REFL_DIST, mt.refl_dist),
@@ -235,11 +243,15 @@ def _compile_one(node, rec: dict, tex_remap: np.ndarray,
         tid = int(t.get("id", -1))
         if t.get("type") != "texref_proc" and tid not in proc_map:
             return
-        pid = proc_map.get(tid, -1)
+        pid, ao_t, ao_len = proc_map.get(tid, (-1, 0, 0.0))
         if pid < 0:
             return
         rec["diff_proc"] = pid
         rec["proc_args"] = _parse_proc_args(t, tex_remap)
+        # AO input channel declared on the proc texture (<ao hemisphere=…
+        # length=…>, ReadAOFromNode) lands in the binding material's row
+        rec["ao_type"] = ao_t
+        rec["ao_length"] = ao_len
 
     em = node.find("emission")
     if em is not None:
@@ -367,6 +379,8 @@ def _blank_record() -> dict:
         sss_scattering=0.0,
         sss_phase=0.0,
         sss_transmission=0.0,
+        ao_type=0,
+        ao_length=0.0,
     )
 
 
@@ -382,7 +396,7 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
     # (texref_proc). Unreferenced declarations cost nothing (the bundled
     # teapot_cylinder/test_aniso* scenes declare falloff/hexaplanar without
     # binding them, matching the reference's lazy table fill).
-    proc_map: dict[int, int] = {}
+    proc_map: dict[int, tuple] = {}  # tid -> (proc id, ao_type, ao_length)
     referenced = set()
     for node in desc.materials.values():
         for t in node.iter("texture"):
@@ -392,8 +406,10 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
 
     for tid, td in getattr(desc, "textures", {}).items():
         if getattr(td, "proc_name", None) and tid in referenced:
-            proc_map[tid] = register_stdlib_instance(td.proc_name,
-                                                     td.loc or "")
+            proc_map[tid] = (register_stdlib_instance(td.proc_name,
+                                                      td.loc or ""),
+                             getattr(td, "ao_type", 0),
+                             getattr(td, "ao_length", 0.0))
 
     recs = []
     for mid in range(max(n, 1)):
@@ -484,4 +500,6 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
         sss_scattering=stack("sss_scattering", np.float32),
         sss_phase=stack("sss_phase", np.float32),
         sss_transmission=stack("sss_transmission", np.float32),
+        ao_type=stack("ao_type", np.int32),
+        ao_length=stack("ao_length", np.float32),
     )

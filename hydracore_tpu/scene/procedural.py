@@ -356,6 +356,8 @@ def _stack_materials(recs) -> MaterialTable:
         sss_scattering=stack("sss_scattering", np.float32),
         sss_phase=stack("sss_phase", np.float32),
         sss_transmission=stack("sss_transmission", np.float32),
+        ao_type=stack("ao_type", np.int32),
+        ao_length=stack("ao_length", np.float32),
     )
 
 

@@ -536,6 +536,7 @@ def finalize_scene(sc: SceneData) -> SceneData:
             has_bump=bool((np.asarray(mt.bump_tex) > 0).any()),
             has_sss=bool((np.asarray(mt.sss_transmission) > 0).any()),
             has_fog=bool((np.asarray(mt.fog_mult) > 0).any()),
+            has_proc_ao=bool((np.asarray(mt.ao_type) > 0).any()),
             # the SSS boundary maps onto the translucency lobe
             has_transl=bool(getattr(st, "has_transl", True)
                             or (np.asarray(mt.sss_transmission) > 0).any()),

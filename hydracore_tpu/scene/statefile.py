@@ -86,6 +86,10 @@ class TextureDesc:
     is_hdr: bool = False
     proc_name: str | None = None  # `type="proc"` textures: stdlib key
     proc_main: str | None = None  # prtexN main symbol from <code main=…>
+    # proc-tex AO input channel (<ao hemisphere=… length=… local=…>,
+    # ReadAOFromNode, RenderDriverRTE_ProcTex.cpp:290-320)
+    ao_type: int = 0  # 0 none / 1 up / 2 down / 3 both
+    ao_length: float = 0.0
 
 
 @dataclass
@@ -134,6 +138,7 @@ class RenderSettings:
     has_bump: bool = True
     has_sss: bool = False  # any subsurface-scattering material
     has_fog: bool = False  # any glass with Beer fog (fog_multiplier > 0)
+    has_proc_ao: bool = False  # any proc-tex with an AO input channel
     blend_depth: int = 1  # deepest blend-tree chain in the scene
     has_inst: bool = False  # two-level instanced layout (bvh/instanced.py)
     has_env_back: bool = False  # sky <back> plate (scene.env_back row)
@@ -256,6 +261,12 @@ def load_statefile(lib_dir: str, statefile: str | None = None) -> SceneDesc:
                 if code is not None:
                     td.proc_main = code.get("main")
                     td.loc = code.get("loc") or loc
+                ao = t.find("ao")
+                if ao is not None:
+                    hemi = (ao.get("hemisphere") or "").lower()
+                    td.ao_type = {"up": 1, "corner": 1, "down": 2,
+                                  "edge": 2, "both": 3}.get(hemi, 0)
+                    td.ao_length = float(ao.get("length", 0.0))
             textures[tid] = td
 
     # --- materials / lights: keep the XML nodes; compilers interpret them

@@ -316,3 +316,51 @@ def test_cam_plugin_pipeline():
     ref = np.asarray(render(sc, spp=48, seed=3))
     rel = abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-9)
     assert rel < 0.1, f"plugin={img.mean():.4f} builtin={ref.mean():.4f}"
+
+
+def test_proctex_ao_input_channel():
+    """Proc-tex AO input (MakeAORays -> surfHit.ao -> readAttr_AO,
+    light.cl:274-457 + texproc.cl:56): an ao_dirt shader darkens floor
+    points whose 'up' hemisphere is blocked by nearby geometry, and leaves
+    open floor untouched."""
+    from hydracore_tpu.integrators.pt import render
+    from hydracore_tpu.ops.proctex import ao_dirt, clear_registry, register_proc_tex
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    clear_registry()
+    pid = register_proc_tex(ao_dirt)
+    try:
+        def build(ao_on):
+            b = SceneBuilder()
+            args = np.zeros(8, np.float32)
+            args[0:3] = 0.03   # dirt (occluded)
+            args[3:6] = 0.75   # clean (open)
+            floor = b.add_material(diff_color=np.ones(3, np.float32),
+                                   diff_proc=pid, proc_args=args,
+                                   ao_type=1 if ao_on else 0, ao_length=1.5)
+            b.add_rect([0, 0, 0], [4, 0, 0], [0, 0, 4], floor, flip=True)
+            # a vertical wall on the left blocks the up-hemisphere of
+            # nearby floor points but not the overhead light path to most
+            wall = b.lambert([0.4, 0.4, 0.4])
+            b.add_rect([-1.5, 0.75, 0], [0, 0.75, 0], [0, 0, 2], wall)
+            b.point_light([2.0, 3.5, 0], [30.0] * 3)
+            return b.build(cam_pos=[0.5, 4.0, 0.01], cam_lookat=[0.3, 0, 0],
+                           width=24, height=24, trace_depth=2)
+
+        sc_on = build(True)
+        sc_off = build(False)
+        assert sc_on.settings.has_proc_ao and not sc_off.settings.has_proc_ao
+        img_on = np.asarray(render(sc_on, spp=32, seed=2)).mean(-1)
+        img_off = np.asarray(render(sc_off, spp=32, seed=2)).mean(-1)
+        # with AO off, ao=1 everywhere -> the dirt shader returns 'clean';
+        # with AO on, some floor pixels (near the wall) darken strongly
+        ratio = img_on / np.maximum(img_off, 1e-6)
+        vis = img_off > 0.02
+        # a wall blocks at most ~half the up hemisphere: ao ~ 0.5 ->
+        # ratio ~ (0.03+0.75)/2/0.75 ~ 0.52 at the closest floor points
+        assert (ratio[vis] < 0.65).sum() >= 8, \
+            f"no AO darkening: min ratio {ratio[vis].min():.3f}"
+        assert ratio[vis].min() < 0.58
+        assert np.median(ratio[vis]) > 0.7  # open floor mostly unchanged
+    finally:
+        clear_registry()
