@@ -729,7 +729,18 @@ def render_passes_band(scene, pass_base, seed, n_pass: int = 8,
 def render_passes(scene, pass_base, seed, n_pass: int = 8, max_depth: int = 5):
     """N full-frame passes, megablock-banded when the frame exceeds
     MEGABLOCK rays (CalcMegaBlockSize semantics: dispatch size decoupled
-    from resolution). Returns (sum of N pass images (H,W,3), total rays)."""
+    from resolution). Returns (sum of N pass images (H,W,3), total rays).
+
+    HYDRA_REGEN=1 routes supported scenes through the regenerating
+    wavefront (integrators/pt_regen.py): same sample set, ~1.0 lane
+    utilization instead of lockstep bounces over dead lanes."""
+    if _os.environ.get("HYDRA_REGEN") == "1":
+        from hydracore_tpu.integrators.pt_regen import (regen_supported,
+                                                        render_passes_regen)
+
+        if regen_supported(scene):
+            return render_passes_regen(scene, pass_base, seed, n_pass=n_pass,
+                                       max_depth=max_depth)
     H, W = scene.camera.height, scene.camera.width
     R = H * W
     fb = jnp.zeros((R, 3), jnp.float32)

@@ -1,0 +1,268 @@
+"""Path-regeneration wavefront PT — full-utilization variant of pt.py.
+
+The pass-loop integrator (pt.render_passes) advances ALL lanes through
+max_depth lockstep bounces; lanes whose path terminated early (emitter hit,
+env miss, russian roulette) still ride — and pay for — every remaining
+stage. The reference keeps a live-thread counter and exits the bounce loop
+early only when a whole pass dies (GPUOCLLayerCore.cpp:71-75); true
+per-lane compaction is a compile-flag it never shipped
+(RAYTR_THREAD_COMPACTION, GPUOCLLayer.cpp:887).
+
+On TPU, dynamic compaction is impossible (static shapes), but its dual is
+not: REGENERATION. One persistent R-lane wavefront runs inside a single
+`lax.while_loop`; the moment a lane's path dies it splats its radiance and
+is refilled with the NEXT (pixel, pass) sample from a global counter. Every
+iteration traces and shades R live segments — utilization ~1 by
+construction, and the loop runs ~n_pass * avg_path_length iterations
+instead of n_pass * max_depth.
+
+Estimator equivalence: the sample SET is identical to pass mode — sample
+(pix, pass) uses the same counter-RNG streams (sidx = pix * PHI ^ pass) —
+only the schedule differs, so images match pass mode to accumulation-order
+rounding (tests/test_regen.py asserts it).
+
+Feature scope: env/sky MIS, emitters, NEE over all light types, alpha
+pass-through, blends, RR — everything the bench scenes use. Scenes with
+SSS / fog / back-plate / proc-AO state fall back to the pass loop
+(pt.render_passes dispatches).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hydracore_tpu.bsdf.core import (apply_bump, eval_bsdf, fetch_material,
+                                     sample_bsdf, scene_feats)
+from hydracore_tpu.integrators.pt import (DG_ALPHA, DG_BSDF, DG_LENS,
+                                          DG_LIGHT, DG_RR, MEGABLOCK,
+                                          _morton_pixel_order, compute_hit,
+                                          make_eye_rays, mis_weight,
+                                          shadow_trace)
+from hydracore_tpu.lights.sampling import (env_radiance,
+                                           light_eval_pdf_from_hit,
+                                           sample_light_rev, select_light)
+from hydracore_tpu.ops import rng
+from hydracore_tpu.ops.trace_api import (closest_hit, ray_sort_key,
+                                         wants_sorted_rays)
+from hydracore_tpu.scene.lights import LIGHT_SKY
+from hydracore_tpu.utils.math3d import dot3, offs_ray_pos
+
+PHI = 0x9E3779B9
+
+
+def regen_supported(scene) -> bool:
+    """Static feature gate: the regeneration loop implements the core PT
+    feature set; stateful extensions ride the pass loop instead."""
+    st = scene.settings
+    if st is None:
+        return True
+    return not (getattr(st, "has_sss", False)
+                or getattr(st, "has_fog", False)
+                or getattr(st, "has_proc_ao", False)
+                or getattr(st, "has_env_back", False))
+
+
+@partial(jax.jit, static_argnames=("n_pass", "max_depth", "min_rr_depth",
+                                   "lanes"))
+def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
+                        max_depth: int = 5, min_rr_depth: int = 3,
+                        lanes: int | None = None):
+    """N full-frame passes in ONE dispatch with a regenerating wavefront.
+    Returns (fb (H, W, 3) sum of n_pass per-pixel samples, rays traced)."""
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    Npix = W * H
+    R = min(lanes or MEGABLOCK, Npix)
+    total = jnp.uint32(Npix * n_pass)
+    morton = jnp.asarray(_morton_pixel_order(W, H))
+
+    st = scene.settings
+    has_alpha = bool(st.has_alpha) if st is not None else False
+    has_sky_s = st is None or st.has_sky
+    feats = scene_feats(scene)
+    sorted_mode = wants_sorted_rays(scene)
+    if has_sky_s:
+        has_sky = (scene.lights.ltype == LIGHT_SKY).any()
+        sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
+        sky_pick = jnp.where(
+            has_sky,
+            scene.lights.pick_cdf[sky_row + 1] - scene.lights.pick_cdf[sky_row],
+            1.0)
+
+    f32 = jnp.float32
+
+    def rand_fn(sidx, depth, group):
+        return rng.rand4(sidx, depth, group, seed)
+
+    def init_state():
+        return dict(
+            next_ctr=jnp.uint32(0),
+            fb=jnp.zeros((Npix, 3), f32),
+            rays=jnp.zeros((), f32),
+            pix=jnp.zeros((R,), jnp.int32),
+            sidx=jnp.zeros((R,), jnp.uint32),
+            depth=jnp.zeros((R,), jnp.int32),
+            ray_o=jnp.zeros((R, 3), f32),
+            ray_d=jnp.ones((R, 3), f32),
+            tp=jnp.zeros((R, 3), f32),
+            acc=jnp.zeros((R, 3), f32),
+            prev_pdf=jnp.zeros((R,), f32),
+            prev_spec=jnp.zeros((R,), bool),
+            alive=jnp.zeros((R,), bool),
+        )
+
+    def body(s):
+        # ---- 1. regeneration: refill dead lanes with the next samples
+        regen = ~s["alive"]
+        rank = jnp.cumsum(regen.astype(jnp.uint32)) - regen.astype(jnp.uint32)
+        new_ctr = s["next_ctr"] + rank
+        take = regen & (new_ctr < total)
+        pix_n = morton[(new_ctr % jnp.uint32(Npix)).astype(jnp.int32)].astype(jnp.int32)
+        pass_n = jnp.asarray(pass_base, jnp.uint32) + new_ctr // jnp.uint32(Npix)
+        sidx_n = (pix_n.astype(jnp.uint32) * jnp.uint32(PHI)) ^ pass_n
+        jitter = rng.screen_sample(pass_n, pix_n.astype(jnp.uint32))
+        lens = rng.rand2(sidx_n, 0, DG_LENS, seed)
+        eo, ed = make_eye_rays(cam, pix_n % W, pix_n // W, jitter, lens)
+
+        def sel(new, old):
+            m = take
+            while m.ndim < new.ndim:
+                m = m[..., None]
+            return jnp.where(m, new, old)
+
+        pix = sel(pix_n, s["pix"])
+        sidx = sel(sidx_n, s["sidx"])
+        depth = sel(jnp.zeros((R,), jnp.int32), s["depth"])
+        ray_o = sel(eo, s["ray_o"])
+        ray_d = sel(ed, s["ray_d"])
+        tp = sel(jnp.ones((R, 3), f32), s["tp"])
+        acc = sel(jnp.zeros((R, 3), f32), s["acc"])
+        prev_pdf = sel(jnp.zeros((R,), f32), s["prev_pdf"])
+        prev_spec = sel(jnp.ones((R,), bool), s["prev_spec"])
+        alive = s["alive"] | take
+        next_ctr = s["next_ctr"] + jnp.minimum(
+            regen.sum().astype(jnp.uint32), total - s["next_ctr"])
+
+        # ---- 2. coherence sort (persistent-sorted-wavefront analogue):
+        # one u32 sort + one packed permute of the WHOLE lane state
+        if sorted_mode:
+            key = ray_sort_key(scene, ray_o, ray_d)
+            key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+            _, perm = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
+            packed = jnp.concatenate([
+                ray_o, ray_d, tp, acc,
+                prev_pdf[:, None], prev_spec.astype(f32)[:, None],
+                alive.astype(f32)[:, None],
+                jax.lax.bitcast_convert_type(sidx, f32)[:, None],
+                pix.astype(f32)[:, None], depth.astype(f32)[:, None],
+            ], axis=1)[perm]
+            ray_o, ray_d = packed[:, 0:3], packed[:, 3:6]
+            tp, acc = packed[:, 6:9], packed[:, 9:12]
+            prev_pdf = packed[:, 12]
+            prev_spec = packed[:, 13] > 0.5
+            alive = packed[:, 14] > 0.5
+            sidx = jax.lax.bitcast_convert_type(packed[:, 15], jnp.uint32)
+            pix = packed[:, 16].astype(jnp.int32)
+            depth = packed[:, 17].astype(jnp.int32)
+
+        # ---- 3. trace + shade one segment (pt_trace_impl bounce body)
+        rays = s["rays"] + alive.sum()
+        t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
+        hit = alive & (tri >= 0)
+        miss = alive & ~hit
+
+        if has_sky_s:
+            from hydracore_tpu.lights.envmap import env_pdf_for_dir
+
+            env = env_radiance(scene, ray_d)
+            env_pdf = env_pdf_for_dir(scene.env_rows_cdf, scene.env_cols_cdf,
+                                      scene.env_pdf_uv, ray_d)
+            w_env = jnp.where(prev_spec | ~has_sky, 1.0,
+                              mis_weight(prev_pdf, env_pdf * sky_pick))
+            acc = acc + jnp.where(miss[:, None], tp * env * w_env[:, None], 0.0)
+        alive = alive & hit
+
+        pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(
+            scene, tri, u, v, ray_o, ray_d, t)
+        r_a = rand_fn(sidx, depth, DG_ALPHA)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
+                           u_blend=r_a[:, 1])
+        n = apply_bump(scene, p, n, tang, uv)
+
+        u_a = r_a[:, 0]
+        passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity)
+
+        em_lum = p.em_color.max(axis=-1)
+        is_emitter = alive & (em_lum > 1e-6) & ~passthru
+        front = dot3(n, -ray_d) > 0.0
+        lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
+        l_pdf_w, l_pick = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d,
+                                                  pos, n, return_pick=True)
+        w_li = jnp.where(prev_spec | (tri_light < 0), 1.0,
+                         mis_weight(prev_pdf, l_pdf_w * l_pick))
+        acc = acc + jnp.where((is_emitter & front)[:, None],
+                              tp * p.em_color * w_li[:, None], 0.0)
+        alive = alive & ~is_emitter
+
+        last = depth >= (max_depth - 1)
+        alive = alive & ~last  # the last bounce collects env/emitter only
+
+        ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
+        ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
+        r_l = rand_fn(sidx, depth, DG_LIGHT)
+        l_idx, _ = select_light(scene.lights, r_l[:, 3])
+        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        rays = rays + alive.sum()
+        sray_o = offs_ray_pos(pos, ngs, ls.dir)
+        u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
+        occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh,
+                                has_alpha, presorted=sorted_mode)
+        f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
+        cos_s = jnp.abs(dot3(ls.dir, ns))
+        w_l = jnp.where(ls.is_delta, 1.0,
+                        mis_weight(ls.pdf_w * ls.pick_prob, pdf_fwd))
+        contrib = tp * f * ls.radiance * (
+            cos_s * w_l / jnp.maximum(ls.pdf_w * ls.pick_prob, 1e-12))[:, None]
+        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru
+        acc = acc + jnp.where(ok[:, None], contrib, 0.0)
+
+        r_b = rand_fn(sidx, depth, DG_BSDF)
+        bs = sample_bsdf(p, -ray_d, ns, r_b, feats)
+        wi = jnp.where(passthru[:, None], ray_d, bs.wi)
+        weight = jnp.where(passthru[:, None], 1.0, bs.weight)
+        prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
+        prev_spec = jnp.where(passthru, True, bs.is_specular)
+        tp = tp * weight
+
+        # russian roulette from min_rr_depth (traced depth)
+        q = jnp.clip(tp.max(axis=-1), 0.05, 1.0)
+        u_rr = rand_fn(sidx, depth, DG_RR)[:, 0]
+        rr_on = depth >= min_rr_depth
+        kill = rr_on & (u_rr >= q)
+        tp = jnp.where(rr_on[:, None], tp / q[:, None], tp)
+        alive = alive & ~kill & (tp.max(axis=-1) > 1e-7)
+
+        n_off = jnp.where((bs.is_transmission | passthru)[:, None], -ngs, ngs)
+        ray_o = offs_ray_pos(pos, n_off, wi)
+        ray_d = wi
+        depth = depth + 1
+
+        # ---- 4. death splat: finished samples write their (clamped)
+        # radiance to the framebuffer — one deterministic scatter-add
+        was = s["alive"] | take
+        dying = was & ~alive
+        fb = s["fb"].at[pix].add(
+            jnp.where(dying[:, None], jnp.clip(acc, 0.0, 1e6), 0.0))
+
+        return dict(next_ctr=next_ctr, fb=fb, rays=rays, pix=pix, sidx=sidx,
+                    depth=depth, ray_o=ray_o, ray_d=ray_d, tp=tp, acc=acc,
+                    prev_pdf=prev_pdf, prev_spec=prev_spec, alive=alive)
+
+    def cond(s):
+        return s["alive"].any() | (s["next_ctr"] < total)
+
+    out = jax.lax.while_loop(cond, body, init_state())
+    return out["fb"].reshape(H, W, 3), out["rays"]

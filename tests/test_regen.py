@@ -1,0 +1,93 @@
+"""Regenerating-wavefront PT (pt_regen) vs the pass-loop integrator.
+
+The two schedules consume the SAME (pixel, pass) sample set through the
+same counter-RNG streams, so their images must agree to accumulation-order
+rounding."""
+import numpy as np
+
+from hydracore_tpu.integrators.pt import render_passes
+from hydracore_tpu.integrators.pt_regen import regen_supported, render_passes_regen
+from hydracore_tpu.scene.procedural import SceneBuilder
+
+
+def _scene():
+    b = SceneBuilder()
+    m = b.lambert([0.6, 0.55, 0.5])
+    red = b.lambert([0.7, 0.1, 0.1])
+    mirror = b.add_material(refl_color=np.array([0.85, 0.85, 0.85], np.float32))
+    b.add_box_interior(2.0, m, m, m, red, m)
+    b.add_sphere([-0.6, -1.2, 0.2], 0.7, mirror, n_seg=12, n_ring=6)
+    b.rect_light([0, 1.95, 0], 0.6, 0.6, [13.0] * 3)
+    return b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=16,
+                   height=16, trace_depth=5)
+
+
+def test_regen_matches_pass_loop():
+    import jax.numpy as jnp
+
+    sc = _scene()
+    assert regen_supported(sc)
+    n_pass, md = 6, 5
+    fb_a, rays_a = render_passes(sc, jnp.uint32(3), jnp.uint32(77),
+                                 n_pass=n_pass, max_depth=md)
+    fb_b, rays_b = render_passes_regen(sc, jnp.uint32(3), jnp.uint32(77),
+                                       n_pass=n_pass, max_depth=md)
+    a, b = np.asarray(fb_a), np.asarray(fb_b)
+    # identical sample set -> per-pixel agreement to fp re-association
+    assert np.allclose(a, b, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b).max():.3e}"
+    # ray counts agree too (same paths, both count eye + shadow rays)
+    assert abs(float(rays_a) - float(rays_b)) / max(float(rays_a), 1) < 0.02
+
+
+def test_regen_matches_pass_loop_sky_alpha():
+    """Env-MIS misses and stochastic alpha pass-through follow the same
+    schedule-independent streams."""
+    import jax.numpy as jnp
+
+    from hydracore_tpu.scene.scene import finalize_scene
+    from hydracore_tpu.scene.textures import TextureStorage
+
+    b = SceneBuilder()
+    m = b.lambert([0.65, 0.6, 0.55])
+    b.add_rect([0, -1.0, 0], [3, 0, 0], [0, 0, 3], m, flip=True)
+    storage = TextureStorage()
+    otex = np.zeros((1, 1, 4), np.float32)
+    otex[..., 0] = 0.45
+    oslot = storage.add(otex, gamma=1.0)
+    occm = b.add_material(diff_color=np.full(3, 0.3, np.float32),
+                          opacity_tex=oslot)
+    b.add_rect([0, 0.3, 0], [1.2, 0, 0], [0, 0, 1.2], occm, flip=True)
+    sky_img = np.ones((8, 16, 4), np.float32)
+    sky_img[:, :8, :3] = 0.2
+    b.sky([0.5, 0.55, 0.6], img=sky_img)
+    b.rect_light([0, 2.2, 0], 0.5, 0.5, [9.0] * 3)
+    sc = b.build(cam_pos=[0, 1.8, 4.0], cam_lookat=[0, -0.5, 0], width=12,
+                 height=12, trace_depth=4)
+    texels, table, samplers = storage.finalize()
+    sc = finalize_scene(sc.replace(texels=texels, tex_table=table,
+                                   tex_sampler=samplers))
+    assert regen_supported(sc)
+
+    fb_a, _ = render_passes(sc, jnp.uint32(1), jnp.uint32(5), n_pass=4,
+                            max_depth=4)
+    fb_b, _ = render_passes_regen(sc, jnp.uint32(1), jnp.uint32(5), n_pass=4,
+                                  max_depth=4)
+    a, b_ = np.asarray(fb_a), np.asarray(fb_b)
+    assert np.allclose(a, b_, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b_).max():.3e}"
+
+
+def test_regen_gate_excludes_stateful_features():
+    b = SceneBuilder()
+    m = b.lambert([0.6, 0.6, 0.6])
+    glass = b.add_material(transp_color=np.array([0.9, 0.9, 0.9], np.float32),
+                           transp_gloss=1.0, transp_ior=1.5,
+                           fog_color=np.array([0.8, 0.8, 0.8], np.float32),
+                           fog_mult=np.float32(1.0))
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.add_sphere([0, 0, 0], 0.5, glass, n_seg=8, n_ring=4)
+    b.rect_light([0, 1.95, 0], 0.5, 0.5, [10.0] * 3)
+    sc = b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=8,
+                 height=8, trace_depth=3)
+    assert not regen_supported(sc)  # fog state rides the pass loop
