@@ -67,7 +67,14 @@ def _trace_from_psv(scene, psv, max_depth: int):
 
     def rand_fn(depth, group):
         base = 4 + 10 * depth
-        off = {DG_BSDF: 0, DG_LIGHT: 4, DG_RR: 8, DG_ALPHA: 9}[group]
+        off = {DG_BSDF: 0, DG_LIGHT: 4, DG_RR: 8, DG_ALPHA: 9}.get(group)
+        if off is None:
+            # auxiliary dims outside the primary-sample vector (SSS medium
+            # events, AO probes): an independent hash stream keyed by lane —
+            # not mutated with the chain, matching the reference's use of
+            # plain RandomGen for non-PSS dims (mlt.cl rndFloat decode)
+            lane = jnp.arange(R, dtype=jnp.uint32)
+            return rng.rand4(lane, depth, group, jnp.uint32(0x51ED270))
         w = 4 if group in (DG_BSDF, DG_LIGHT) else 1
         sl = psv[:, base + off : base + off + w]
         if w < 4:

@@ -186,9 +186,11 @@ class OracleRenderer:
         of the medium this segment travels through (attenuationStep,
         cmaterial.h:2787). Attenuates everything arriving along it."""
         if fog is not None:
-            t_f, _, _, _ = self.trace(o, d)
+            pre = self.trace(o, d)
             inner = self._radiance_inner(o, d, sample_index, seed, depth,
-                                         max_depth, prev_pdf, prev_spec, fog)
+                                         max_depth, prev_pdf, prev_spec, fog,
+                                         pre=pre)
+            t_f = pre[0]
             if np.isfinite(t_f):
                 att = np.exp(-np.maximum(1.0 - np.asarray(fog[0], np.float64),
                                          0.0) * fog[1] * t_f)
@@ -198,8 +200,8 @@ class OracleRenderer:
                                     max_depth, prev_pdf, prev_spec, None)
 
     def _radiance_inner(self, o, d, sample_index, seed, depth, max_depth,
-                        prev_pdf, prev_spec, fog=None):
-        t, tri, u, v = self.trace(o, d)
+                        prev_pdf, prev_spec, fog=None, pre=None):
+        t, tri, u, v = pre if pre is not None else self.trace(o, d)
         if not np.isfinite(t):
             # BSDF-only env estimator (no env NEE): unbiased on its own,
             # textured to match the production integrand

@@ -90,12 +90,14 @@ def ao_probe(scene, pos, n, ng, ao_type, ao_len, need, r_ao):
     cosine-weighted rays of length ao_len about +n ('up'/'both') or -n
     ('down'), averaged unoccluded fraction. One fused (K*R) any-hit."""
     R = pos.shape[0]
-    down = (ao_type == 2)[:, None]
-    nh = jnp.where(down, -n, n)
-    ngh = jnp.where(down, -ng, ng)
-    t_, b_ = make_orthonormal_basis(nh)
     o_list, d_list = [], []
     for k in range(AO_PROBES):
+        # 'down' flips the hemisphere; 'both' (AO_TYPE_BOTH) alternates
+        # probes between the two sides
+        down = ((ao_type == 2) | ((ao_type == 3) & bool(k & 1)))[:, None]
+        nh = jnp.where(down, -n, n)
+        ngh = jnp.where(down, -ng, ng)
+        t_, b_ = make_orthonormal_basis(nh)
         # golden-ratio rotations stretch 2 uniforms over K probes
         u1 = (r_ao[:, 0] + k * 0.618034) % 1.0
         u2 = (r_ao[:, 1] + k * 0.381966) % 1.0
@@ -351,8 +353,9 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
 
     # re-sort cadence A/B knob: 1 = every bounce (default); N sorts on
     # bounces 1, 1+N, … and lets coherence decay in between (results are
-    # order-independent — the permute is perf-only)
-    import os as _os
+    # order-independent — the permute is perf-only). Read at TRACE time and
+    # baked into the jit cache: A/B runs must use separate processes (the
+    # bench subprocs do) — an in-process env flip hits the cached program.
     sort_every = int(_os.environ.get("HYDRA_SORT_EVERY", "1"))
 
     for depth in range(max_depth):

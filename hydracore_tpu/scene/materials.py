@@ -153,8 +153,26 @@ MA_WIDTH = 62
 
 
 def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
-    """(M, MA_WIDTH) float32 packed material rows (layout above)."""
+    """(M, MA_WIDTH) float32 packed material rows (layout above).
+
+    AO params propagate from blend leaves up to their roots here: the AO
+    probe gate reads the HIT material's row (the blend ROOT) before the
+    fetch walk resolves a leaf, so a root row must carry the max of its
+    tree."""
     M = np.asarray(mt.em_color).shape[0]
+    ao_t = np.asarray(mt.ao_type, np.float32).copy()
+    ao_l = np.asarray(mt.ao_length, np.float32).copy()
+    bn = np.asarray(mt.blend_node, np.int64)
+    bt = np.asarray(mt.blend_top, np.int64)
+    for _ in range(8):  # bounded fixpoint over blend-tree depth
+        prev_t = ao_t.copy()
+        for child in (bn, bt):
+            ok = (child >= 0) & (child < M)
+            ci = np.where(ok, child, 0)
+            ao_t = np.where(ok, np.maximum(ao_t, ao_t[ci]), ao_t)
+            ao_l = np.where(ok, np.maximum(ao_l, ao_l[ci]), ao_l)
+        if (ao_t == prev_t).all():
+            break
     a = np.zeros((M, MA_WIDTH), np.float32)
     a[:, MA_EM:MA_EM + 3] = np.asarray(mt.em_color)
     a[:, MA_DIFF:MA_DIFF + 3] = np.asarray(mt.diff_color)
@@ -165,8 +183,8 @@ def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
     a[:, MA_PROC_ARGS:MA_PROC_ARGS + 8] = np.asarray(mt.proc_args)
     a[:, MA_FOG_COLOR:MA_FOG_COLOR + 3] = np.asarray(mt.fog_color)
     a[:, MA_FOG_MULT] = np.asarray(mt.fog_mult)
-    a[:, MA_AO_TYPE] = np.asarray(mt.ao_type)
-    a[:, MA_AO_LENGTH] = np.asarray(mt.ao_length)
+    a[:, MA_AO_TYPE] = ao_t
+    a[:, MA_AO_LENGTH] = ao_l
     for col, field in [
         (MA_DIFF_ROUGH, mt.diff_rough), (MA_REFL_COSPOW, mt.refl_cospow),
         (MA_REFL_ALPHA, mt.refl_alpha), (MA_REFL_DIST, mt.refl_dist),

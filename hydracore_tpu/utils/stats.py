@@ -85,7 +85,9 @@ def profile_pass(scene, n_rays: int = 65536, max_depth: int = 5, seed: int = 777
 
         return jax.lax.fori_loop(0, n, body, (o, jnp.zeros((), jnp.int32)))[1]
 
-    def diff_time(run, reps=2):
+    reps = max(n_timed // 2, 1)  # differential repetitions per rep count
+
+    def diff_time(run):
         """run(n) executes the op n times in one dispatch; ms per op."""
         run(N_LO)
         run(N_HI)  # compile both before timing
@@ -121,6 +123,6 @@ def profile_pass(scene, n_rays: int = 65536, max_depth: int = 5, seed: int = 777
         bounceTimeMs=t_sample / max_depth,
         sampleTimeMs=t_sample,
         tracePercent=min(trav_total / max(t_sample, 1e-9), 1.0) * 100.0,
-        passes=n_timed,
+        passes=reps,
     )
     return st

@@ -135,3 +135,30 @@ def test_deep_blend_renders():
     sc, _ = _blend_chain_scene()
     img, _ = pt.render_pass(sc, jnp.uint32(1), jnp.uint32(7), max_depth=3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_blend_root_inherits_leaf_ao():
+    """pack_mat_attr propagates AO params from blend leaves to roots: the
+    probe gate reads the HIT (root) row before the fetch walk resolves a
+    leaf, so an AO shader on a leaf must arm the root."""
+    import numpy as np
+
+    from hydracore_tpu.scene.materials import (MA_AO_LENGTH, MA_AO_TYPE,
+                                               pack_mat_attr)
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    b = SceneBuilder()
+    leaf_ao = b.add_material(diff_color=np.full(3, 0.5, np.float32),
+                             ao_type=1, ao_length=2.0)
+    leaf_plain = b.add_material(diff_color=np.full(3, 0.3, np.float32))
+    # root blends plain (top, inline) with the AO leaf (bottom)
+    root = b.add_material(diff_color=np.full(3, 0.3, np.float32),
+                          blend_node=leaf_ao, blend_type=1, blend_tex=0)
+    b.add_rect([0, 0, 0], [1, 0, 0], [0, 0, 1], root)
+    b.rect_light([0, 2, 0], 0.5, 0.5, [5.0] * 3)
+    sc = b.build(cam_pos=[0, 1, 3], cam_lookat=[0, 0, 0], width=4, height=4,
+                 trace_depth=2)
+    a = pack_mat_attr(sc.materials)
+    assert a[root, MA_AO_TYPE] == 1.0 and a[root, MA_AO_LENGTH] == 2.0
+    assert a[leaf_plain, MA_AO_TYPE] == 0.0
+    assert sc.settings.has_proc_ao
