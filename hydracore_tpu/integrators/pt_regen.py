@@ -54,15 +54,11 @@ PHI = 0x9E3779B9
 
 
 def regen_supported(scene) -> bool:
-    """Static feature gate: the regeneration loop implements the core PT
-    feature set; stateful extensions ride the pass loop instead."""
-    st = scene.settings
-    if st is None:
-        return True
-    return not (getattr(st, "has_sss", False)
-                or getattr(st, "has_fog", False)
-                or getattr(st, "has_proc_ao", False)
-                or getattr(st, "has_env_back", False))
+    """Static feature gate. The regeneration loop now carries every
+    per-lane state the pass loop does (fog, SSS medium, back-plate flag,
+    AO probes), so all scenes are supported; the hook stays for future
+    extensions that land in the pass loop first."""
+    return True
 
 
 @partial(jax.jit, static_argnames=("n_pass", "max_depth", "min_rr_depth",
@@ -82,6 +78,10 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
     st = scene.settings
     has_alpha = bool(st.has_alpha) if st is not None else False
     has_sky_s = st is None or st.has_sky
+    has_back = st is not None and getattr(st, "has_env_back", False)
+    has_fog = st is not None and getattr(st, "has_fog", False)
+    has_sss = st is not None and getattr(st, "has_sss", False)
+    has_proc_ao = st is not None and getattr(st, "has_proc_ao", False)
     feats = scene_feats(scene)
     sorted_mode = wants_sorted_rays(scene)
     if has_sky_s:
@@ -112,6 +112,9 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             prev_pdf=jnp.zeros((R,), f32),
             prev_spec=jnp.zeros((R,), bool),
             alive=jnp.zeros((R,), bool),
+            **({"fog": jnp.zeros((R, 4), f32)} if has_fog else {}),
+            **({"pure_t": jnp.zeros((R,), bool)} if has_back else {}),
+            **({"med": jnp.zeros((R, 6), f32)} if has_sss else {}),
         )
 
     def body(s):
@@ -142,6 +145,12 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         acc = sel(jnp.zeros((R, 3), f32), s["acc"])
         prev_pdf = sel(jnp.zeros((R,), f32), s["prev_pdf"])
         prev_spec = sel(jnp.ones((R,), bool), s["prev_spec"])
+        if has_fog:
+            fog_state = sel(jnp.zeros((R, 4), f32), s["fog"])
+        if has_back:
+            pure_t = sel(jnp.ones((R,), bool), s["pure_t"])
+        if has_sss:
+            med = sel(jnp.zeros((R, 6), f32), s["med"])
         alive = s["alive"] | take
         next_ctr = s["next_ctr"] + jnp.minimum(
             regen.sum().astype(jnp.uint32), total - s["next_ctr"])
@@ -167,12 +176,51 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             sidx = jax.lax.bitcast_convert_type(packed[:, 15], jnp.uint32)
             pix = packed[:, 16].astype(jnp.int32)
             depth = packed[:, 17].astype(jnp.int32)
+            if has_fog:
+                fog_state = fog_state[perm]
+            if has_back:
+                pure_t = pure_t[perm]
+            if has_sss:
+                med = med[perm]
 
         # ---- 3. trace + shade one segment (pt_trace_impl bounce body)
         rays = s["rays"] + alive.sum()
         t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
+
+        # thick-glass Beer fog over the segment just traced (pt.py order)
+        if has_fog:
+            fog_on = hit & (fog_state[:, 3] > 0.0)
+            seg = jnp.where(jnp.isfinite(t), t, 0.0)
+            f_att = jnp.exp(-jnp.maximum(1.0 - fog_state[:, 0:3], 0.0)
+                            * (fog_state[:, 3] * seg)[:, None])
+            tp = jnp.where(fog_on[:, None], tp * f_att, tp)
+
+        # SSS medium walk (CPUExp_IntegratorSSS.cpp:143 / pt.py semantics)
+        if has_sss:
+            from hydracore_tpu.integrators.pt import DG_SSS, hg_sample
+            from hydracore_tpu.utils.math3d import normalize3
+
+            in_med = med[:, 0] > 0.5
+            med_sig_s = med[:, 1]
+            med_sig_a = med[:, 2:5]
+            med_g = med[:, 5]
+            r_m = rand_fn(sidx, depth, DG_SSS)
+            t_srf = jnp.where(jnp.isfinite(t), t, jnp.float32(3e38))
+            d_scat = -jnp.log(jnp.maximum(r_m[:, 0], 1e-12)) \
+                / jnp.maximum(med_sig_s, 1e-12)
+            scat = alive & in_med & (med_sig_s > 0.0) & (d_scat < t_srf) & hit
+            d_abs = jnp.where(scat, d_scat, jnp.minimum(t_srf, 3e38))
+            m_att = jnp.exp(-med_sig_a * d_abs[:, None])
+            tp = jnp.where((alive & in_med & hit | scat)[:, None],
+                           tp * m_att, tp)
+            pos_scat = ray_o + d_scat[:, None] * ray_d
+            hg_dir = normalize3(hg_sample(ray_d, med_g, r_m[:, 1], r_m[:, 2]))
+            alive = alive & ~(in_med & miss)
+            miss = miss & ~in_med
+        else:
+            scat = jnp.zeros((R,), bool)
 
         if has_sky_s:
             from hydracore_tpu.lights.envmap import env_pdf_for_dir
@@ -182,21 +230,39 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
                                       scene.env_pdf_uv, ray_d)
             w_env = jnp.where(prev_spec | ~has_sky, 1.0,
                               mis_weight(prev_pdf, env_pdf * sky_pick))
-            acc = acc + jnp.where(miss[:, None], tp * env * w_env[:, None], 0.0)
+            env_c = env * w_env[:, None]
+            if has_back:
+                from hydracore_tpu.lights.sampling import env_back_radiance
+
+                env_c = jnp.where(pure_t[:, None],
+                                  env_back_radiance(scene, ray_d), env_c)
+            acc = acc + jnp.where(miss[:, None], tp * env_c, 0.0)
         alive = alive & hit
 
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(
             scene, tri, u, v, ray_o, ray_d, t)
         r_a = rand_fn(sidx, depth, DG_ALPHA)
+        ao_val = None
+        if has_proc_ao:
+            from hydracore_tpu.integrators.pt import AO_PROBES, DG_AO, ao_probe
+            from hydracore_tpu.scene import materials as MC
+
+            arow = scene.mat_attr[jnp.clip(mat_id, 0,
+                                           scene.mat_attr.shape[0] - 1)]
+            ao_t = arow[:, MC.MA_AO_TYPE].astype(jnp.int32)
+            rays = rays + (alive & (ao_t > 0)).sum() * AO_PROBES
+            ao_val = ao_probe(scene, pos, n, ng, ao_t,
+                              arow[:, MC.MA_AO_LENGTH],
+                              alive & (ao_t > 0), rand_fn(sidx, depth, DG_AO))
         p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
-                           u_blend=r_a[:, 1])
+                           u_blend=r_a[:, 1], ao=ao_val)
         n = apply_bump(scene, p, n, tang, uv)
 
         u_a = r_a[:, 0]
-        passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity)
+        passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity) & ~scat
 
         em_lum = p.em_color.max(axis=-1)
-        is_emitter = alive & (em_lum > 1e-6) & ~passthru
+        is_emitter = alive & (em_lum > 1e-6) & ~passthru & ~scat
         front = dot3(n, -ray_d) > 0.0
         lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
         l_pdf_w, l_pick = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d,
@@ -226,7 +292,7 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
                         mis_weight(ls.pdf_w * ls.pick_prob, pdf_fwd))
         contrib = tp * f * ls.radiance * (
             cos_s * w_l / jnp.maximum(ls.pdf_w * ls.pick_prob, 1e-12))[:, None]
-        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru
+        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru & ~scat
         acc = acc + jnp.where(ok[:, None], contrib, 0.0)
 
         r_b = rand_fn(sidx, depth, DG_BSDF)
@@ -235,6 +301,51 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         weight = jnp.where(passthru[:, None], 1.0, bs.weight)
         prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
         prev_spec = jnp.where(passthru, True, bs.is_specular)
+        is_trans_sss = jnp.zeros_like(passthru)
+        if has_back:  # RAY_EVENT_T-only paths stay camera-visible
+            pure_t = pure_t & (passthru | bs.is_transmission) & ~scat
+
+        # fog state machine (pt.py semantics: arm on entry, clear on exit)
+        if has_fog:
+            beer = alive & (p.fog_mult > 0.0) & ~passthru
+            f_enter = beer & bs.is_transmission & front
+            f_leave = beer & bs.is_transmission & ~front
+            armed = jnp.concatenate([p.fog_color, p.fog_mult[:, None]], 1)
+            fog_state = jnp.where(f_enter[:, None], armed,
+                                  jnp.where(f_leave[:, None], 0.0, fog_state))
+
+        # SSS boundary event (pt.py / CPUExp_IntegratorSSS.cpp:36)
+        if has_sss:
+            from hydracore_tpu.integrators.pt import INV_PI_F
+            from hydracore_tpu.utils.math3d import make_orthonormal_basis
+
+            is_sss = alive & ~scat & ~passthru & (p.sss_transmission > 0.0)
+            tb_, bb_ = make_orthonormal_basis(ns)
+            ct_ = jnp.sqrt(jnp.clip(r_b[:, 1], 0.0, 1.0))
+            st_ = jnp.sqrt(jnp.clip(1.0 - r_b[:, 1], 0.0, 1.0))
+            ph_ = 2.0 * np.pi * r_b[:, 2]
+            wi_cos = (st_ * jnp.cos(ph_))[:, None] * tb_ \
+                + (st_ * jnp.sin(ph_))[:, None] * bb_ + ct_[:, None] * ns
+            trans_pick = r_m[:, 3] < p.sss_transmission
+            kd = p.diff_color
+            wi = jnp.where(is_sss[:, None],
+                           jnp.where(trans_pick[:, None], -wi_cos, wi_cos), wi)
+            weight = jnp.where(is_sss[:, None],
+                               jnp.where(trans_pick[:, None], 1.0 - kd, kd),
+                               weight)
+            prev_pdf = jnp.where(is_sss, ct_ * INV_PI_F, prev_pdf)
+            prev_spec = jnp.where(is_sss, False, prev_spec)
+            m_enter = is_sss & trans_pick & front
+            m_exit = is_sss & trans_pick & ~front
+            in_med = jnp.where(m_enter, True, jnp.where(m_exit, False, in_med))
+            med_sig_s = jnp.where(m_enter, p.sss_density * p.sss_scattering,
+                                  jnp.where(m_exit, 0.0, med_sig_s))
+            med_sig_a = jnp.where(m_enter[:, None],
+                                  p.sss_density[:, None] * p.sss_absorption,
+                                  jnp.where(m_exit[:, None], 0.0, med_sig_a))
+            med_g = jnp.where(m_enter, p.sss_phase, med_g)
+            is_trans_sss = is_sss & trans_pick
+            weight = jnp.where(scat[:, None], 1.0, weight)
         tp = tp * weight
 
         # russian roulette from min_rr_depth (traced depth)
@@ -245,8 +356,18 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         tp = jnp.where(rr_on[:, None], tp / q[:, None], tp)
         alive = alive & ~kill & (tp.max(axis=-1) > 1e-7)
 
-        n_off = jnp.where((bs.is_transmission | passthru)[:, None], -ngs, ngs)
+        n_off = jnp.where(
+            (bs.is_transmission | passthru | is_trans_sss)[:, None],
+            -ngs, ngs)
         ray_o = offs_ray_pos(pos, n_off, wi)
+        if has_sss:  # scattered lanes continue from inside the medium
+            ray_o = jnp.where(scat[:, None], pos_scat, ray_o)
+            wi = jnp.where(scat[:, None], hg_dir, wi)
+            prev_spec = jnp.where(scat, True, prev_spec)
+            prev_pdf = jnp.where(scat, 0.0, prev_pdf)
+            med = jnp.concatenate([
+                in_med.astype(f32)[:, None], med_sig_s[:, None],
+                med_sig_a, med_g[:, None]], axis=1)
         ray_d = wi
         depth = depth + 1
 
@@ -257,9 +378,17 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         fb = s["fb"].at[pix].add(
             jnp.where(dying[:, None], jnp.clip(acc, 0.0, 1e6), 0.0))
 
-        return dict(next_ctr=next_ctr, fb=fb, rays=rays, pix=pix, sidx=sidx,
-                    depth=depth, ray_o=ray_o, ray_d=ray_d, tp=tp, acc=acc,
-                    prev_pdf=prev_pdf, prev_spec=prev_spec, alive=alive)
+        out = dict(next_ctr=next_ctr, fb=fb, rays=rays, pix=pix,
+                   sidx=sidx, depth=depth, ray_o=ray_o, ray_d=ray_d, tp=tp,
+                   acc=acc, prev_pdf=prev_pdf, prev_spec=prev_spec,
+                   alive=alive)
+        if has_fog:
+            out["fog"] = fog_state
+        if has_back:
+            out["pure_t"] = pure_t
+        if has_sss:
+            out["med"] = med
+        return out
 
     def cond(s):
         return s["alive"].any() | (s["next_ctr"] < total)

@@ -78,16 +78,55 @@ def test_regen_matches_pass_loop_sky_alpha():
         f"max abs diff {np.abs(a - b_).max():.3e}"
 
 
-def test_regen_gate_excludes_stateful_features():
+def test_regen_matches_pass_loop_fog_glass():
+    """The per-lane fog state machine follows the same streams as the
+    pass loop's."""
+    import jax.numpy as jnp
+
     b = SceneBuilder()
     m = b.lambert([0.6, 0.6, 0.6])
     glass = b.add_material(transp_color=np.array([0.9, 0.9, 0.9], np.float32),
                            transp_gloss=1.0, transp_ior=1.5,
-                           fog_color=np.array([0.8, 0.8, 0.8], np.float32),
-                           fog_mult=np.float32(1.0))
+                           fog_color=np.array([0.85, 0.4, 0.4], np.float32),
+                           fog_mult=np.float32(2.0))
     b.add_box_interior(2.0, m, m, m, m, m)
-    b.add_sphere([0, 0, 0], 0.5, glass, n_seg=8, n_ring=4)
+    b.add_sphere([0, 0, 0.8], 0.7, glass, n_seg=10, n_ring=5)
     b.rect_light([0, 1.95, 0], 0.5, 0.5, [10.0] * 3)
-    sc = b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=8,
-                 height=8, trace_depth=3)
-    assert not regen_supported(sc)  # fog state rides the pass loop
+    sc = b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=10,
+                 height=10, trace_depth=5)
+    assert sc.settings.has_fog and regen_supported(sc)
+    fb_a, _ = render_passes(sc, jnp.uint32(0), jnp.uint32(9), n_pass=4,
+                            max_depth=5)
+    fb_b, _ = render_passes_regen(sc, jnp.uint32(0), jnp.uint32(9), n_pass=4,
+                                  max_depth=5)
+    a, b_ = np.asarray(fb_a), np.asarray(fb_b)
+    assert np.allclose(a, b_, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b_).max():.3e}"
+
+
+def test_regen_matches_pass_loop_sss():
+    """The SSS medium walk (scatter events consume a wavefront step)
+    follows the same streams as the pass loop's."""
+    import jax.numpy as jnp
+
+    b = SceneBuilder()
+    m = b.lambert([0.6, 0.6, 0.6])
+    sss = b.add_material(diff_color=np.full(3, 0.4, np.float32),
+                         sss_transmission=np.float32(0.7),
+                         sss_density=np.float32(1.5),
+                         sss_scattering=np.float32(1.0),
+                         sss_absorption=np.array([0.2, 0.4, 0.4], np.float32),
+                         sss_phase=np.float32(0.3))
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.add_sphere([0, -0.8, 0.5], 0.8, sss, n_seg=10, n_ring=5)
+    b.rect_light([0, 1.95, 0], 0.6, 0.6, [11.0] * 3)
+    sc = b.build(cam_pos=[0, 0, 5.5], cam_lookat=[0, 0, 0], width=10,
+                 height=10, trace_depth=5)
+    assert sc.settings.has_sss and regen_supported(sc)
+    fb_a, _ = render_passes(sc, jnp.uint32(2), jnp.uint32(11), n_pass=4,
+                            max_depth=5)
+    fb_b, _ = render_passes_regen(sc, jnp.uint32(2), jnp.uint32(11), n_pass=4,
+                                  max_depth=5)
+    a, b_ = np.asarray(fb_a), np.asarray(fb_b)
+    assert np.allclose(a, b_, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b_).max():.3e}"
