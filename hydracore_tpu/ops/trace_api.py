@@ -17,13 +17,17 @@ from hydracore_tpu.bvh.wide import LEAF_SIZE
 from hydracore_tpu.ops import (traverse_cluster, traverse_dense,
                                traverse_packet, traverse_wide)
 
+import os as _os
+
 # packet-kernel pools must fit VMEM next to ray blocks and outputs
 _PKT_VMEM_BUDGET = 12 * 1024 * 1024
-# cluster path cap == the VMEM-resident pool limit. The HBM-streaming
-# big mode (traverse_cluster VMEM_MAX_CP < Cp) passes interpret-mode
-# parity tests but faults this TPU worker at Benchmark_Scene03 scale —
-# kept gated off until the DMA fault is root-caused (round 3).
-_CL_MAX_CP = 1024
+# cluster path cap == the VMEM-resident pool limit (Cp clusters x 6 KiB
+# Woop block; 1024 -> 6 MiB; a v5e has 128 MiB VMEM so there is headroom
+# to raise this — HYDRA_CL_MAX_CP overrides for hardware A/B). The
+# HBM-streaming big mode (traverse_cluster VMEM_MAX_CP < Cp) was reworked
+# round 3 (K-deep DMA prefetch ring, SMEM perm) after faulting hardware in
+# r2; it still needs a hardware validation pass before un-gating.
+_CL_MAX_CP = int(_os.environ.get("HYDRA_CL_MAX_CP", "1024"))
 
 
 def _use_dense(scene) -> bool:
