@@ -71,7 +71,12 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
     cam = scene.camera
     W, H = cam.width, cam.height
     Npix = W * H
-    R = min(lanes or MEGABLOCK, Npix)
+    # lanes may exceed the pixel count: the counter hands each lane a
+    # distinct (pixel, pass) sample, so a small frame still fills a full
+    # megablock-wide dispatch by running several passes abreast — per-op
+    # fixed costs (gathers/sorts are ~per-OP on this TPU) amortize over
+    # the whole lane width, which the sequential pass loop cannot do
+    R = min(lanes or MEGABLOCK, Npix * n_pass)
     total = jnp.uint32(Npix * n_pass)
     morton = jnp.asarray(_morton_pixel_order(W, H))
 
