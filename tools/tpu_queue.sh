@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-3 TPU work queue (docs/ROUND3_NOTES.md) — run when the tunnel is up.
+# Each step logs to /tmp/tpuq_<step>.log; safe to re-run (compile cache).
+set -u
+cd /root/repo
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
+
+run() {
+  name=$1; shift
+  echo "=== $name: $*"
+  timeout "${STEP_TIMEOUT:-3000}" "$@" >"/tmp/tpuq_${name}.log" 2>&1
+  rc=$?
+  tail -5 "/tmp/tpuq_${name}.log"
+  echo "=== $name rc=$rc"
+}
+
+# 0. is the tunnel up at all?
+timeout 90 python -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; exit 1; }
+
+# 1. floor breakdown at two widths (flat-in-R => raise MEGABLOCK)
+run floor_256k python tools/exp_stage_floor.py 262144
+run floor_1m   python tools/exp_stage_floor.py 1048576
+
+# 2. big-mode hardware validation (forced on test_224), then the VMEM-cap
+#    alternative for Benchmark_Scene03
+run bigmode python tools/exp_bigmode.py
+HYDRA_CL_MAX_CP=4352 run bigvmem python tools/exp_bigmode.py \
+    /root/reference/hydra_app/tests/Benchmark_Scene03 65536
+
+# 3. depth sweep + traversal-only (the MRaysStat breakdown)
+run profile python tools/exp_profile_r3.py 1024
+
+# 4. baseline bench
+run bench python bench.py
+
+# 5. A/B knobs (each in its own process; differential timing inside)
+HYDRA_REGEN=1 run bench_regen python bench.py
+HYDRA_MEGABLOCK_LOG2=20 run bench_mb20 python bench.py
+HYDRA_SORT_EVERY=2 run bench_sort2 python bench.py
+HYDRA_REGEN=1 HYDRA_MEGABLOCK_LOG2=20 run bench_regen_mb20 python bench.py
+
+echo "queue done; logs in /tmp/tpuq_*.log"
