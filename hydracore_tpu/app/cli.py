@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-resume", default=None, help="continue from a checkpoint .npz")
     p.add_argument("-stat", type=int, default=0, help="1 = print MRaysStat per-stage timing")
     p.add_argument("-denoise", default=None, choices=[None, "bilateral", "nlm"])
+    p.add_argument("-regen", type=int, default=None,
+                   help="1 = regenerating wavefront (full lane utilization)")
     # compatibility no-ops
     p.add_argument("-nowindow", type=int, default=1)
     p.add_argument("-cl_device_id", type=int, default=0)
@@ -48,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.regen is not None:  # flag > env (render_passes reads the env)
+        import os
+
+        os.environ["HYDRA_REGEN"] = str(args.regen)
 
     import jax
 
