@@ -51,8 +51,6 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.regen is not None:  # flag > env (render_passes reads the env)
-        import os
-
         os.environ["HYDRA_REGEN"] = str(args.regen)
 
     import jax

@@ -285,25 +285,11 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
 
     mrow = scene.mat_attr[mat_id]
     bn = mrow[:, MC.MA_BLEND_NODE].astype(jnp.int32)
-    btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
     has = bn >= 0
     bot_id = jnp.where(has, jnp.clip(bn, 0, scene.mat_attr.shape[0] - 1), mat_id)
     p_bot = _fetch_leaf(scene, bot_id, uv, pos, normal, wo, ao)
 
-    mask = sample_tex(scene.texels, scene.tex_meta,
-                      mrow[:, MC.MA_BLEND_TEX].astype(jnp.int32), uv)[:, :3]
-    w_mask = luminance(mask)
-    if normal is not None and wo is not None:
-        cos_v = jnp.abs(dot3(normal, wo))
-    elif normal is not None and pos is not None:
-        cos_v = jnp.abs(dot3(normal, normalize3(pos)))  # weak fallback
-    else:
-        cos_v = jnp.full(w_mask.shape, 0.5)
-    w_fres = fresnel_dielectric(
-        cos_v, jnp.maximum(mrow[:, MC.MA_BLEND_IOR], 1.0 + 1e-4))
-    w_fall = 1.0 - cos_v
-    w = jnp.where(btype == 2, w_fres, jnp.where(btype == 3, w_fall, w_mask))
-    w = jnp.where(has, jnp.clip(w, 0.0, 1.0), 1.0)
+    w = jnp.where(has, _blend_weight(scene, mrow, uv, normal, wo, pos), 1.0)
 
     def lerp(a, b):
         if a is None or b is None:
@@ -637,8 +623,11 @@ def eval_bsdf(p: MatParams, wo, wi, n, feats=FEATS_ALL):
     # transp table (ref: Pms in GlassSampleAndEvalBRDF, cmaterial.h:863 —
     # applied to f only; pdfs stay single-scatter so MIS stays consistent)
     if "mscomp" in feats:
+        # table z-axis = relative ior n_t/n_i of the wo side = our eta
+        # (the reference passes 1/eta because ITS eta is 1/IOR on entry,
+        # cmaterial.h:797+863 — same value, opposite bookkeeping)
         pms = _transp_ms_factor(jnp.maximum(p.transp_alpha, 1e-3), cos_o,
-                                1.0 / jnp.maximum(eta, 1e-6), p.transp_color)
+                                eta, p.transp_color)
         pms = jnp.where(rough_glass[..., None], pms, 1.0)
         f_gt = f_gt * pms
         f_gr = f_gr * pms

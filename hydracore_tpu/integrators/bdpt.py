@@ -74,6 +74,7 @@ DG_BD_LENS = 7
 DG_BD_CAM_BSDF = 8
 DG_BD_LGT_EMIT = 9
 DG_BD_LGT_BSDF = 10
+DG_BD_BLEND = 11  # blend-tree walk uniforms (col 0)
 
 
 def _remap1(x):
@@ -167,7 +168,8 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int,
         hit = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(
             scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
+                           u_blend=rand_fn(i, DG_BD_BLEND)[:, 0])
         n = apply_bump(scene, p, n, tang, uv)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ng_o = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
@@ -239,7 +241,8 @@ def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
         hit = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, _, tang = compute_hit(
             scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
+                           u_blend=rand_fn(j + 1, DG_BD_BLEND)[:, 0])
         n = apply_bump(scene, p, n, tang, uv)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ng_o = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)

@@ -53,11 +53,17 @@ def eval_gbuffer(scene, seed, n_samples: int = 4):
         pos, n, ng, uv, mat_id, tri_light, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
         p = fetch_material(scene, mat_id, uv)
         if scene.settings is not None and getattr(scene.settings, "has_inst", False):
-            # instanced scenes: `tri` is a slot id; instance comes from the
-            # slot map's second column (see pt.compute_hit)
+            # instanced scenes: `tri` is a slot id; the slot map's second
+            # column is the SYNTHETIC instance row — report the original
+            # desc.instances index so objId masks match the flat layout
+            # (flattened-world hits carry it per-triangle in tri_inst)
             row = scene.cl_slot_tri2[
                 jnp.clip(tri, 0, scene.cl_slot_tri2.shape[0] - 1)]
-            inst = jnp.where(hit, row[:, 1], -1)
+            tri_c = jnp.clip(row[:, 0], 0, scene.tri_inst.shape[0] - 1)
+            orig_kept = scene.inst_orig[
+                jnp.clip(row[:, 1], 0, scene.inst_orig.shape[0] - 1)]
+            inst = jnp.where(row[:, 1] == 0, scene.tri_inst[tri_c], orig_kept)
+            inst = jnp.where(hit, inst, -1)
         else:
             tri_c = jnp.clip(tri, 0, scene.tri_inst.shape[0] - 1)
             inst = jnp.where(hit, scene.tri_inst[tri_c], -1)

@@ -33,6 +33,7 @@ from hydracore_tpu.utils.math3d import dot3, normalize3, offs_ray_pos
 
 DG_LT_EMIT = 5
 DG_LT_BSDF = 6
+DG_LT_BLEND = 12  # distinct from DG_BD_* (7-11)
 
 
 def _world_to_view(cam, p):
@@ -73,7 +74,9 @@ def lt_pass(scene, pass_idx, seed, n_paths: int, max_depth: int = 5):
         t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         alive = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, _, tang = compute_hit(scene, tri, u, v, ray_o, ray_d, t)
-        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d)
+        p = fetch_material(scene, mat_id, uv, pos, n, wo=-ray_d,
+                           u_blend=rng.rand1(sample_idx, depth,
+                                             DG_LT_BLEND, seed))
         n = apply_bump(scene, p, n, tang, uv)
         # orient normals toward the incoming side (two-sided shading)
         n = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)

@@ -67,9 +67,16 @@ def _contribs_k(scene, psv, k: int, max_depth: int):
     lgt_base = emit_base + 4
 
     def rand_fn(depth, group):
-        from hydracore_tpu.integrators.bdpt import (DG_BD_CAM_BSDF,
+        from hydracore_tpu.integrators.bdpt import (DG_BD_BLEND,
+                                                    DG_BD_CAM_BSDF,
                                                     DG_BD_LGT_BSDF,
                                                     DG_BD_LGT_EMIT)
+        if group == DG_BD_BLEND:
+            # blend-walk uniforms sit outside the PSV: an independent
+            # lane-keyed hash stream (not mutated with the chain — the
+            # reference decodes non-PSS dims from plain RandomGen too)
+            lane = jnp.arange(R, dtype=jnp.uint32)
+            return rng.rand4(lane, depth, group, jnp.uint32(0x51ED271))
         if group == DG_BD_CAM_BSDF:
             base = cam_base + 4 * depth
         elif group == DG_BD_LGT_EMIT:

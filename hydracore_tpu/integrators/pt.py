@@ -151,7 +151,10 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool,
                 return occluded | hit
             pos_d, n_d, ng_d, uv, mat_id, _, _ = compute_hit(
                 scene, tri, u, v, sray_o, sdir, t)
-            p = fetch_material(scene, mat_id, uv)
+            ub = rng.hash_u32(u_alpha ^ jnp.uint32(0xB5297A4D)
+                              + jnp.uint32(step * 0x68E31DA4))
+            ub = (ub >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+            p = fetch_material(scene, mat_id, uv, u_blend=ub)
             ua = rng.hash_u32(u_alpha + jnp.uint32(step * 0x9E3779B9))
             ua = (ua >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
             skip_sh = p.skip_shadow != 0
@@ -173,7 +176,10 @@ def shadow_trace(scene, sray_o, sdir, dist, active, u_alpha, has_alpha: bool,
             occluded = occluded | hit
             break
         pos, n, ng, uv, mat_id, _, _ = compute_hit(scene, tri, u, v, o, sdir, t)
-        p = fetch_material(scene, mat_id, uv)
+        ub = rng.hash_u32(u_alpha ^ jnp.uint32(0xB5297A4D)
+                          + jnp.uint32(step * 0x68E31DA4))
+        ub = (ub >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
+        p = fetch_material(scene, mat_id, uv, u_blend=ub)
         ua = rng.hash_u32(u_alpha + jnp.uint32(step * 0x9E3779B9))
         ua = (ua >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
         skip_sh = p.skip_shadow != 0

@@ -153,11 +153,22 @@ STDLIB = {
 }
 
 
-def register_stdlib_instance(name: str, loc: str = "") -> int:
+_STDLIB_IDS: dict = {}  # fn -> registered id (memoized: repeated scene
+# loads must not grow the registry — every registered fn is evaluated for
+# the whole batch and registry changes retrigger jit tracing)
+
+
+def register_stdlib_instance(name: str, loc: str = "",
+                             main: str | None = None) -> int:
     """Bind a declared statefile proc texture to its stdlib jax
     implementation; -1 (with a visible warning) when the code is unknown —
-    the scene renders without it, but never silently."""
+    the scene renders without it, but never silently. Resolution: texture
+    name first, then the .c main symbol (prtexN_<name>)."""
     fn = STDLIB.get(name.lower().strip())
+    if fn is None and main:
+        key = main.lower().strip()
+        key = key.split("_", 1)[1] if "_" in key else key  # prtexN_<name>
+        fn = STDLIB.get(key)
     if fn is None:
         warnings.warn(
             f"procedural texture '{name}' ({loc}) has no stdlib jax "
@@ -167,7 +178,10 @@ def register_stdlib_instance(name: str, loc: str = "") -> int:
             stacklevel=2,
         )
         return -1
-    return register_proc_tex(fn)
+    if fn not in _STDLIB_IDS or _STDLIB_IDS[fn] >= len(_REGISTRY) \
+            or _REGISTRY[_STDLIB_IDS[fn]][0] is not fn:
+        _STDLIB_IDS[fn] = register_proc_tex(fn)
+    return _STDLIB_IDS[fn]
 
 
 # ---- built-in examples (the reference ships perlin-style noise in

@@ -424,8 +424,9 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
 
     for tid, td in getattr(desc, "textures", {}).items():
         if getattr(td, "proc_name", None) and tid in referenced:
-            proc_map[tid] = (register_stdlib_instance(td.proc_name,
-                                                      td.loc or ""),
+            proc_map[tid] = (register_stdlib_instance(
+                                 td.proc_name, td.loc or "",
+                                 main=getattr(td, "proc_main", None)),
                              getattr(td, "ao_type", 0),
                              getattr(td, "ao_length", 0.0))
 

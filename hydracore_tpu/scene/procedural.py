@@ -257,7 +257,10 @@ class SceneBuilder:
                                 for r in self.mat_recs),
             has_transl=any(max(r["transl_color"]) > 0 for r in self.mat_recs),
             has_aniso=any(r["refl_aniso"] > 1e-3 for r in self.mat_recs),
-            has_ms_comp=any(r["refl_dist"] in (2, 3) and r["refl_alpha"] > 0.05
+            has_ms_comp=any((r["refl_dist"] in (2, 3)
+                             and r["refl_alpha"] > 0.05)
+                            or (float(np.max(r["transp_color"])) > 0
+                                and float(r["transp_gloss"]) < 0.999)
                             for r in self.mat_recs),
         )
         texels = np.ones((1, 4), np.float32)

@@ -94,6 +94,7 @@ class SceneData:
     cl_map: np.ndarray = None  # (2, Ci) i32 [pool cluster; instance]
     cl_slot_inst: np.ndarray = None  # (S,) i32 slot -> instance id
     inst_attr: np.ndarray = None  # (I, 32) f32 [M 3x4 | invM 3x4 | pad]
+    inst_orig: np.ndarray = None  # (I,) i32 synthetic row -> desc.instances index (-1 = flattened world)
     inst_woop: np.ndarray = None  # (I, 4, 4) f32 A^T Woop-operand fold
     # ---- split shadow sets (alpha scenes; integrators/pt.shadow_trace):
     # opaque-only Woop pool (soft lanes degenerate) for the ONE-walk shadow
@@ -127,9 +128,14 @@ def _settings_flags(materials) -> dict:
                                  & (np.asarray(materials.transp_color).max(-1) > 0)).any()),
         "has_transl": bool((np.asarray(materials.transl_color).max(-1) > 0).any()),
         "has_aniso": bool((np.asarray(materials.refl_aniso) > 1e-3).any()),
-        "has_ms_comp": bool((((np.asarray(materials.refl_dist) == 2)
-                              | (np.asarray(materials.refl_dist) == 3))
-                             & (np.asarray(materials.refl_alpha) > 0.05)).any()),
+        # rough GGX/Beckmann reflection OR rough glass: both consume the
+        # baked multiscatter tables (GGX 64² + transp 64³)
+        "has_ms_comp": bool(((((np.asarray(materials.refl_dist) == 2)
+                               | (np.asarray(materials.refl_dist) == 3))
+                              & (np.asarray(materials.refl_alpha) > 0.05))
+                             | ((np.asarray(materials.transp_gloss) < 0.999)
+                                & (np.asarray(materials.transp_color).max(-1)
+                                   > 0))).any()),
     }
 
 
@@ -164,6 +170,12 @@ def _build_env(desc, lights, tex_remap=None):
                     if slot > 0:
                         mode = 1.0 if (back.get("mode") or "") == "spherical" \
                             else 2.0
+                        # LDR slots are linearized at finalize (the default
+                        # input gamma 2.2 is BAKED into the heap texels,
+                        # textures.TextureStorage.finalize); env_back[2]
+                        # records the binding's gamma for provenance only —
+                        # a non-default <back input_gamma=...> differing
+                        # from the baked value is not re-applied at fetch
                         gamma = float(bt.get("input_gamma", 2.2))
                         mult = parse_floats(back.get("multcolor"), [1, 1, 1])
                         env_back[:6] = [slot, mode, gamma,
@@ -386,8 +398,13 @@ def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
                                              concat_tris, mesh_local_tris,
                                              transform_tris)
 
+    # original desc.instances indices: gbuffer ids must not depend on
+    # whether auto-instancing kicked in (flat mode reports these)
+    orig_of = {id(i): k for k, i in enumerate(desc.instances)}
+
     world_parts = []
-    for inst_id, inst in enumerate(flat):
+    for inst in flat:
+        inst_id = orig_of.get(id(inst), 0)
         mesh = desc.meshes[inst.mesh_id]
         remap = None
         if inst.remap_list is not None and inst.remap_list.size >= 2:
@@ -406,6 +423,8 @@ def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
              for mid in {i.mesh_id for i in keep}}
     layout = build_instanced_layout(
         world, local, [(i.mesh_id, i.matrix) for i in keep])
+    inst_orig = np.asarray([-1] + [orig_of.get(id(i), -1) for i in keep],
+                           np.int32)
     mt = layout.tris
 
     # legacy single-level pools (binary/wide/packet/dense): 1-tri dummies —
@@ -454,6 +473,7 @@ def _assemble_instanced(desc, W, H, keep, flat, lid_to_row, materials,
         cl_map=layout.cl_map,
         cl_slot_inst=np.ascontiguousarray(layout.slot_tri2[:, 1]),
         inst_attr=layout.inst_attr, inst_woop=layout.inst_woop,
+        inst_orig=inst_orig,
     ))
 
 

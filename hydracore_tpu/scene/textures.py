@@ -44,6 +44,8 @@ def load_texture_array(desc: SceneDesc, tid: int) -> np.ndarray | None:
     t = desc.textures.get(tid)
     if t is None or not t.loc:
         return None
+    if getattr(t, "proc_name", None):
+        return None  # procedural: loc points at the .c SOURCE, not texels
     path = os.path.join(desc.lib_dir, t.loc)
     if not os.path.exists(path):
         return None
