@@ -30,15 +30,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-width", type=int, default=None)
     p.add_argument("-height", type=int, default=None)
     p.add_argument("-method", default=None, help="pathtracing | lt | sbdpt | ibpt | mlt")
-    p.add_argument("-seed", type=int, default=777)
+    p.add_argument("-seed", type=int, default=None,
+                   help="default: statefile <seed> (777)")
     p.add_argument("-saveinterval", type=float, default=0.0, help="seconds between snapshots")
-    p.add_argument("-gamma", type=float, default=2.2)
+    p.add_argument("-gamma", type=float, default=None,
+                   help="default: statefile <outgamma> (2.2)")
+    p.add_argument("-offline_pt", type=int, default=None,
+                   help="1 = production sampling mode (coherent per-pixel "
+                        "blocks, RunProductionSamplingMode analogue)")
     p.add_argument("-multichip", type=int, default=0, help="1 = shard samples over all devices")
     p.add_argument("-evalgbuffer", type=int, default=0)
     p.add_argument("-checkpoint", default=None, help="write resumable state here")
     p.add_argument("-resume", default=None, help="continue from a checkpoint .npz")
     p.add_argument("-stat", type=int, default=0, help="1 = print MRaysStat per-stage timing")
     p.add_argument("-denoise", default=None, choices=[None, "bilateral", "nlm"])
+    p.add_argument("-layer", default=None, choices=[None, "color", "direct",
+                                                    "indirect"],
+                   help="render layer (HRT_DIRECT/INDIRECT_LIGHT_MODE): "
+                        "direct + indirect == color")
     p.add_argument("-regen", type=int, default=None,
                    help="1 = regenerating wavefront (full lane utilization)")
     # compatibility no-ops
@@ -67,6 +76,11 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     scene = load_scene(args.inputlib, width=args.width, height=args.height)
+    if args.layer and args.layer != "color":
+        import dataclasses
+
+        scene = scene.replace(settings=dataclasses.replace(
+            scene.settings, render_layer=args.layer))
     print(f"[scene] {scene.num_triangles} tris, "
           f"{scene.materials.em_color.shape[0]} materials, "
           f"{scene.lights.ltype.shape[0]} lights, "
@@ -75,6 +89,13 @@ def main(argv=None) -> int:
 
     spp = args.spp or scene.settings.max_rays_per_pixel
     md = scene.settings.trace_depth
+    # CLI > statefile > defaults (the reference's 3-tier settings merge)
+    if args.seed is None:
+        args.seed = scene.settings.seed
+    if args.gamma is None:
+        args.gamma = scene.settings.out_gamma
+    offline_pt = (args.offline_pt if args.offline_pt is not None
+                  else scene.settings.offline_pt)
 
     import jax.numpy as jnp
 
@@ -106,6 +127,14 @@ def main(argv=None) -> int:
         print(f"[mesh] {mesh.devices.size} devices")
         fb = render_distributed(scene, spp, mesh=mesh, seed=args.seed)
         img = np.asarray(fb)
+    elif offline_pt:
+        # <offline_pt>1</offline_pt>: production sampling — per-pixel
+        # coherent sample blocks reduced in-kernel
+        # (HRT_PRODUCTION_IMAGE_SAMPLING, GPUOCLLayerOther.cpp:502)
+        from hydracore_tpu.integrators.pt import render_production
+
+        img = np.asarray(render_production(scene, spp, seed=args.seed,
+                                           max_depth=md))
     else:
         import jax
 
@@ -124,6 +153,12 @@ def main(argv=None) -> int:
         t_start = time.time()
         last_save = t_start
         ctl_path = args.out + ".ctl"  # exitnow watchdog mailbox
+        # adaptive stop (minRaysPerPixel/pt_error legacy settings,
+        # RenderDriverRTE.cpp:324-335): past the spp floor, stop once the
+        # frame-to-frame relative change falls below HRT_PATH_TRACE_ERROR
+        min_spp = scene.settings.min_rays_per_pixel
+        pt_err = scene.settings.pt_error
+        err_prev = None  # (fb snapshot, spp) at the last error check
         chunk = max(1, min(8, spp - spp_done))
         i = spp_done
         first = True
@@ -155,6 +190,18 @@ def main(argv=None) -> int:
                         os.remove(ctl_path)
                         spp = i
                         break
+            if min_spp > 0 and i >= min_spp and (i % 32 == 0 or i >= spp):
+                cur = np.asarray(fb) / i
+                if err_prev is not None:
+                    prev_fb, prev_i = err_prev
+                    lum = cur.mean(axis=-1)
+                    dl = np.abs(lum - (prev_fb / prev_i).mean(axis=-1))
+                    err = float(dl.mean() / max(lum.mean(), 1e-6))
+                    if err < pt_err:
+                        print(f"[adaptive] stop at spp={i}: err {err:.4f} "
+                              f"< pt_error {pt_err:.4f}")
+                        spp = i
+                err_prev = (np.asarray(fb), i)
             if i % 16 == 0 or i >= spp:
                 el = now - t_start
                 msps = (i - spp_done) * W * H / max(el, 1e-9) / 1e6

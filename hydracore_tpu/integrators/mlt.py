@@ -86,8 +86,15 @@ def _trace_from_psv(scene, psv, max_depth: int):
     return color, py * W + px
 
 
-def _mutate(u, key_idx, step_idx, seed, p_large=P_LARGE):
-    """Large/small-step proposal for all chains. u: (R, D)."""
+def _mutate(u, key_idx, step_idx, seed, p_large=P_LARGE,
+            step_power=1024.0, step_size=1.0):
+    """Large/small-step proposal for all chains. u: (R, D).
+
+    step_power/step_size are the reference's HRT_MMLT_STEP_SIZE_POWER
+    (512 = large, 1024 = normal, 2048 = small) and
+    HRT_MMLT_STEP_SIZE_COEFF (>1 shrinks steps) — statefile
+    <mmlt_step_power>/<mmlt_step_size> (RenderDriverRTE.cpp:264-282).
+    Defaults reproduce the Kelemen (1/1024, 1/64) scales."""
     R, D = u.shape
     base = key_idx * jnp.uint32(0x01000193) ^ jnp.uint32(step_idx)
     r_sel = rng.rand1(base, 0, 11, seed)
@@ -107,8 +114,10 @@ def _mutate(u, key_idx, step_idx, seed, p_large=P_LARGE):
     u1 = (h[..., 0] >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
     u2 = (h[..., 1] >> 8).astype(jnp.float32) * (1.0 / 16777216.0)
 
-    # Kelemen small step: dv = s2 * exp(-log(s2/s1) * u), signed
-    dv = S2 * jnp.exp(-np.log(S2 / S1) * u1)
+    # Kelemen small step: dv = s2 * exp(-log(s2/s1) * u), signed;
+    # s1 = 1/step_power, s2 = 16/step_power (ratio fixed at 16 like the
+    # default S1/S2), shrunk by the step_size coefficient
+    dv = (16.0 / step_power / step_size) * jnp.exp(-np.log(16.0) * u1)
     dv = jnp.where(u2 < 0.5, dv, -dv)
     small = u + dv
     small = small - jnp.floor(small)
@@ -117,16 +126,18 @@ def _mutate(u, key_idx, step_idx, seed, p_large=P_LARGE):
     return jnp.where(large[:, None], fresh, small), large
 
 
-@partial(jax.jit, static_argnames=("max_depth",))
+@partial(jax.jit, static_argnames=("max_depth", "step_power", "step_size"))
 def mlt_step(scene, fb, chain_u, chain_f, chain_c, chain_pix, step_idx, seed,
-             max_depth: int = 5):
+             max_depth: int = 5, step_power: float = 1024.0,
+             step_size: float = 1.0):
     """One Metropolis mutation for all chains; splats both states into fb.
     Returns (fb, chain state..., b_acc, b_cnt) — b_* accumulate the
     large-step luminance for the normalization constant."""
     R = chain_u.shape[0]
     key_idx = jnp.arange(R, dtype=jnp.uint32)
 
-    prop_u, large = _mutate(chain_u, key_idx, step_idx, seed)
+    prop_u, large = _mutate(chain_u, key_idx, step_idx, seed,
+                            step_power=step_power, step_size=step_size)
     prop_c, prop_pix = _trace_from_psv(scene, prop_u, max_depth)
     prop_f = _lum(prop_c)
 
@@ -157,10 +168,17 @@ def mlt_step(scene, fb, chain_u, chain_f, chain_c, chain_pix, step_idx, seed,
 
 def render_mlt(scene, n_passes: int, n_chains: int | None = None,
                mutations_per_pass: int = 16, seed: int = 777,
-               max_depth: int | None = None, burn_in: int = 8):
+               max_depth: int | None = None, burn_in: int = 8,
+               step_power: float | None = None,
+               step_size: float | None = None):
     """Metropolis render -> (H, W, 3). Image = splats * b / n_samples where
     b is the mean path luminance from large steps."""
     md = max_depth or scene.settings.trace_depth
+    st = getattr(scene, "settings", None)
+    sp = float(step_power if step_power is not None
+               else getattr(st, "mmlt_step_power", 1024.0))
+    sc = float(step_size if step_size is not None
+               else getattr(st, "mmlt_step_size", 1.0))
     H, W = scene.camera.height, scene.camera.width
     R = n_chains or (W * H)
     D = psv_dims(md)
@@ -212,7 +230,7 @@ def render_mlt(scene, n_passes: int, n_chains: int | None = None,
         fb_in = fb if s >= n_burn else jnp.zeros_like(fb)
         fb_out, chain_u, chain_f, chain_c, chain_pix, ba, bc = mlt_step(
             scene, fb_in, chain_u, chain_f, chain_c, chain_pix,
-            jnp.uint32(s), jnp.uint32(seed), md,
+            jnp.uint32(s), jnp.uint32(seed), md, sp, sc,
         )
         if s >= n_burn:
             fb = fb_out

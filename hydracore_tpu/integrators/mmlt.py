@@ -100,15 +100,18 @@ def _eval_state(scene, psv, k: int, max_depth: int):
     return pix, col, f
 
 
-@partial(jax.jit, static_argnames=("k", "max_depth"))
+@partial(jax.jit, static_argnames=("k", "max_depth", "step_power",
+                                   "step_size"))
 def mmlt_step(scene, fb, u, f, pix_s, col_s, step_idx, seed,
-              k: int, max_depth: int):
+              k: int, max_depth: int, step_power: float = 1024.0,
+              step_size: float = 1.0):
     """One mutation for the k-group chains; splats both states into fb.
     Returns (fb, u, f, pix_s, col_s, b_acc, b_cnt)."""
     R = u.shape[0]
     key_idx = jnp.arange(R, dtype=jnp.uint32) + jnp.uint32((k * 0x9E3779B9) & 0xFFFFFFFF)
 
-    prop_u, large = _mutate(u, key_idx, step_idx, seed)
+    prop_u, large = _mutate(u, key_idx, step_idx, seed,
+                            step_power=step_power, step_size=step_size)
     p_pix, p_col, p_f = _eval_state(scene, prop_u, k, max_depth)
 
     b_acc = jnp.where(large, p_f, 0.0).sum()
@@ -160,10 +163,22 @@ def _resample_states(u, f, pix_s, col_s, Rk: int, k: int, seed):
 
 def render_mmlt(scene, n_passes: int, n_chains: int | None = None,
                 mutations_per_pass: int = 16, seed: int = 777,
-                max_depth: int | None = None, burn_in: int = 6,
-                k_min: int = 2, probe_chains: int = 2048):
+                max_depth: int | None = None, burn_in: int | None = None,
+                k_min: int = 2, probe_chains: int = 2048,
+                step_power: float | None = None,
+                step_size: float | None = None):
     """Multiplexed-style Metropolis over SBDPT -> (H, W, 3)."""
     md = max_depth or scene.settings.trace_depth
+    st = getattr(scene, "settings", None)
+    sp = float(step_power if step_power is not None
+               else getattr(st, "mmlt_step_power", 1024.0))
+    sc = float(step_size if step_size is not None
+               else getattr(st, "mmlt_step_size", 1.0))
+    if burn_in is None:
+        # statefile <mmlt_burn_iters> (default 1024 ~ 6 burn-in passes of
+        # 16 mutations x chains — the reference burns BURN_ITERS wavefront
+        # iterations, RenderDriverRTE.cpp:246)
+        burn_in = max(1, int(getattr(st, "mmlt_burn_iters", 1024)) // 170)
     H, W = scene.camera.height, scene.camera.width
     ks = list(range(k_min, md + 2))  # path vertex counts
     R_total = n_chains or (W * H)
@@ -209,7 +224,8 @@ def render_mmlt(scene, n_passes: int, n_chains: int | None = None,
             fb_in = fb if s >= n_burn else jnp.zeros_like(fb)
             fb_out, u, f, pix_s, col_s, ba, bc = mmlt_step(
                 scene, fb_in, u, f, pix_s, col_s,
-                jnp.uint32(s), jnp.uint32((seed + 131 * k) & 0xFFFFFFFF), k, md)
+                jnp.uint32(s), jnp.uint32((seed + 131 * k) & 0xFFFFFFFF),
+                k, md, sp, sc)
             if s >= n_burn:
                 fb = fb_out
                 total_mut += 1

@@ -325,6 +325,25 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     # static sky gate: closed scenes (no sky light) drop the whole env
     # machinery from the jit graph (finalize_scene sets settings.has_sky)
     has_sky_s = scene.settings is None or scene.settings.has_sky
+    # static caustics gate (method_caustic == none -> HRT_ENABLE_PT_CAUSTICS
+    # off): PT drops implicit light hits reached through a caustic-casting
+    # (specular) bounce once the path has diffused — that transport belongs
+    # to the secondary/caustic method (material.cl:526, cbidir.h:524)
+    pt_caustics = (scene.settings is None
+                   or getattr(scene.settings, "pt_caustics", True))
+    if not pt_caustics:
+        diff_bounce = jnp.zeros((R,), jnp.int32)
+    # static render-layer gate (HRT_DIRECT_LIGHT_MODE/HRT_INDIRECT_LIGHT_MODE
+    # kill rules, material.cl:953-955 + :544): 'direct' keeps emission on
+    # short/specular-only paths + NEE at the first non-specular vertex;
+    # 'indirect' keeps the complement. Deviation from the reference: its
+    # indirect NEE kill is bounce-0-only, double-counting mirror-seen direct
+    # light across the two layers — we kill specular-only chains too so that
+    # direct + indirect == color EXACTLY (tested).
+    layer = (getattr(scene.settings, "render_layer", "color")
+             if scene.settings is not None else "color")
+    if layer != "color":
+        spec_only = jnp.ones((R,), bool)  # flagsHaveOnlySpecular analogue
     # static back-plate gate (sky <back>): camera-visible rays (primary or
     # behind pure transmission) take the second-env color instead
     # (environmentColorExtended, cbidir.h:619-625)
@@ -398,6 +417,10 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 med_g = med[:, 5]
             if has_fog:
                 fog_state = fog_state[perm]
+            if not pt_caustics:
+                diff_bounce = diff_bounce[perm]
+            if layer != "color":
+                spec_only = spec_only[perm]
 
         rays_traced = rays_traced + alive.sum()
         # primaries arrive Morton-ordered; in sorted mode the wavefront is
@@ -464,6 +487,11 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 # camera-visible rays (cbidir.h:624)
                 env_c = jnp.where(pure_t[:, None],
                                   env_back_radiance(scene, ray_d), env_c)
+            if layer != "color":  # sky emission splits like light emission
+                keep_em = spec_only | (depth <= 1)
+                if layer == "indirect":
+                    keep_em = ~keep_em
+                env_c = jnp.where(keep_em[:, None], env_c, 0.0)
             acc = acc + jnp.where(miss[:, None], throughput * env_c, 0.0)
         alive = alive & hit
 
@@ -505,6 +533,20 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         emit = jnp.where(
             (is_emitter & front)[:, None], throughput * p.em_color * w_li[:, None], 0.0
         )
+        if not pt_caustics:
+            # disableCaustics kill (material.cl:521-531): after >=1 diffuse
+            # bounce, an implicit hit whose PREVIOUS bounce was specular
+            # (the reference's materialCastCaustics default) is a caustic —
+            # zero it so the caustic method renders it instead
+            emit = jnp.where(((diff_bounce > 0) & prev_spec)[:, None],
+                             0.0, emit)
+        if layer != "color":
+            # emission belongs to the DIRECT layer on short (<=1 bounce) or
+            # specular-only paths (material.cl:543-544 kill, inverted)
+            keep_em = spec_only | (depth <= 1)
+            if layer == "indirect":
+                keep_em = ~keep_em
+            emit = jnp.where(keep_em[:, None], emit, 0.0)
         acc = acc + emit
         alive = alive & ~is_emitter  # the path ends on emitters (ref :134-146)
 
@@ -539,6 +581,13 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             * (cos_s * w_l / jnp.maximum(ls.pdf_w * pick_prob, 1e-12))[:, None]
         )
         ok = alive & ~occluded & (cos_s > 0.0) & ~passthru & ~scat
+        if layer != "color":
+            # NEE at the first vertex (or through a pure specular chain) is
+            # direct light (killDueToDirectLight/IndirectLight inverted)
+            keep_nee = spec_only | (depth == 0)
+            if layer == "indirect":
+                keep_nee = ~keep_nee
+            ok = ok & keep_nee
         acc = acc + jnp.where(ok[:, None], contrib, 0.0)
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
@@ -604,6 +653,17 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             # scatter lanes: no surface interaction this step
             weight = jnp.where(scat[:, None], 1.0, weight)
         throughput = throughput * weight
+        if not pt_caustics:  # count diffuse bounces (unpackBounceNumDiff)
+            diff_bounce = diff_bounce + (alive & ~prev_spec
+                                         & ~scat).astype(jnp.int32)
+        if layer != "color":
+            spec_only = spec_only & prev_spec & ~scat
+            if layer == "direct" and depth > 0:
+                # RAY_WILL_DIE_NEXT_BOUNCE (material.cl:973-980): past the
+                # first vertex a non-specular-only path can contribute
+                # nothing more to the direct layer — kill it. (At depth 0
+                # the ray survives one segment for the implicit hit.)
+                alive = alive & spec_only
 
         # russian roulette on throughput from min_rr_depth
         if depth >= min_rr_depth:
@@ -698,8 +758,10 @@ def render_band_impl(scene, pass_idx, seed, max_depth: int = 5,
     has_alpha = bool(scene.settings.has_alpha) if scene.settings is not None else False
     color, rays = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth,
                            has_alpha=has_alpha)
-    # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110)
-    return jnp.clip(color, 0.0, 1e6), pix, rays
+    # clamp fireflies like runKernel_ClampFloat4 (GPUOCLLayerCore.cpp:110);
+    # the bound is the statefile <clamping> (HRT_PATH_TRACE_CLAMPING)
+    cl = scene.settings.clamp if scene.settings is not None else 1e6
+    return jnp.clip(color, 0.0, cl), pix, rays
 
 
 def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
@@ -785,7 +847,8 @@ def render_tile_production(scene, pix_ids, pass_base, seed, k_samples: int = 64,
     has_alpha = bool(scene.settings.has_alpha) if scene.settings is not None else False
     color, _ = pt_trace(scene, ray_o, ray_d, sample_idx, seed, max_depth=max_depth,
                         has_alpha=has_alpha)
-    color = jnp.clip(color, 0.0, 1e6)
+    cl = scene.settings.clamp if scene.settings is not None else 1e6
+    color = jnp.clip(color, 0.0, cl)
     return color.reshape(P, k_samples, 3).mean(axis=1)
 
 

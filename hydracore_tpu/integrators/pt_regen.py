@@ -56,9 +56,11 @@ PHI = 0x9E3779B9
 def regen_supported(scene) -> bool:
     """Static feature gate. The regeneration loop now carries every
     per-lane state the pass loop does (fog, SSS medium, back-plate flag,
-    AO probes), so all scenes are supported; the hook stays for future
-    extensions that land in the pass loop first."""
-    return True
+    AO probes); render-layer separation (direct/indirect) and caustics-off
+    live in the pass loop only."""
+    st = scene.settings
+    return st is None or (getattr(st, "render_layer", "color") == "color"
+                          and getattr(st, "pt_caustics", True))
 
 
 @partial(jax.jit, static_argnames=("n_pass", "max_depth", "min_rr_depth",
@@ -380,8 +382,9 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         # radiance to the framebuffer — one deterministic scatter-add
         was = s["alive"] | take
         dying = was & ~alive
+        cl = scene.settings.clamp if scene.settings is not None else 1e6
         fb = s["fb"].at[pix].add(
-            jnp.where(dying[:, None], jnp.clip(acc, 0.0, 1e6), 0.0))
+            jnp.where(dying[:, None], jnp.clip(acc, 0.0, cl), 0.0))
 
         out = dict(next_ctr=next_ctr, fb=fb, rays=rays, pix=pix,
                    sidx=sidx, depth=depth, ray_o=ray_o, ray_d=ray_d, tp=tp,

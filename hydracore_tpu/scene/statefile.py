@@ -115,6 +115,24 @@ class RenderSettings:
     method: str = "pathtracing"  # pathtracing | lighttracing | IBPT | SBDPT | MMLT
     qmc_variant: int = 7
     clamp: float = 1e6
+    # --- UpdateSettings parity (RenderDriverRTE.cpp:160-397) ---
+    seed: int = 777  # <seed> (m_legacy.m_lastSeed)
+    min_rays_per_pixel: int = 0  # <minRaysPerPixel> adaptive-stop floor
+    pt_error: float = 0.025  # HRT_PATH_TRACE_ERROR (xml value is in %: *0.01)
+    out_gamma: float = 2.2  # <outgamma> -> HRT_IMAGE_GAMMA
+    offline_pt: bool = False  # <offline_pt> -> HRT_PRODUCTION_IMAGE_SAMPLING
+    boxmode: bool = False  # <boxmode> -> HRT_BOX_MODE_ON
+    contrib_samples: int = 0  # <contribsamples> -> HRT_CONTRIB_SAMPLES
+    fb_channels: int = 4  # <framebuffer_channels> -> HRT_FBUF_CHANNELS
+    pt_caustics: bool = True  # method_caustic != none -> HRT_ENABLE_PT_CAUSTICS
+    # render-layer separation (HRT_DIRECT_LIGHT_MODE / HRT_INDIRECT_LIGHT_MODE
+    # kill rules, material.cl:547-551 + :953-955): direct + indirect == color
+    render_layer: str = "color"  # color | direct | indirect
+    evalgbuffer: bool = False  # <evalgbuffer> -> HRT_STORE_SHADOW_COLOR_W
+    mmlt_burn_iters: int = 1024  # <mmlt_burn_iters>
+    mmlt_step_power: float = 1024.0  # <mmlt_step_power> large|(normal)|small
+    mmlt_step_size: float = 1.0  # <mmlt_step_size> -> HRT_MMLT_STEP_SIZE_COEFF
+    mmlt_sds_fixed_prob: float = 0.0  # <mmlt_sds_fixed_prob> (clamped 0..0.95)
     has_alpha: bool = False  # any material with an opacity texture
     has_blend: bool = False  # any blend material (two-leaf fetch at shade)
     has_rough_glass: bool = False
@@ -227,6 +245,39 @@ def _parse_settings(root) -> RenderSettings:
     m = rs.find("method_primary")
     if m is not None and m.text:
         s.method = m.text.strip()
+    # --- UpdateSettings parity (RenderDriverRTE.cpp:160-397) ---
+    s.clamp = get_float(rs, "clamping", s.clamp)
+    s.seed = int(get_float(rs, "seed", s.seed))
+    s.min_rays_per_pixel = int(get_float(rs, "minRaysPerPixel",
+                                         s.min_rays_per_pixel))
+    pe = rs.find("pt_error")  # xml value is a percentage (ref: 0.01f * v)
+    if pe is not None and pe.text:
+        s.pt_error = 0.01 * float(pe.text.strip())
+    s.out_gamma = get_float(rs, "outgamma", s.out_gamma)
+    s.offline_pt = int(get_float(rs, "offline_pt", 0)) != 0
+    s.boxmode = int(get_float(rs, "boxmode", 0)) != 0
+    s.contrib_samples = int(get_float(rs, "contribsamples", 0))
+    s.fb_channels = int(get_float(rs, "framebuffer_channels", s.fb_channels))
+    s.evalgbuffer = int(get_float(rs, "evalgbuffer", 0)) != 0
+    # method_secondary == mmlt/mlt overrides the primary method; a disabled
+    # method_caustic turns PT caustic transport off (HRT_ENABLE_PT_CAUSTICS)
+    ms = rs.find("method_secondary")
+    if ms is not None and ms.text and ms.text.strip().lower() in ("mmlt", "mlt"):
+        s.method = "mmlt"
+    mc = rs.find("method_caustic")
+    if mc is not None and mc.text and mc.text.strip().lower() in ("none",
+                                                                  "disabled"):
+        s.pt_caustics = False
+    s.mmlt_burn_iters = int(get_float(rs, "mmlt_burn_iters",
+                                      s.mmlt_burn_iters))
+    sp = rs.find("mmlt_step_power")
+    if sp is not None and sp.text:
+        s.mmlt_step_power = {"large": 512.0, "small": 2048.0}.get(
+            sp.text.strip().lower(), 1024.0)
+    s.mmlt_step_size = get_float(rs, "mmlt_step_size", s.mmlt_step_size)
+    s.mmlt_sds_fixed_prob = min(max(get_float(rs, "mmlt_sds_fixed_prob",
+                                              s.mmlt_sds_fixed_prob), 0.0),
+                                0.95)
     return s
 
 

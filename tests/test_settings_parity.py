@@ -1,0 +1,155 @@
+"""UpdateSettings parity (RenderDriverRTE.cpp:160-397): statefile
+render_settings keys beyond the core width/height/depth set — clamping,
+seed, outgamma, offline_pt, adaptive-stop knobs, method_secondary/caustic
+routing, and the MMLT mutation knobs — plus the runtime behavior they
+gate (firefly clamping, the PT caustics kill)."""
+import dataclasses
+
+import numpy as np
+
+from hydracore_tpu.scene.statefile import _parse_settings, _wrap_multiroot_xml
+
+
+def _settings_from(xml_inner: str):
+    root = _wrap_multiroot_xml(
+        "<render_lib><render_settings>" + xml_inner
+        + "</render_settings></render_lib>")
+    return _parse_settings(root)
+
+
+def test_update_settings_parse():
+    s = _settings_from("""
+      <width>640</width><height>480</height>
+      <trace_depth>7</trace_depth>
+      <clamping>100.5</clamping>
+      <seed>1234</seed>
+      <minRaysPerPixel>128</minRaysPerPixel>
+      <pt_error>1.5</pt_error>
+      <outgamma>1.0</outgamma>
+      <offline_pt>1</offline_pt>
+      <boxmode>1</boxmode>
+      <contribsamples>5000</contribsamples>
+      <framebuffer_channels>1</framebuffer_channels>
+      <evalgbuffer>1</evalgbuffer>
+      <method_primary>pathtracing</method_primary>
+      <method_caustic>none</method_caustic>
+      <mmlt_burn_iters>512</mmlt_burn_iters>
+      <mmlt_step_power>small</mmlt_step_power>
+      <mmlt_step_size>2.0</mmlt_step_size>
+      <mmlt_sds_fixed_prob>2.0</mmlt_sds_fixed_prob>
+    """)
+    assert s.width == 640 and s.height == 480
+    assert s.trace_depth == 7
+    assert s.clamp == 100.5
+    assert s.seed == 1234
+    assert s.min_rays_per_pixel == 128
+    assert abs(s.pt_error - 0.015) < 1e-9  # xml % -> fraction (ref *0.01f)
+    assert s.out_gamma == 1.0
+    assert s.offline_pt and s.boxmode and s.evalgbuffer
+    assert s.contrib_samples == 5000
+    assert s.fb_channels == 1
+    assert s.pt_caustics is False  # method_caustic == none
+    assert s.mmlt_burn_iters == 512
+    assert s.mmlt_step_power == 2048.0  # "small"
+    assert s.mmlt_step_size == 2.0
+    assert s.mmlt_sds_fixed_prob == 0.95  # clamped to [0, 0.95]
+
+
+def test_method_secondary_mmlt_overrides_primary():
+    s = _settings_from(
+        "<method_primary>pathtracing</method_primary>"
+        "<method_secondary>mmlt</method_secondary>")
+    assert s.method == "mmlt"
+    # defaults when the nodes are absent
+    s = _settings_from("<method_primary>pathtracing</method_primary>")
+    assert s.method == "pathtracing"
+    assert s.pt_caustics is True
+    assert s.clamp == 1e6
+
+
+def _mirror_scene():
+    from hydracore_tpu.scene.procedural import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.lambert([0.6, 0.6, 0.6])
+    mirror = b.add_material(refl_color=np.array([0.9, 0.9, 0.9], np.float32),
+                            refl_dist=4)  # REFL_MIRROR: a true delta mirror
+    b.add_box_interior(2.0, m, m, m, m, m)
+    b.add_sphere([-0.7, -1.3, 0.0], 0.7, mirror)
+    b.rect_light([0, 1.95, 0], 0.5, 0.5, [12.0] * 3)
+    return b.build(cam_pos=[0, 0, 5.6], cam_lookat=[0, 0, 0],
+                   width=64, height=64, trace_depth=4)
+
+
+def _render(scene, spp=8, seed=777):
+    import jax.numpy as jnp
+
+    from hydracore_tpu.integrators.pt import render_passes
+
+    fb, _ = render_passes(scene, jnp.uint32(0), jnp.uint32(seed), n_pass=spp,
+                          max_depth=4)
+    return np.asarray(fb) / spp
+
+
+def test_clamping_bounds_samples():
+    """<clamping> caps per-sample radiance (runKernel_ClampFloat4 with
+    HRT_PATH_TRACE_CLAMPING)."""
+    sc = _mirror_scene()
+    img_full = _render(sc, spp=2)
+    assert img_full.max() > 0.5  # the light pixels are ~12
+
+    sc_cl = sc.replace(settings=dataclasses.replace(sc.settings, clamp=0.5))
+    img_cl = _render(sc_cl, spp=2)
+    assert img_cl.max() <= 0.5 + 1e-5
+    # clamping only removes energy
+    assert (img_cl <= img_full + 1e-5).all()
+
+
+def test_pt_caustics_kill():
+    """method_caustic == none: implicit light hits reached via a specular
+    bounce after the path has diffused are dropped (disableCaustics,
+    material.cl:521-531) — per-pixel the image can only lose energy, and
+    caustic-carrying pixels do."""
+    sc = _mirror_scene()
+    img_on = _render(sc, spp=8)
+    sc_off = sc.replace(settings=dataclasses.replace(sc.settings,
+                                                     pt_caustics=False))
+    img_off = _render(sc_off, spp=8)
+    # same seed => identical paths; the kill only zeroes emit terms
+    assert (img_off <= img_on + 1e-5).all()
+    assert img_off.sum() < img_on.sum() - 1e-4
+
+
+def test_render_layers_sum_to_color():
+    """direct + indirect == color, exactly (same seed -> identical paths;
+    the layer kills are complementary by construction)."""
+    sc = _mirror_scene()
+    img = _render(sc, spp=6)
+    img_d = _render(sc.replace(settings=dataclasses.replace(
+        sc.settings, render_layer="direct")), spp=6)
+    img_i = _render(sc.replace(settings=dataclasses.replace(
+        sc.settings, render_layer="indirect")), spp=6)
+    assert np.allclose(img_d + img_i, img, atol=1e-4)
+    # both layers are non-trivial on a cornell box with a mirror sphere
+    assert img_d.sum() > 0.05 * img.sum()
+    assert img_i.sum() > 0.05 * img.sum()
+    # the direct layer holds the light fixture + first-bounce lighting
+    assert img_d.max() > 1.0
+
+
+def test_mlt_step_knobs_change_proposals():
+    """mmlt_step_power/step_size shrink the small-step mutation radius."""
+    import jax.numpy as jnp
+
+    from hydracore_tpu.integrators.mlt import _mutate
+
+    u = jnp.full((256, 8), 0.5, jnp.float32)
+    key = jnp.arange(256, dtype=jnp.uint32)
+    prop_n, large = _mutate(u, key, jnp.uint32(3), jnp.uint32(7),
+                            p_large=0.0)
+    prop_s, _ = _mutate(u, key, jnp.uint32(3), jnp.uint32(7), p_large=0.0,
+                        step_power=2048.0, step_size=2.0)
+    dn = np.abs(np.asarray(prop_n) - 0.5)
+    ds = np.abs(np.asarray(prop_s) - 0.5)
+    assert ds.mean() < dn.mean() * 0.5  # 4x smaller steps on average
+    assert (np.asarray(prop_s) >= 0).all() and (np.asarray(prop_s) < 1).all()
