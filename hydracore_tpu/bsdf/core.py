@@ -72,6 +72,9 @@ class MatParams(NamedTuple):
     # thick-glass Beer fog (attenuationStep, cmaterial.h:2787-2827)
     fog_color: jnp.ndarray = None  # (R,3)
     fog_mult: jnp.ndarray = None  # (R,)
+    # baked normal-map tex_meta row (materials.MA_META_BUMP) — bitcast ints
+    # inside: blend combination must SWITCH, never lerp
+    bump_meta: jnp.ndarray = None  # (R,12)
 
 
 def luminance(c):
@@ -109,12 +112,14 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
                 ao=None) -> MatParams:
     """ONE packed-row gather (scene.mat_attr) + statically-gated texture
     fetches. Gather cost on this TPU is per-OP (tools/exp_gather.py), so the
-    ~25 per-field gathers of the naive SoA fetch collapse into one."""
-    from hydracore_tpu.ops.texture import sample_tex
+    ~25 per-field gathers of the naive SoA fetch collapse into one; texture
+    channels read their tex_meta from the BAKED row block (bake_tex_meta) —
+    no second gather per channel."""
+    from hydracore_tpu.ops.texture import sample_tex_row
     from hydracore_tpu.scene import materials as MC
 
     st = scene.settings
-    m = scene.mat_attr[mat_id]  # (R, MA_WIDTH)
+    m = scene.mat_attr[mat_id]  # (R, MA_WIDTH_FULL)
 
     def col(c):
         return m[:, c]
@@ -125,13 +130,14 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
     def coli(c):
         return m[:, c].astype(jnp.int32)
 
-    def tex_rgb(tex_col, has: bool):
+    def tex_rgb(meta_col, has: bool):
         if not has:
             return 1.0
-        return sample_tex(scene.texels, scene.tex_meta, coli(tex_col), uv)[:, :3]
+        return sample_tex_row(scene.texels, m[:, meta_col:meta_col + 12],
+                              uv)[:, :3]
 
-    em = col3(MC.MA_EM) * tex_rgb(MC.MA_EM_TEX, _gate(st, "has_em_tex"))
-    dc = col3(MC.MA_DIFF) * tex_rgb(MC.MA_DIFF_TEX, _gate(st, "has_diff_tex"))
+    em = col3(MC.MA_EM) * tex_rgb(MC.MA_META_EM, _gate(st, "has_em_tex"))
+    dc = col3(MC.MA_DIFF) * tex_rgb(MC.MA_META_DIFF, _gate(st, "has_diff_tex"))
     sss_on = _gate(st, "has_sss") if st is not None else False
 
     from hydracore_tpu.ops.proctex import eval_proc_tex, num_proc_tex
@@ -144,16 +150,17 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
                             eval_proc_tex(proc, uv, pos, nn, wo=wo,
                                           args=pargs, scene=scene,
                                           ao=ao), 1.0)
-    rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_REFL_TEX, _gate(st, "has_refl_tex"))
+    rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_META_REFL, _gate(st, "has_refl_tex"))
     if _gate(st, "has_alpha"):
-        op = sample_tex(scene.texels, scene.tex_meta,
-                        coli(MC.MA_OPACITY_TEX), uv)[:, 0]
+        op = sample_tex_row(scene.texels,
+                            m[:, MC.MA_META_OPACITY:MC.MA_META_OPACITY + 12],
+                            uv)[:, 0]
     else:
         op = jnp.ones(uv.shape[0], jnp.float32)
     tg = col(MC.MA_TRANSP_GLOSS)
     tl = col3(MC.MA_TRANSL)
     if _gate(st, "has_transl"):
-        tl = tl * tex_rgb(MC.MA_TRANSL_TEX, _gate(st, "has_transl_tex"))
+        tl = tl * tex_rgb(MC.MA_META_TRANSL, _gate(st, "has_transl_tex"))
     if sss_on:
         # SSS boundary event as effective lobes (the reference's branch
         # probabilities, CPUExp_IntegratorSSS.cpp:69-97: transmit w.p. T
@@ -195,6 +202,8 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
         sss_transmission=col(MC.MA_SSS_TRANSMISSION) if _gate(st, "has_sss") else None,
         fog_color=col3(MC.MA_FOG_COLOR) if _gate(st, "has_fog") else None,
         fog_mult=col(MC.MA_FOG_MULT) if _gate(st, "has_fog") else None,
+        bump_meta=(m[:, MC.MA_META_BUMP:MC.MA_META_BUMP + 12]
+                   if _gate(st, "has_bump") else None),
     )
 
 
@@ -202,12 +211,13 @@ def _blend_weight(scene, mrow, uv, normal, wo, pos):
     """Per-ray top weight of a blend record (mask-texture luminance /
     view-angle Fresnel / falloff — BlendMaskMaterial semantics,
     PlainMaterialConverter.cpp:750)."""
-    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.ops.texture import sample_tex_row
     from hydracore_tpu.scene import materials as MC
 
     btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
-    mask = sample_tex(scene.texels, scene.tex_meta,
-                      mrow[:, MC.MA_BLEND_TEX].astype(jnp.int32), uv)[:, :3]
+    mask = sample_tex_row(scene.texels,
+                          mrow[:, MC.MA_META_BLEND:MC.MA_META_BLEND + 12],
+                          uv)[:, :3]
     w_mask = luminance(mask)
     if normal is not None and wo is not None:
         cos_v = jnp.abs(dot3(normal, wo))
@@ -291,28 +301,31 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
 
     w = jnp.where(has, _blend_weight(scene, mrow, uv, normal, wo, pos), 1.0)
 
-    def lerp(a, b):
+    def lerp(name, a, b):
         if a is None or b is None:
             return a if b is None else b
+        if name.endswith("_meta"):  # baked tex rows hold bitcast ints:
+            return jnp.where((w >= 0.5)[:, None], a, b)  # switch, never lerp
         if a.ndim == 2:
             return a * w[:, None] + b * (1.0 - w[:, None])
         if a.dtype in (jnp.int32, jnp.uint32):
             return jnp.where(w >= 0.5, a, b)
         return a * w + b * (1.0 - w)
 
-    return MatParams(*[lerp(a, b) for a, b in zip(p_top, p_bot)])
+    return MatParams(*[lerp(f, a, b)
+                       for f, a, b in zip(MatParams._fields, p_top, p_bot)])
 
 
 def apply_bump(scene, p: MatParams, n, tang, uv):
     """Perturb the shading normal by the material's normal map — the shading
     side of the reference bump pipeline (aux normal map applied in
     ComputeHit/Shade via the TBN frame). tang: interpolated mesh tangent."""
-    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.ops.texture import sample_tex_row
 
     if not _gate(scene.settings, "has_bump"):
         return n
     has = p.bump_tex > 0
-    nm = sample_tex(scene.texels, scene.tex_meta, p.bump_tex, uv)[:, :3] * 2.0 - 1.0
+    nm = sample_tex_row(scene.texels, p.bump_meta, uv)[:, :3] * 2.0 - 1.0
     t = normalize3(tang - dot3(tang, n)[:, None] * n)
     b = jnp.stack(
         [

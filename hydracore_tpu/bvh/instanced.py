@@ -170,7 +170,8 @@ def build_instanced_layout(world: MeshTris | None,
 
     def add_mesh(key, mt: MeshTris):
         nonlocal tri_off, pool_off
-        bvh = build_bvh_auto(mt.v0, mt.v0 + mt.e1, mt.v0 + mt.e2)
+        bvh = build_bvh_auto(mt.v0, mt.v0 + mt.e1, mt.v0 + mt.e2,
+                             splittable=mt.light < 0)
         p = bvh.perm if bvh.perm.size else np.arange(mt.v0.shape[0])
         mt = _permute_tris(mt, p)
         cs = cut_clusters(bvh, mt.v0, mt.e1, mt.e2, k_tris=k_tris)

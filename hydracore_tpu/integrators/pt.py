@@ -520,13 +520,31 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         u_a = r_a[:, 0]
         passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity) & ~scat
 
+        # ---- fused light-row gather: the implicit-hit MIS eval (by the hit
+        # tri's light id) and the NEE sample (by the CDF pick) share ONE
+        # light_attr gather over 2R concatenated indices — gathers cost
+        # per-OP on this TPU (tools/exp_gather.py). Drawing DG_LIGHT here
+        # instead of below is value-identical (counter-based RNG).
+        nee = depth < max_depth - 1
+        lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
+        rows_hit = rows_nee = l_idx = r_l = None
+        if nee:
+            r_l = rand_fn(depth, DG_LIGHT)
+            l_idx, _ = select_light(scene.lights, r_l[:, 3])
+        if scene.light_attr.shape[0] > 1:
+            if nee:
+                rows2 = scene.light_attr[jnp.concatenate([lrow, l_idx])]
+                rows_hit, rows_nee = rows2[:R], rows2[R:]
+            else:
+                rows_hit = scene.light_attr[lrow]
+
         # ---- implicit emitter hit (HitEnvOrLightKernel light path :510)
         em_lum = p.em_color.max(axis=-1)
         is_emitter = alive & (em_lum > 1e-6) & ~passthru & ~scat
         front = dot3(n, -ray_d) > 0.0
-        lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
         l_pdf_w, l_pick = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d,
-                                                  pos, n, return_pick=True)
+                                                  pos, n, return_pick=True,
+                                                  rows=rows_hit)
         w_li = jnp.where(
             prev_spec | (tri_light < 0), 1.0, mis_weight(prev_pdf, l_pdf_w * l_pick)
         )
@@ -559,9 +577,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         # material.cl:737; flipping matches its diffuse behavior)
         ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
-        r_l = rand_fn(depth, DG_LIGHT)
-        l_idx, _ = select_light(scene.lights, r_l[:, 3])
-        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos, rows=rows_nee)
         pick_prob = ls.pick_prob  # from the packed row (saves 2 CDF gathers)
         rays_traced = rays_traced + alive.sum()  # shadow rays
         sray_o = offs_ray_pos(pos, ngs, ls.dir)

@@ -139,14 +139,16 @@ def env_back_radiance(scene, d):
     return mult[None, :] * texc
 
 
-def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
+def sample_light_rev(scene, l_idx, rnds, sp, rows=None) -> LightSample:
     """Sample one point/direction on light l_idx (R,) from surface points sp
     (R,3) with rnds (R,3) uniforms.
 
     Gather-optimal: ONE packed light-row gather (scene.light_attr) and each
     per-type branch statically dropped when the scene has no light of that
     type (settings.light_types, the compile-gate pattern of
-    GPUOCLKernels.cpp:424-512 kernel-variant selection)."""
+    GPUOCLKernels.cpp:424-512 kernel-variant selection). `rows` supplies
+    prefetched light_attr rows (pt.py fuses this gather with the
+    implicit-hit eval's into one 2R-index gather per bounce)."""
     from hydracore_tpu.scene.lights import (LA_AREA, LA_COS_IN, LA_COS_OUT,
                                             LA_INTEN, LA_MESH_ROW, LA_NORM,
                                             LA_PICK_PROB, LA_PORTAL, LA_POS,
@@ -154,7 +156,7 @@ def sample_light_rev(scene, l_idx, rnds, sp) -> LightSample:
                                             LA_VX, LA_VY)
 
     types = _light_types(scene)
-    a = _light_rows(scene, l_idx)  # (R, LA_WIDTH) — at most one gather
+    a = _light_rows(scene, l_idx) if rows is None else rows
     ltype = a[:, LA_TYPE].astype(jnp.int32)
     pos = a[:, LA_POS:LA_POS + 3]
     nrm = a[:, LA_NORM:LA_NORM + 3]
@@ -511,7 +513,7 @@ def sample_light_fwd(scene, l_idx, rnds) -> LightSampleFwd:
 
 
 def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm,
-                            return_pick: bool = False):
+                            return_pick: bool = False, rows=None):
     """Solid-angle pdf of sample_light_rev having produced direction ray_d
     toward the light surface point hit_pos (used for MIS when a BSDF ray
     lands on an emitter — ref lightEvalPDF clight.h:1613). With
@@ -521,7 +523,7 @@ def light_eval_pdf_from_hit(scene, l_idx, ray_o, ray_d, hit_pos, hit_norm,
                                             LA_RADIUS, LA_TYPE)
 
     types = _light_types(scene)
-    a = _light_rows(scene, l_idx)
+    a = _light_rows(scene, l_idx) if rows is None else rows
     ltype = a[:, LA_TYPE].astype(jnp.int32)
     area = jnp.maximum(a[:, LA_AREA], 1e-12)
 

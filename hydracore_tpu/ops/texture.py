@@ -20,9 +20,14 @@ def sample_tex(texels, tex_meta, tex_id, uv, apply_gamma: bool = False):
     Gather-optimal variant of sample_bilinear: ONE meta-row gather + ONE
     fused 4-corner texel gather (XLA gather cost is per-op on this TPU —
     tools/exp_gather.py)."""
-    import jax
+    return sample_tex_row(texels, tex_meta[tex_id], uv, apply_gamma)
 
-    row = tex_meta[tex_id]  # (R, 12)
+
+def sample_tex_row(texels, row, uv, apply_gamma: bool = False):
+    """sample_tex with the (R, 12) meta rows already in hand — material rows
+    carry their channels' meta baked in (scene.finalize_scene), dropping the
+    per-bounce tex_meta gather entirely."""
+    import jax
     meta_i = jax.lax.bitcast_convert_type(row[:, 0:4], jnp.int32)
     off, w, h, flags = meta_i[:, 0], meta_i[:, 1], meta_i[:, 2], meta_i[:, 3]
     wf, hf = w.astype(jnp.float32), h.astype(jnp.float32)

@@ -151,6 +151,40 @@ MA_AO_TYPE = 60  # proc-tex AO input (PROC_TEX_AO_TYPE/LENGTH)
 MA_AO_LENGTH = 61
 MA_WIDTH = 62
 
+# Baked texture-channel meta (finalize_scene bake_tex_meta): the (K, 12)
+# tex_meta row of each texture channel appended to the material row, so a
+# bounce pays ONE mat-row gather instead of mat row + per-channel tex_meta
+# rows (XLA gathers cost per-OP on TPU, tools/exp_gather.py).
+MA_META_EM = MA_WIDTH
+MA_META_DIFF = MA_WIDTH + 12
+MA_META_REFL = MA_WIDTH + 24
+MA_META_TRANSL = MA_WIDTH + 36
+MA_META_OPACITY = MA_WIDTH + 48
+MA_META_BUMP = MA_WIDTH + 60
+MA_META_BLEND = MA_WIDTH + 72
+MA_WIDTH_FULL = MA_WIDTH + 84
+
+_META_CHANNELS = (
+    (MA_EM_TEX, MA_META_EM), (MA_DIFF_TEX, MA_META_DIFF),
+    (MA_REFL_TEX, MA_META_REFL), (MA_TRANSL_TEX, MA_META_TRANSL),
+    (MA_OPACITY_TEX, MA_META_OPACITY), (MA_BUMP_TEX, MA_META_BUMP),
+    (MA_BLEND_TEX, MA_META_BLEND),
+)
+
+
+def bake_tex_meta(mat_attr: np.ndarray, tex_meta: np.ndarray) -> np.ndarray:
+    """(M, MA_WIDTH) rows -> (M, MA_WIDTH_FULL) with each texture channel's
+    tex_meta row joined in (static join: the id->meta map is fixed at build
+    time). Out-of-range/negative ids take row 0 (the white texel)."""
+    M = mat_attr.shape[0]
+    out = np.zeros((M, MA_WIDTH_FULL), np.float32)
+    out[:, :MA_WIDTH] = mat_attr
+    K = tex_meta.shape[0]
+    for id_col, meta_col in _META_CHANNELS:
+        ids = np.clip(mat_attr[:, id_col].astype(np.int64), 0, K - 1)
+        out[:, meta_col:meta_col + 12] = tex_meta[ids]
+    return out
+
 
 def pack_mat_attr(mt: "MaterialTable") -> np.ndarray:
     """(M, MA_WIDTH) float32 packed material rows (layout above).

@@ -327,7 +327,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
         tri_light = np.full(1, -1, np.int32)
         tri_inst = np.zeros(1, np.int32)
 
-    bvh = build_bvh_auto(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2)
+    # mesh-light tris stay single-reference: their area CDFs count rows
+    bvh = build_bvh_auto(tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2,
+                         splittable=tri_light < 0)
     p = bvh.perm if bvh.perm.size else np.zeros(0, np.int32)
     if p.size:
         tri_v0, tri_e1, tri_e2 = tri_v0[p], tri_e1[p], tri_e2[p]
@@ -565,8 +567,11 @@ def finalize_scene(sc: SceneData) -> SceneData:
         )
 
     shadow_fields = _build_shadow_split(sc, st)
+    from hydracore_tpu.scene.materials import bake_tex_meta
+
     return sc.replace(tri_attr=tri_attr, cl_slot_tri2=cl_slot_tri2,
-                      mat_attr=pack_mat_attr(sc.materials),
+                      mat_attr=bake_tex_meta(pack_mat_attr(sc.materials),
+                                             tex_meta),
                       light_attr=pack_light_attr(sc.lights),
                       tex_meta=tex_meta, settings=st, **shadow_fields)
 

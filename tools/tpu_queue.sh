@@ -22,21 +22,17 @@ run floor_256k python tools/exp_stage_floor.py 262144
 run floor_1m   python tools/exp_stage_floor.py 1048576
 
 # 2. big-mode hardware validation (forced on test_224), then the VMEM-cap
-#    alternative for Benchmark_Scene03
+#    alternative for Benchmark_Scene03. NOTE: use `env VAR=… python` — a
+#    `VAR=x run …` prefix on a bash FUNCTION call leaks the var into every
+#    later step.
 run bigmode python tools/exp_bigmode.py
-HYDRA_CL_MAX_CP=4352 run bigvmem python tools/exp_bigmode.py \
+run bigvmem env HYDRA_CL_MAX_CP=4352 python tools/exp_bigmode.py \
     /root/reference/hydra_app/tests/Benchmark_Scene03 65536
 
 # 3. depth sweep + traversal-only (the MRaysStat breakdown)
 run profile python tools/exp_profile_r3.py 1024
 
-# 4. baseline bench
+# 4. bench — autotunes over {base, regen, mb20, regen+mb20, sort2} itself
 run bench python bench.py
-
-# 5. A/B knobs (each in its own process; differential timing inside)
-HYDRA_REGEN=1 run bench_regen python bench.py
-HYDRA_MEGABLOCK_LOG2=20 run bench_mb20 python bench.py
-HYDRA_SORT_EVERY=2 run bench_sort2 python bench.py
-HYDRA_REGEN=1 HYDRA_MEGABLOCK_LOG2=20 run bench_regen_mb20 python bench.py
 
 echo "queue done; logs in /tmp/tpuq_*.log"
