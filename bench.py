@@ -110,13 +110,22 @@ def _tag(env):
     return ",".join(f"{k.replace('HYDRA_', '')}={v}" for k, v in env.items()) or "base"
 
 
-def _autotune(scene: str, width: int, configs=None):
+def _autotune(scene: str, width: int, configs=None, budget_s: float = 1500.0):
+    """Rank configs by a short differential probe; bounded by a wall-clock
+    budget so tuning can never starve the headline measurement."""
+    import time
+
+    t0 = time.monotonic()
     best_env, best_dt = {}, float("inf")
     scores = {}
     for env in (configs if configs is not None else _CONFIGS):
         tag = _tag(env)
+        left = budget_s - (time.monotonic() - t0)
+        if left < 60:
+            print(f"[autotune] budget exhausted; skipping {tag}+", file=sys.stderr)
+            break
         try:
-            dt, _, _ = _probe(scene, width, timeout=2700, env=env,
+            dt, _, _ = _probe(scene, width, timeout=min(2700, left), env=env,
                               n_lo=1, n_hi=5)
         except Exception as e:  # a config that fails never wins
             print(f"[autotune] {width}px {tag}: FAILED ({e})", file=sys.stderr)

@@ -268,12 +268,25 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         u_a = r_a[:, 0]
         passthru = alive & (p.opacity < 0.999) & (u_a >= p.opacity) & ~scat
 
+        # ---- fused light-row gather (pt.py:523): the implicit-hit MIS eval
+        # (hit tri's light id) and the NEE sample (CDF pick) share ONE
+        # light_attr gather over 2R concatenated indices. Drawing DG_LIGHT
+        # here is value-identical (counter-based RNG). Unlike the pass loop,
+        # depth is traced here, so NEE rows are always fetched.
+        lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
+        r_l = rand_fn(sidx, depth, DG_LIGHT)
+        l_idx, _ = select_light(scene.lights, r_l[:, 3])
+        rows_hit = rows_nee = None
+        if scene.light_attr.shape[0] > 1:
+            rows2 = scene.light_attr[jnp.concatenate([lrow, l_idx])]
+            rows_hit, rows_nee = rows2[:R], rows2[R:]
+
         em_lum = p.em_color.max(axis=-1)
         is_emitter = alive & (em_lum > 1e-6) & ~passthru & ~scat
         front = dot3(n, -ray_d) > 0.0
-        lrow = jnp.clip(tri_light, 0, scene.lights.ltype.shape[0] - 1)
         l_pdf_w, l_pick = light_eval_pdf_from_hit(scene, lrow, ray_o, ray_d,
-                                                  pos, n, return_pick=True)
+                                                  pos, n, return_pick=True,
+                                                  rows=rows_hit)
         w_li = jnp.where(prev_spec | (tri_light < 0), 1.0,
                          mis_weight(prev_pdf, l_pdf_w * l_pick))
         acc = acc + jnp.where((is_emitter & front)[:, None],
@@ -285,9 +298,7 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
 
         ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
-        r_l = rand_fn(sidx, depth, DG_LIGHT)
-        l_idx, _ = select_light(scene.lights, r_l[:, 3])
-        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos)
+        ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos, rows=rows_nee)
         rays = rays + alive.sum()
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
         u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
