@@ -103,6 +103,8 @@ _CONFIGS = [
     {"HYDRA_REGEN": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
     {"HYDRA_SORT_EVERY": "2"},
     {"HYDRA_PRESPLIT": "1", "HYDRA_REGEN": "1"},
+    {"HYDRA_FUSE_TRACE": "1"},
+    {"HYDRA_FUSE_TRACE": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
 ]
 
 

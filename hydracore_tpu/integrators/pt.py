@@ -383,6 +383,20 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
     # bench subprocs do) — an in-process env flip hits the cached program.
     sort_every = int(_os.environ.get("HYDRA_SORT_EVERY", "1"))
 
+    # fused-traversal knob (HYDRA_FUSE_TRACE=1): defer the NEE contribution
+    # one bounce and trace bounce d's shadow rays TOGETHER with bounce d+1's
+    # extension rays in ONE 2R-wide closest-hit dispatch — max_depth kernel
+    # invocations per path instead of 2*max_depth-1. Occlusion via closest
+    # hit under a per-ray t_max is the same predicate any_hit evaluates
+    # (hit exists within range), and the per-lane accumulation order
+    # (emit_d, nee_d, emit_{d+1}, …) is preserved exactly, so images are
+    # bit-identical. The reference fuses the other way around (dedicated
+    # cheap shadow variants, trace.cl:244+); on TPU the fixed per-kernel
+    # dispatch cost dominates small scenes, so fewer, wider dispatches win.
+    # Alpha scenes keep the multi-step shadow walk (unfused).
+    fuse = (not has_alpha) and _os.environ.get("HYDRA_FUSE_TRACE") == "1"
+    pend = None  # (sray_o, sdir, sdist, masked contrib, shadow-active)
+
     for depth in range(max_depth):
         if sorted_mode and depth > 0 and (depth - 1) % sort_every == 0:
             # permute the whole live state into (octant, origin-Morton)
@@ -421,6 +435,13 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 diff_bounce = diff_bounce[perm]
             if layer != "color":
                 spec_only = spec_only[perm]
+            if pend is not None:  # pending shadow rays ride the permute
+                po, pd, pdist, pcontrib, pmask = pend
+                pp = jnp.concatenate([
+                    po, pd, pdist[:, None], pcontrib,
+                    pmask.astype(f32)[:, None]], axis=1)[perm]
+                pend = (pp[:, 0:3], pp[:, 3:6], pp[:, 6], pp[:, 7:10],
+                        pp[:, 10] > 0.5)
 
         rays_traced = rays_traced + alive.sum()
         # primaries arrive Morton-ordered; in sorted mode the wavefront is
@@ -430,7 +451,25 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             trace = closest_hit
         else:
             trace = closest_hit if depth == 0 else closest_hit_sorted
-        t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
+        if pend is not None:
+            # one 2R dispatch: [extension rays; pending shadow rays]
+            po, pd, pdist, pcontrib, pmask = pend
+            R1 = ray_o.shape[0]
+            t2, tri2, u2, v2 = trace(
+                scene,
+                jnp.concatenate([ray_o, po]),
+                jnp.concatenate([ray_d, pd]),
+                t_max=jnp.concatenate(
+                    [jnp.full((R1,), 1e30, jnp.float32), pdist * 0.995]),
+                active=jnp.concatenate([alive, pmask]))
+            t, tri, u, v = t2[:R1], tri2[:R1], u2[:R1], v2[:R1]
+            # NEE lands BEFORE this bounce's env/emit — the same per-lane
+            # order as the unfused loop (emit_{d-1}, nee_{d-1}, emit_d)
+            occluded_p = tri2[R1:] >= 0
+            acc = acc + jnp.where(occluded_p[:, None], 0.0, pcontrib)
+            pend = None
+        else:
+            t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
 
@@ -581,9 +620,6 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         pick_prob = ls.pick_prob  # from the packed row (saves 2 CDF gathers)
         rays_traced = rays_traced + alive.sum()  # shadow rays
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
-        u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
-        occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh,
-                                has_alpha, presorted=sorted_mode)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
         # two-sided combine (ref material.cl:737-740: brdf*max(+cos,0) +
         # btdf*max(-cos,0)) — eval_bsdf already zeroes f by hemisphere, so
@@ -596,7 +632,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             * ls.radiance
             * (cos_s * w_l / jnp.maximum(ls.pdf_w * pick_prob, 1e-12))[:, None]
         )
-        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru & ~scat
+        ok = alive & (cos_s > 0.0) & ~passthru & ~scat
         if layer != "color":
             # NEE at the first vertex (or through a pure specular chain) is
             # direct light (killDueToDirectLight/IndirectLight inverted)
@@ -604,7 +640,15 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             if layer == "indirect":
                 keep_nee = ~keep_nee
             ok = ok & keep_nee
-        acc = acc + jnp.where(ok[:, None], contrib, 0.0)
+        if fuse:
+            # defer: the occlusion query joins the NEXT extension dispatch
+            pend = (sray_o, ls.dir, ls.dist,
+                    jnp.where(ok[:, None], contrib, 0.0), alive)
+        else:
+            u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
+            occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive,
+                                    u_sh, has_alpha, presorted=sorted_mode)
+            acc = acc + jnp.where((ok & ~occluded)[:, None], contrib, 0.0)
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
         r_b = rand_fn(depth, DG_BSDF)
@@ -699,6 +743,15 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             prev_spec = jnp.where(scat, True, prev_spec)
             prev_pdf = jnp.where(scat, 0.0, prev_pdf)
         ray_d = wi
+
+    if pend is not None:
+        # flush the final bounce's deferred NEE: no extension dispatch
+        # follows, so resolve occlusion with one dedicated any-hit (same
+        # predicate the unfused path uses: hit exists in (eps, 0.995*dist))
+        po, pd, pdist, pcontrib, pmask = pend
+        ah = any_hit if sorted_mode else any_hit_sorted
+        occluded_p = ah(scene, po, pd, pdist * 0.995, active=pmask)
+        acc = acc + jnp.where(occluded_p[:, None], 0.0, pcontrib)
 
     if sorted_mode:  # restore caller ray order (one scatter)
         acc = jnp.zeros((R, 3), jnp.float32).at[orig_pos].set(acc)

@@ -112,7 +112,8 @@ def closest_hit_sorted(scene, ray_o, ray_d, t_max=1e30, active=None):
         key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
     _, idx = jax.lax.sort_key_val(key, jnp.arange(R, dtype=jnp.int32))
     act = None if active is None else active[idx]
-    t, tri, u, v = closest_hit(scene, ray_o[idx], ray_d[idx], t_max, act)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    t, tri, u, v = closest_hit(scene, ray_o[idx], ray_d[idx], tm[idx], act)
     inv = jnp.zeros(R, jnp.int32).at[idx].set(jnp.arange(R, dtype=jnp.int32))
     return t[inv], tri[inv], u[inv], v[inv]
 
