@@ -191,6 +191,10 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
                 med = med[perm]
 
         # ---- 3. trace + shade one segment (pt_trace_impl bounce body)
+        # snapshot entry-liveness IN THE CURRENT LANE ORDER: the death
+        # splat below compares against post-shading `alive`, and in sorted
+        # mode both must live in post-permute space
+        was_alive = alive
         rays = s["rays"] + alive.sum()
         t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
@@ -391,8 +395,7 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
 
         # ---- 4. death splat: finished samples write their (clamped)
         # radiance to the framebuffer — one deterministic scatter-add
-        was = s["alive"] | take
-        dying = was & ~alive
+        dying = was_alive & ~alive
         cl = scene.settings.clamp if scene.settings is not None else 1e6
         fb = s["fb"].at[pix].add(
             jnp.where(dying[:, None], jnp.clip(acc, 0.0, cl), 0.0))

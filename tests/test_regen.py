@@ -130,3 +130,52 @@ def test_regen_matches_pass_loop_sss():
     a, b_ = np.asarray(fb_a), np.asarray(fb_b)
     assert np.allclose(a, b_, rtol=2e-4, atol=2e-5), \
         f"max abs diff {np.abs(a - b_).max():.3e}"
+
+
+def test_regen_matches_pass_loop_instanced_sorted():
+    """Instanced scenes route to the cluster backend even on CPU
+    (scene.cl_map), turning sorted_mode ON: the regen loop's death splat
+    and the whole lane state must ride the per-iteration coherence permute
+    (regression test for the pre-permute `was` mask)."""
+    import xml.etree.ElementTree as ET
+
+    import jax.numpy as jnp
+
+    from hydracore_tpu.scene.scene import assemble
+    from hydracore_tpu.scene.statefile import (CameraDesc, InstanceDesc,
+                                               RenderSettings, SceneDesc)
+    from tests.test_instancing import _box_mesh, _mat, _plane_mesh, _xform
+
+    lights = {
+        0: ET.fromstring(
+            '<light id="0" type="sky" shape="sky" distribution="uniform">'
+            '<intensity><color val="0.6 0.7 0.9"/>'
+            '<multiplier val="1"/></intensity></light>')
+    }
+    cam = CameraDesc()
+    cam.position = np.array([0, 4, 14], np.float32)
+    cam.look_at = np.array([0, 0, 0], np.float32)
+    instances = [InstanceDesc(mesh_id=1, matrix=_xform(0, -1.0, 0))]
+    for tx, tz, s, ry in [(-3, -2, 1.0, 0.3), (0, 0, 0.7, 1.1),
+                          (3, -1, 1.3, 2.0)]:
+        instances.append(InstanceDesc(mesh_id=2,
+                                      matrix=_xform(tx, 0.0, tz, s, ry)))
+    desc = SceneDesc(
+        lib_dir="", textures={}, materials={0: _mat(0, "0.7 0.3 0.2"),
+                                            1: _mat(1, "0.5 0.5 0.5")},
+        lights=lights, camera=cam,
+        settings=RenderSettings(width=20, height=20, trace_depth=3),
+        meshes={1: _plane_mesh(), 2: _box_mesh()},
+        mesh_light_id={}, instances=instances, light_instances=[])
+    sc = assemble(desc, instancing="force")
+    assert sc.cl_map is not None and regen_supported(sc)
+
+    import jax
+
+    fb_a, _ = render_passes(sc, jnp.uint32(0), jnp.uint32(7), n_pass=4,
+                            max_depth=3)
+    fb_b, _ = render_passes_regen(sc, jnp.uint32(0), jnp.uint32(7), n_pass=4,
+                                  max_depth=3)
+    a, b_ = np.asarray(fb_a), np.asarray(fb_b)
+    assert np.allclose(a, b_, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b_).max():.3e}"
