@@ -28,6 +28,7 @@ SSS / fog / back-plate / proc-AO state fall back to the pass loop
 """
 from __future__ import annotations
 
+import os as _os
 from functools import partial
 
 import jax
@@ -91,6 +92,12 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
     has_proc_ao = st is not None and getattr(st, "has_proc_ao", False)
     feats = scene_feats(scene)
     sorted_mode = wants_sorted_rays(scene)
+    # fused-traversal knob (HYDRA_FUSE_TRACE=1, mirrors pt_trace_impl):
+    # bounce d's NEE occlusion query rides bounce d+1's extension dispatch
+    # as one 2R-wide closest hit. A lane that dies with its NEE still
+    # pending delays its death splat (and refill) by one iteration — only
+    # RR/throughput kills hit that path, so the utilization cost is small.
+    fuse = (not has_alpha) and _os.environ.get("HYDRA_FUSE_TRACE") == "1"
     if has_sky_s:
         has_sky = (scene.lights.ltype == LIGHT_SKY).any()
         sky_row = jnp.argmax(scene.lights.ltype == LIGHT_SKY)
@@ -122,11 +129,18 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             **({"fog": jnp.zeros((R, 4), f32)} if has_fog else {}),
             **({"pure_t": jnp.zeros((R,), bool)} if has_back else {}),
             **({"med": jnp.zeros((R, 6), f32)} if has_sss else {}),
+            # pending NEE: origin(3) dir(3) dist(1) masked-contrib(3) + mask
+            **({"pend": jnp.zeros((R, 10), f32),
+                "pend_m": jnp.zeros((R,), bool)} if fuse else {}),
         )
 
     def body(s):
         # ---- 1. regeneration: refill dead lanes with the next samples
+        # (a dead lane with an unresolved NEE query keeps its slot — its
+        # radiance isn't final until the pending occlusion resolves)
         regen = ~s["alive"]
+        if fuse:
+            regen = regen & ~s["pend_m"]
         rank = jnp.cumsum(regen.astype(jnp.uint32)) - regen.astype(jnp.uint32)
         new_ctr = s["next_ctr"] + rank
         take = regen & (new_ctr < total)
@@ -158,6 +172,8 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             pure_t = sel(jnp.ones((R,), bool), s["pure_t"])
         if has_sss:
             med = sel(jnp.zeros((R, 6), f32), s["med"])
+        if fuse:  # refilled lanes have pend_m False by construction
+            pend, pend_m = s["pend"], s["pend_m"]
         alive = s["alive"] | take
         next_ctr = s["next_ctr"] + jnp.minimum(
             regen.sum().astype(jnp.uint32), total - s["next_ctr"])
@@ -189,6 +205,9 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
                 pure_t = pure_t[perm]
             if has_sss:
                 med = med[perm]
+            if fuse:
+                pend = pend[perm]
+                pend_m = pend_m[perm]
 
         # ---- 3. trace + shade one segment (pt_trace_impl bounce body)
         # snapshot entry-liveness IN THE CURRENT LANE ORDER: the death
@@ -196,7 +215,23 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         # mode both must live in post-permute space
         was_alive = alive
         rays = s["rays"] + alive.sum()
-        t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
+        if fuse:
+            # one 2R dispatch: [extension rays; last body's shadow rays],
+            # then land the resolved NEE — same per-lane accumulation order
+            # as the unfused loop (nee_d precedes emit_{d+1})
+            t2, tri2, u2, v2 = closest_hit(
+                scene,
+                jnp.concatenate([ray_o, pend[:, 0:3]]),
+                jnp.concatenate([ray_d, pend[:, 3:6]]),
+                t_max=jnp.concatenate(
+                    [jnp.full((R,), 1e30, f32), pend[:, 6] * 0.995]),
+                active=jnp.concatenate([alive, pend_m]))
+            t, tri, u, v = t2[:R], tri2[:R], u2[:R], v2[:R]
+            unocc = pend_m & (tri2[R:] < 0)
+            acc = acc + jnp.where(unocc[:, None], pend[:, 7:10], 0.0)
+            pend_entry = pend_m  # every entry query resolves this body
+        else:
+            t, tri, u, v = closest_hit(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         miss = alive & ~hit
 
@@ -305,17 +340,24 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos, rows=rows_nee)
         rays = rays + alive.sum()
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
-        u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
-        occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive, u_sh,
-                                has_alpha, presorted=sorted_mode)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
         cos_s = jnp.abs(dot3(ls.dir, ns))
         w_l = jnp.where(ls.is_delta, 1.0,
                         mis_weight(ls.pdf_w * ls.pick_prob, pdf_fwd))
         contrib = tp * f * ls.radiance * (
             cos_s * w_l / jnp.maximum(ls.pdf_w * ls.pick_prob, 1e-12))[:, None]
-        ok = alive & ~occluded & (cos_s > 0.0) & ~passthru & ~scat
-        acc = acc + jnp.where(ok[:, None], contrib, 0.0)
+        ok = alive & (cos_s > 0.0) & ~passthru & ~scat
+        if fuse:
+            # defer: the occlusion query joins the NEXT body's dispatch
+            pend = jnp.concatenate([
+                sray_o, ls.dir, ls.dist[:, None],
+                jnp.where(ok[:, None], contrib, 0.0)], axis=1)
+            pend_m = alive
+        else:
+            u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
+            occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive,
+                                    u_sh, has_alpha, presorted=sorted_mode)
+            acc = acc + jnp.where((ok & ~occluded)[:, None], contrib, 0.0)
 
         r_b = rand_fn(sidx, depth, DG_BSDF)
         bs = sample_bsdf(p, -ray_d, ns, r_b, feats)
@@ -395,7 +437,13 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
 
         # ---- 4. death splat: finished samples write their (clamped)
         # radiance to the framebuffer — one deterministic scatter-add
-        dying = was_alive & ~alive
+        if fuse:
+            # a lane splats once its radiance is final: dead with no NEW
+            # pending query, and it either died this body or sat dead
+            # waiting for the pend that just resolved
+            dying = ~alive & ~pend_m & (was_alive | pend_entry)
+        else:
+            dying = was_alive & ~alive
         cl = scene.settings.clamp if scene.settings is not None else 1e6
         fb = s["fb"].at[pix].add(
             jnp.where(dying[:, None], jnp.clip(acc, 0.0, cl), 0.0))
@@ -410,10 +458,15 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             out["pure_t"] = pure_t
         if has_sss:
             out["med"] = med
+        if fuse:
+            out["pend"], out["pend_m"] = pend, pend_m
         return out
 
     def cond(s):
-        return s["alive"].any() | (s["next_ctr"] < total)
+        live = s["alive"].any() | (s["next_ctr"] < total)
+        if fuse:  # drain the last pending occlusion queries
+            live = live | s["pend_m"].any()
+        return live
 
     out = jax.lax.while_loop(cond, body, init_state())
     return out["fb"].reshape(H, W, 3), out["rays"]

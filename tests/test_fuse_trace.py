@@ -62,3 +62,61 @@ def test_fuse_trace_final_bounce_nee_flushed(monkeypatch):
     assert b.sum() > 0.0
     a, _ = _render(sc, False, monkeypatch, max_depth=1)
     assert np.array_equal(a, b)
+
+
+def test_fuse_regen_matches_unfused_regen(monkeypatch):
+    """The regen loop's fused variant (pend query rides the next body's
+    dispatch, delayed death splat) produces the same estimator: same sample
+    set, same per-lane accumulation order; only the fb splat iteration
+    order changes (same-pixel adds may re-associate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hydracore_tpu.integrators.pt_regen import (regen_supported,
+                                                    render_passes_regen)
+
+    sc = _box_scene(trace_depth=5)
+    assert regen_supported(sc)
+
+    def run(fuse):
+        if fuse:
+            monkeypatch.setenv("HYDRA_FUSE_TRACE", "1")
+        else:
+            monkeypatch.delenv("HYDRA_FUSE_TRACE", raising=False)
+        jax.clear_caches()
+        fb, rays = render_passes_regen(sc, jnp.uint32(3), jnp.uint32(77),
+                                       n_pass=6, max_depth=5)
+        return np.asarray(fb), float(rays)
+
+    a, rays_a = run(False)
+    b, rays_b = run(True)
+    assert np.allclose(a, b, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b).max():.3e}"
+    assert rays_a == rays_b
+
+
+def test_fuse_regen_instanced_sorted(monkeypatch):
+    """Fused regen under sorted mode (instanced scene -> cluster backend on
+    CPU): the pend state must ride the coherence permute."""
+    import jax
+    import jax.numpy as jnp
+
+    from hydracore_tpu.integrators.pt_regen import render_passes_regen
+    from tests.test_regen import _instanced_scene
+
+    sc = _instanced_scene()
+
+    def run(fuse):
+        if fuse:
+            monkeypatch.setenv("HYDRA_FUSE_TRACE", "1")
+        else:
+            monkeypatch.delenv("HYDRA_FUSE_TRACE", raising=False)
+        jax.clear_caches()
+        fb, _ = render_passes_regen(sc, jnp.uint32(0), jnp.uint32(7),
+                                    n_pass=4, max_depth=3)
+        return np.asarray(fb)
+
+    a = run(False)
+    b = run(True)
+    assert np.allclose(a, b, rtol=2e-4, atol=2e-5), \
+        f"max abs diff {np.abs(a - b).max():.3e}"

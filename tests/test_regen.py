@@ -132,14 +132,10 @@ def test_regen_matches_pass_loop_sss():
         f"max abs diff {np.abs(a - b_).max():.3e}"
 
 
-def test_regen_matches_pass_loop_instanced_sorted():
-    """Instanced scenes route to the cluster backend even on CPU
-    (scene.cl_map), turning sorted_mode ON: the regen loop's death splat
-    and the whole lane state must ride the per-iteration coherence permute
-    (regression test for the pre-permute `was` mask)."""
+def _instanced_scene():
+    """A small instanced scene: routes to the cluster backend even on CPU
+    (scene.cl_map), turning sorted_mode ON."""
     import xml.etree.ElementTree as ET
-
-    import jax.numpy as jnp
 
     from hydracore_tpu.scene.scene import assemble
     from hydracore_tpu.scene.statefile import (CameraDesc, InstanceDesc,
@@ -168,10 +164,18 @@ def test_regen_matches_pass_loop_instanced_sorted():
         meshes={1: _plane_mesh(), 2: _box_mesh()},
         mesh_light_id={}, instances=instances, light_instances=[])
     sc = assemble(desc, instancing="force")
-    assert sc.cl_map is not None and regen_supported(sc)
+    assert sc.cl_map is not None
+    return sc
 
-    import jax
 
+def test_regen_matches_pass_loop_instanced_sorted():
+    """The regen loop's death splat and the whole lane state must ride the
+    per-iteration coherence permute (regression test for the pre-permute
+    `was` mask)."""
+    import jax.numpy as jnp
+
+    sc = _instanced_scene()
+    assert regen_supported(sc)
     fb_a, _ = render_passes(sc, jnp.uint32(0), jnp.uint32(7), n_pass=4,
                             max_depth=3)
     fb_b, _ = render_passes_regen(sc, jnp.uint32(0), jnp.uint32(7), n_pass=4,
