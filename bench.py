@@ -98,13 +98,19 @@ def _probe(scene_dir: str, width: int, timeout: int = 5400, env=None,
 # hardware likes, once, then render.
 _CONFIGS = [
     {},
+    # likely winners first: the budget guard trims the TAIL of this list,
+    # so order = expected value. fuse (half the traversal dispatches) and
+    # regen (full lane utilization) attack independent parts of the floor
+    # and compose; both regen/fuse loops are image-tested.
+    {"HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1"},
+    {"HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
     {"HYDRA_REGEN": "1"},
+    {"HYDRA_FUSE_TRACE": "1"},
     {"HYDRA_MEGABLOCK_LOG2": "20"},
     {"HYDRA_REGEN": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
+    {"HYDRA_FUSE_TRACE": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
     {"HYDRA_SORT_EVERY": "2"},
     {"HYDRA_PRESPLIT": "1", "HYDRA_REGEN": "1"},
-    {"HYDRA_FUSE_TRACE": "1"},
-    {"HYDRA_FUSE_TRACE": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
 ]
 
 
@@ -140,8 +146,31 @@ def _autotune(scene: str, width: int, configs=None, budget_s: float = 1500.0):
     return best_env, scores
 
 
+def _device_available(timeout: int = 300) -> bool:
+    """Bounded TPU availability probe. With the axon tunnel down, jax device
+    init hangs forever (docs/ROUND3_NOTES.md); a subprocess + timeout keeps
+    the bench from stalling the driver for hours."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('DEV', len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout, cwd="/root/repo")
+        return "DEV" in out.stdout
+    except Exception:
+        return False
+
+
 def main():
     scene = "/root/reference/hydra_app/tests/test_224"
+    if not _device_available():
+        print(json.dumps({
+            "metric": "Msamples/s cornell+teapot (test_224) 1024x1024 depth5 PT(MIS+NEE)",
+            "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
+            "extra": {"error": "TPU device init timed out — axon tunnel down "
+                               "(see docs/ROUND3_NOTES.md); no measurement "
+                               "possible, not a renderer regression"},
+        }))
+        return 0
     tuned_env, tune_scores = _autotune(scene, 1024)
 
     dt1k, rays1k, spread1k = _probe(scene, 1024, env=tuned_env)

@@ -18,6 +18,9 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE: the persistent compile cache was tried here to cut suite wall-clock
+# (XLA:CPU compiles dominate) but XLA's cpu_aot_loader logs a noisy
+# feature-mismatch ERROR for every cache load on this machine; left off.
 
 import pathlib
 

@@ -96,6 +96,19 @@ STATEFILE_SCENES = {
     "sf_test_224": ("test_224", 256, 8),
     "sf_014_bump": ("014_Bump_height", 256, 16),
     "sf_test_223": ("test_223_small", 256, 16),
+    # ---- the rest of the reference's bundled libraries (all 16 covered;
+    # 128^2 / low spp keeps the CPU gate tractable — the pin is still
+    # deterministic, so any semantic regression trips MSE<50 immediately)
+    "sf_test_42_beckmann": ("test_42_beckmann", 128, 8),
+    "sf_test_224_sphere": ("test_224_sphere", 128, 4),
+    "sf_test_224_sphere_mf": ("test_224_sphere_microfacet", 128, 4),
+    "sf_test_aniso": ("test_aniso", 128, 4),
+    "sf_test_aniso2": ("test_aniso2", 128, 4),
+    "sf_test_pool": ("test_pool", 128, 4),
+    "sf_teapot_cylinder": ("teapot_cylinder", 128, 4),
+    "sf_demo_05": ("demo_05", 128, 4),
+    "sf_demo_06": ("demo_06", 128, 4),
+    "sf_bench03": ("Benchmark_Scene03", 128, 2),
 }
 
 

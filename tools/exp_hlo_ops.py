@@ -57,3 +57,13 @@ for k in KINDS:
     c = counts[k]
     print(f"  {k:22s} {c:5d}  ({c / total_bounces:6.2f}/bounce)")
 print(f"  HLO lines: {len(hlo.splitlines())}")
+
+# breakdown of gather output shapes (which row-gathers remain?)
+if os.environ.get("HC_GATHER_SHAPES"):
+    shapes = collections.Counter()
+    for line in hlo.splitlines():
+        m = re.search(r"= (\S+?) gather\(", line)
+        if m:
+            shapes[m.group(1)] += 1
+    for s, c in shapes.most_common():
+        print(f"  gather -> {s:40s} x{c}")

@@ -32,7 +32,14 @@ run bigvmem env HYDRA_CL_MAX_CP=4352 python tools/exp_bigmode.py \
 # 3. depth sweep + traversal-only (the MRaysStat breakdown)
 run profile python tools/exp_profile_r3.py 1024
 
-# 4. bench — autotunes over {base, regen, mb20, regen+mb20, sort2} itself
-run bench python bench.py
+# 4. bench — autotunes over the _CONFIGS list itself (fuse/regen/mb20/…);
+#    full protocol = tune@1024 + headline + retune@512 + tiny + big scene,
+#    needs more than the default step budget (inline, not run(): the helper
+#    caps every step at STEP_TIMEOUT)
+echo "=== bench: python bench.py"
+timeout 9000 python bench.py >/tmp/tpuq_bench.log 2>&1
+rc=$?
+tail -5 /tmp/tpuq_bench.log
+echo "=== bench rc=$rc"
 
 echo "queue done; logs in /tmp/tpuq_*.log"
