@@ -144,3 +144,81 @@ def cut_clusters(bvh: FlatBVH, tri_v0: np.ndarray, tri_e1: np.ndarray,
     return ClusterSet(bounds_lane=bl, bounds_sub=np.ascontiguousarray(bl.T),
                       tris=tris, slot_tri=slot_tri, oct_perm=oct_perm,
                       bounds_oct=bounds_oct, num_clusters=C)
+
+
+def partition_clusters(cl: ClusterSet, cap: int) -> ClusterSet:
+    """Split a flat ClusterSet into VMEM-fitting chunks of `cap` clusters.
+
+    Big-scene analogue of the reference's multi-tree traversal loop
+    (runKernel_Trace iterates up to MAXBVHTREES=4 trees per bounce,
+    GPUOCLKernels.cpp:424-512): each chunk stays a pure-VMEM kernel
+    launch; the dispatcher chains them with t-threading so later chunks
+    prune against earlier hits. Chunks follow the DFS cut order, which
+    keeps them spatially coherent (clusters.py cut order note).
+
+    Arrays gain a leading partition axis P; slot_tri stays FLAT in
+    partition-major padded order (slot_global = p*cap*128 + slot_local),
+    so downstream slot->tri tables need no changes.
+    """
+    assert cap % 128 == 0 and cap >= 128, cap
+    C = cl.num_clusters
+    Cp_flat = cl.tris.shape[0]
+    P = max((C + cap - 1) // cap, 1)
+
+    bl = np.zeros((P, 8, cap), np.float32)
+    bl[:, 0:6, :] = 1e30  # far-away POINT boxes reject padded lanes
+    tris = np.zeros((P, cap, 4, 384), np.float32)
+    tris[:, :, 3, 0:128] = -1.0  # padding slots: u = -1 always fails
+    tris[:, :, 3, 256:384] = 1.0
+    slot_tri = np.full(P * cap * 128, -1, np.int32)
+
+    for p in range(P):
+        lo = p * cap
+        hi = min(lo + cap, C)
+        n = hi - lo
+        bl[p, :, :n] = cl.bounds_lane[:, lo:hi]
+        tris[p, :n] = cl.tris[lo:hi]
+        slot_tri[p * cap * 128 : p * cap * 128 + n * 128] = \
+            cl.slot_tri[lo * 128 : hi * 128]
+
+    # per-chunk octant visit orders (local indices; padded clusters last)
+    oct_perm = np.zeros((P, 8, cap), np.int32)
+    bounds_oct = np.zeros((P, 8, 8, cap), np.float32)
+    lane = np.arange(cap)
+    for p in range(P):
+        center = (bl[p, 0:3, :] + bl[p, 3:6, :]) * 0.5
+        pad = lane >= min(C - p * cap, cap)
+        for o in range(8):
+            s = np.array([1.0 if o & 1 else -1.0,
+                          1.0 if o & 2 else -1.0,
+                          1.0 if o & 4 else -1.0])
+            key = s @ center
+            key[pad] = np.inf
+            perm = np.argsort(key, kind="stable").astype(np.int32)
+            oct_perm[p, o] = perm
+            bounds_oct[p, o] = bl[p][:, perm]
+
+    del Cp_flat
+    return ClusterSet(
+        bounds_lane=bl, bounds_sub=np.ascontiguousarray(bl.transpose(0, 2, 1)),
+        tris=tris, slot_tri=slot_tri, oct_perm=oct_perm,
+        bounds_oct=bounds_oct, num_clusters=C)
+
+
+def maybe_partition(cl: ClusterSet) -> ClusterSet:
+    """Partition when the flat pool exceeds the VMEM cluster cap.
+
+    HYDRA_CL_MAX_CP raised above the pool size (the big-mode A/B knob,
+    ops/trace_api.py) keeps the set flat so the HBM-streaming kernel can
+    engage instead; HYDRA_NO_CL_PART=1 disables partitioning outright
+    (big scenes then fall back to the wide-BVH loop as before)."""
+    import os
+
+    if os.environ.get("HYDRA_NO_CL_PART") == "1":
+        return cl
+    cap = int(os.environ.get("HYDRA_CL_PART_CAP",
+                             os.environ.get("HYDRA_CL_MAX_CP", "1024")))
+    cap = max(128, cap // 128 * 128)
+    if cl.tris.shape[0] <= cap:
+        return cl
+    return partition_clusters(cl, cap)

@@ -37,6 +37,12 @@ def _use_dense(scene) -> bool:
 def _use_cluster(scene) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
+    if scene.cl_tris.ndim == 4:
+        # partitioned big-scene layout (bvh/clusters.py partition_clusters):
+        # every chunk fits VMEM by construction; traverse_cluster chains
+        # the kernel over chunks with t-threading (the reference's
+        # multi-tree bounce loop, GPUOCLKernels.cpp:424-512)
+        return True
     return scene.cl_tris.shape[0] <= _CL_MAX_CP
 
 

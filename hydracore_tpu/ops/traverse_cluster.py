@@ -312,8 +312,12 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 INTERPRET = False
 
 
-# clusters beyond this keep their triangle pool in HBM (big mode)
-VMEM_MAX_CP = 1024
+# clusters beyond this keep their triangle pool in HBM (big mode).
+# HYDRA_VMEM_MAX_CP raises it for the pure-VMEM-at-scale hardware A/B
+# (pair with HYDRA_CL_MAX_CP so routing reaches the cluster path at all).
+import os as _os  # noqa: E402
+
+VMEM_MAX_CP = int(_os.environ.get("HYDRA_VMEM_MAX_CP", "1024"))
 
 
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret"))
@@ -431,6 +435,46 @@ def local_rays(scene, inst, ray_o, ray_d):
     return ro, rd
 
 
+def _is_partitioned(scene) -> bool:
+    """Stacked (P, Cpp, 4, 384) cluster pool (bvh/clusters.py
+    partition_clusters) — the big-scene multi-chunk layout."""
+    return scene.cl_tris.ndim == 4
+
+
+def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp):
+    """Chain the VMEM kernel over the partition chunks (the reference's
+    multi-tree bounce loop, GPUOCLKernels.cpp:424-512). Closest-hit
+    threads each chunk's best t into the next chunk's per-ray t_lim so
+    later chunks prune against earlier hits; any-hit retires occluded
+    lanes between chunks. Slots come back partition-offset
+    (p*Cpp*128 + local), matching the flat slot_tri table."""
+    P, Cpp = pool.shape[0], pool.shape[1]
+    neg = jnp.float32(-BIG * 0.5)
+    t_best = None
+    slot = None
+    for p in range(P):
+        t_p, s_p, _ = _cluster_traverse(rays, scene.cl_bounds_oct[p],
+                                        pool[p], scene.cl_oct_perm[p],
+                                        None, None,
+                                        any_hit_mode=any_hit_mode,
+                                        interpret=interp)
+        s_p = jnp.where(s_p >= 0, s_p + p * Cpp * 128, -1)
+        if slot is None:
+            t_best, slot = t_p, s_p
+        else:
+            better = s_p >= 0  # the kernel only records beats of t_lim
+            t_best = jnp.where(better, t_p, t_best)
+            slot = jnp.where(better, s_p, slot)
+        if p + 1 < P:
+            if any_hit_mode:  # occluded lanes go inactive for later chunks
+                rays = rays.at[:, :, 7].set(
+                    jnp.where(slot >= 0, 0.0, rays[:, :, 7]))
+            else:  # hit t (== old t_lim on miss) is the new cull distance
+                rays = rays.at[:, :, 6].set(
+                    jnp.where(t_best > neg, t_best, rays[:, :, 6]))
+    return t_best, slot
+
+
 def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     """Returns (t, tri_id, u, v); t = +inf on miss (trace_api contract).
     Instanced scenes return the SLOT id in place of tri_id (still <0 on
@@ -438,10 +482,16 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
     cl_slot_tri2 — the same gather, CSE'd."""
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
     cl_map, iwoop, interp = _scene_inst(scene)
-    t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, scene.cl_tris,
-                                   scene.cl_oct_perm, cl_map, iwoop,
-                                   any_hit_mode=False,
-                                   interpret=interp or INTERPRET)
+    if _is_partitioned(scene):
+        interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
+        t, slot = _partitioned_traverse(scene, rays, scene.cl_tris,
+                                        any_hit_mode=False, interp=interp)
+    else:
+        t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct,
+                                       scene.cl_tris,
+                                       scene.cl_oct_perm, cl_map, iwoop,
+                                       any_hit_mode=False,
+                                       interpret=interp or INTERPRET)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
@@ -482,8 +532,13 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
     rays, R = _to_blocks(ray_o, ray_d, t_max, active)
     cl_map, iwoop, interp = _scene_inst(scene)
     pool = scene.cl_tris_shadow if opaque_only else scene.cl_tris
-    _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
-                                   scene.cl_oct_perm, cl_map, iwoop,
-                                   any_hit_mode=True,
-                                   interpret=interp or INTERPRET)
+    if _is_partitioned(scene):
+        interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
+        _, slot = _partitioned_traverse(scene, rays, pool,
+                                        any_hit_mode=True, interp=interp)
+    else:
+        _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
+                                       scene.cl_oct_perm, cl_map, iwoop,
+                                       any_hit_mode=True,
+                                       interpret=interp or INTERPRET)
     return slot.reshape(-1)[:R] >= 0

@@ -214,9 +214,9 @@ class SceneBuilder:
 
         pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f, wbvh.max_depth)
 
-        from hydracore_tpu.bvh.clusters import cut_clusters
+        from hydracore_tpu.bvh.clusters import cut_clusters, maybe_partition
 
-        cl = cut_clusters(bvh, v0[p], (v1 - v0)[p], (v2 - v0)[p])
+        cl = maybe_partition(cut_clusters(bvh, v0[p], (v1 - v0)[p], (v2 - v0)[p]))
 
         pts = np.concatenate([v0, v1, v2], 0)
         wb_min = pts.min(0).astype(np.float32)

@@ -346,9 +346,9 @@ def assemble(desc: SceneDesc, width: int | None = None, height: int | None = Non
 
     pkt_nodes, pkt_nodesi, pkt_tris = pack_pools(wbvh.nodes, wbvh.tri9f, wbvh.max_depth)
 
-    from hydracore_tpu.bvh.clusters import cut_clusters
+    from hydracore_tpu.bvh.clusters import cut_clusters, maybe_partition
 
-    cl = cut_clusters(bvh, tri_v0, tri_e1, tri_e2)
+    cl = maybe_partition(cut_clusters(bvh, tri_v0, tri_e1, tri_e2))
 
     pts = np.concatenate([tri_v0, tri_v0 + tri_e1, tri_v0 + tri_e2], 0)
     wb_min = pts.min(0).astype(np.float32)
@@ -616,11 +616,13 @@ def _build_shadow_split(sc: SceneData, st) -> dict:
     slot = np.asarray(sc.cl_slot_tri, np.int32)
     lane_soft = (slot >= 0) & tri_soft[np.clip(slot, 0, len(tri_soft) - 1)]
     cl_shadow = np.array(sc.cl_tris, np.float32, copy=True)
-    Cp = cl_shadow.shape[0]
-    lane_soft = lane_soft.reshape(Cp, 128)
-    kill = np.repeat(lane_soft[:, None, :], 4, axis=1)  # (Cp, 4, 128)
+    # flat view works for both layouts: slot_tri is partition-major flat,
+    # so the (P, Cpp, 4, 384) stacking flattens in the same cluster order
+    flat = cl_shadow.reshape(-1, 4, 384)
+    lane_soft = lane_soft.reshape(flat.shape[0], 128)
+    kill = np.repeat(lane_soft[:, None, :], 4, axis=1)  # (C, 4, 128)
     kill = np.concatenate([kill, kill, kill], axis=2)  # [Mu|Mv|Mw] lanes
-    cl_shadow[kill] = 0.0
+    flat[kill] = 0.0
 
     # dense alpha set, field-major (9, A) padded to a lane multiple
     A = int(np.ceil(ids.size / 128) * 128)

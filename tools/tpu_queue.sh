@@ -26,8 +26,12 @@ run floor_1m   python tools/exp_stage_floor.py 1048576
 #    `VAR=x run …` prefix on a bash FUNCTION call leaks the var into every
 #    later step.
 run bigmode python tools/exp_bigmode.py
-run bigvmem env HYDRA_CL_MAX_CP=4352 python tools/exp_bigmode.py \
+run bigvmem env HYDRA_CL_MAX_CP=4352 HYDRA_VMEM_MAX_CP=4352 \
+    python tools/exp_bigmode.py \
     /root/reference/hydra_app/tests/Benchmark_Scene03 65536
+# 2b. partitioned cluster chain (the DEFAULT big-scene path now): parity
+#     vs the wide loop + Mrays/s on Benchmark_Scene03
+run partition python tools/exp_partition.py
 
 # 3. depth sweep + traversal-only (the MRaysStat breakdown)
 run profile python tools/exp_profile_r3.py 1024
