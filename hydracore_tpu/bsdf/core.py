@@ -658,6 +658,9 @@ class BsdfSample(NamedTuple):
     pdf: jnp.ndarray  # (R,) mixture pdf (0 for delta)
     is_specular: jnp.ndarray  # (R,) bool
     is_transmission: jnp.ndarray  # (R,) bool
+    is_diff_trans: jnp.ndarray = None  # (R,) bool: translucency lobe picked
+    # (the SSS boundary crossing rides this lobe — integrators toggle the
+    # medium state on it; None only from legacy constructors)
 
 
 def _sample_ggx_h(ns, alpha, u1, u2):
@@ -806,4 +809,5 @@ def sample_bsdf(p: MatParams, wo, n, rands, feats=FEATS_ALL) -> BsdfSample:
     dead = ~(pick_d | pick_s | pick_t | pick_l)
     weight = jnp.where(dead[..., None] | ~alive[..., None], 0.0, weight)
 
-    return BsdfSample(wi=wi, weight=weight, pdf=pdf, is_specular=spec, is_transmission=is_transmission)
+    return BsdfSample(wi=wi, weight=weight, pdf=pdf, is_specular=spec,
+                      is_transmission=is_transmission, is_diff_trans=pick_l)

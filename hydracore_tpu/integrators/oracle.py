@@ -180,11 +180,56 @@ class OracleRenderer:
             return 1.0
         return pdf_light**2 / max(pdf_light**2 + pdf_bsdf**2, 1e-20)
 
+    @staticmethod
+    def _hg(d, g, e1, e2):
+        """Henyey-Greenstein direction about d — scalar mirror of
+        pt.hg_sample (SampleHenyeyGreenstein, CPUExp_IntegratorSSS.cpp:110)."""
+        s = 1.0 - 2.0 * e1
+        denom = max((1.0 + g * s) ** 2, 1e-6)
+        cost = (s + 2.0 * g**3 * (e1 - 1.0) * e1 + g * g * s
+                + 2.0 * g * (1.0 - e1 + e1 * e1)) / denom
+        cost = min(max(cost, -1.0), 1.0)
+        sint = np.sqrt(max(1.0 - cost * cost, 1e-6))
+        sign = 1.0 if d[2] >= 0 else -1.0
+        a = -1.0 / (sign + d[2])
+        b = d[0] * d[1] * a
+        tb = np.array([1.0 + sign * d[0] ** 2 * a, sign * b, -sign * d[0]])
+        bb = np.array([b, sign + d[1] ** 2 * a, -d[1]])
+        phi = 2.0 * np.pi * e2
+        wi = np.cos(phi) * sint * tb + np.sin(phi) * sint * bb + cost * d
+        return wi / max(np.linalg.norm(wi), 1e-12)
+
     def radiance(self, o, d, sample_index, seed, depth, max_depth, prev_pdf,
-                 prev_spec, fog=None):
+                 prev_spec, fog=None, med=None):
         """fog: None or (color (3,), mult) — the armed thick-glass Beer fog
         of the medium this segment travels through (attenuationStep,
-        cmaterial.h:2787). Attenuates everything arriving along it."""
+        cmaterial.h:2787). Attenuates everything arriving along it.
+
+        med: None or (sigma_s, sigma_a (3,), g) — the SSS scattering medium
+        this ray currently travels inside (ref PathTraceVol,
+        CPUExp_IntegratorSSS.cpp:143): sample a free-flight distance
+        ~ exp(sigma_s); scattering consumes a depth step (HG direction,
+        Beer absorption, specular-for-MIS like the wavefront's scat lanes);
+        otherwise attenuate to the boundary surface."""
+        if med is not None:
+            sig_s, sig_a, g = med
+            if depth >= max_depth - 1:
+                return np.zeros(3)
+            pre = self.trace(o, d)
+            if not np.isfinite(pre[0]):
+                return np.zeros(3)  # lost inside the medium (pt.py in_med&miss)
+            r_m = _rand4(sample_index, depth, 5, seed)
+            d_scat = -np.log(max(r_m[0], 1e-12)) / max(sig_s, 1e-12)
+            if sig_s > 0.0 and d_scat < pre[0]:
+                att = np.exp(-sig_a * d_scat)
+                wi = self._hg(d, g, r_m[1], r_m[2])
+                return att * self.radiance(o + d_scat * d, wi, sample_index,
+                                           seed, depth + 1, max_depth, 0.0,
+                                           True, fog=fog, med=med)
+            att = np.exp(-sig_a * pre[0])
+            return att * self._radiance_inner(o, d, sample_index, seed, depth,
+                                              max_depth, prev_pdf, prev_spec,
+                                              fog, pre=pre, med=med)
         if fog is not None:
             pre = self.trace(o, d)
             inner = self._radiance_inner(o, d, sample_index, seed, depth,
@@ -200,7 +245,7 @@ class OracleRenderer:
                                     max_depth, prev_pdf, prev_spec, None)
 
     def _radiance_inner(self, o, d, sample_index, seed, depth, max_depth,
-                        prev_pdf, prev_spec, fog=None, pre=None):
+                        prev_pdf, prev_spec, fog=None, pre=None, med=None):
         t, tri, u, v = pre if pre is not None else self.trace(o, d)
         if not np.isfinite(t):
             # BSDF-only env estimator (no env NEE): unbiased on its own,
@@ -248,6 +293,15 @@ class OracleRenderer:
         refl = np.asarray(self.mt.refl_color)[mat].astype(np.float64)
         transp = np.asarray(self.mt.transp_color)[mat].astype(np.float64)
         transl = np.asarray(self.mt.transl_color)[mat].astype(np.float64)
+        # ---- SSS boundary lobes (bsdf/core.py:164-176 mapping of the
+        # reference's branch probabilities, CPUExp_IntegratorSSS.cpp:69-97):
+        # transmit w.p. T with color 1-kd, else diffuse-reflect with color
+        # kd => effective diffuse = kd(1-T), effective translucency = (1-kd)T
+        T_sss = float(np.asarray(self.mt.sss_transmission)[mat])
+        if T_sss > 0.0:
+            kd_vec = albedo.copy()
+            albedo = kd_vec * (1.0 - T_sss)
+            transl = np.clip(1.0 - kd_vec, 0.0, 1.0) * T_sss
         ior = float(np.asarray(self.mt.transp_ior)[mat])
         rdist = int(np.asarray(self.mt.refl_dist)[mat])
         ralpha = float(np.asarray(self.mt.refl_alpha)[mat])
@@ -418,6 +472,11 @@ class OracleRenderer:
         b = ns[0] * ns[1] * a
         tb = np.array([1.0 + sign * ns[0] ** 2 * a, sign * b, -sign * ns[0]])
         bb = np.array([b, sign + ns[1] ** 2 * a, -ns[1]])
+        # SSS boundary events ride the regular lobe mixture below (the
+        # effective-lobe fold above keeps sample/eval/NEE MIS pdfs mutually
+        # consistent — mirrors pt.py); only the medium STATE is SSS-specific:
+        # picking the translucency lobe crosses the boundary.
+        med_child = med
         if pick_t:
             # smooth glass: delta Fresnel split (sample_bsdf glass branch,
             # bsdf/core.py:737-763; oracle scenes keep transp_gloss = 1)
@@ -443,7 +502,7 @@ class OracleRenderer:
                 # state machine / attenuationStep semantics)
                 fog_child = (fogc, fogm) if (facing and fogm > 0.0) else None
             lo = self.radiance(ro2, wi, sample_index, seed, depth + 1,
-                               max_depth, 0.0, True, fog=fog_child)
+                               max_depth, 0.0, True, fog=fog_child, med=med)
             return out + transp * (ktot / max(kt_, 1e-9)) * lo
         if (not pick_d) and (not pick_s):  # translucency: back cosine lobe
             ct = np.sqrt(max(r_b[1], 0.0))
@@ -451,6 +510,16 @@ class OracleRenderer:
             phi = 2 * np.pi * r_b[2]
             wi = -(st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * ns)
             ro2 = pos - ns * eps2
+            if T_sss > 0.0:  # SSS boundary crossing (pt.py `cross` lanes)
+                if facing:  # entering the medium
+                    dens = float(np.asarray(self.mt.sss_density)[mat])
+                    med_child = (
+                        dens * float(np.asarray(self.mt.sss_scattering)[mat]),
+                        dens * np.asarray(self.mt.sss_absorption)[mat]
+                        .astype(np.float64),
+                        float(np.asarray(self.mt.sss_phase)[mat]))
+                else:  # exiting
+                    med_child = None
         elif pick_d:
             ct = np.sqrt(max(r_b[1], 0.0))
             st = np.sqrt(max(1.0 - r_b[1], 0.0))
@@ -459,7 +528,7 @@ class OracleRenderer:
         elif is_mirror:
             wi = d - 2 * float(np.dot(d, ns)) * ns
             lo = self.radiance(ro2, wi, sample_index, seed, depth + 1,
-                               max_depth, 0.0, True, fog=fog)
+                               max_depth, 0.0, True, fog=fog, med=med)
             return out + refl * (ktot / max(ks_, 1e-9)) * lo
         else:  # GGX half-vector sampling
             a2 = ralpha * ralpha
@@ -477,7 +546,7 @@ class OracleRenderer:
         if pdf <= 0:
             return out
         lo = self.radiance(ro2, wi, sample_index, seed, depth + 1, max_depth,
-                           pdf, False, fog=fog)
+                           pdf, False, fog=fog, med=med_child)
         return out + fv * abs(cos_i) / pdf * lo
 
     def render(self, width: int, height: int, spp: int, max_depth: int = 3, seed: int = 777):

@@ -659,7 +659,6 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         weight = jnp.where(passthru[:, None], 1.0, bs.weight)
         prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
         prev_spec = jnp.where(passthru, True, bs.is_specular)
-        is_trans_sss = jnp.zeros_like(passthru)
         if has_back:  # RAY_EVENT_T-only paths stay camera-visible
             pure_t = pure_t & (passthru | bs.is_transmission) & ~scat
 
@@ -677,31 +676,24 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                                   jnp.where(leave[:, None], 0.0, fog_state))
 
         # ---- SSS boundary event (ref sampleAndEvalBxDF SSS branch,
-        # CPUExp_IntegratorSSS.cpp:36): cosine lobe about the facing normal;
-        # w.p. `transmission` the direction flips into the surface (diffuse
-        # transmission, weight 1-kd) entering/leaving the medium; else a
-        # diffuse reflection with weight kd. pdf = cos/pi either way.
+        # CPUExp_IntegratorSSS.cpp:36): the direction/weight/pdf come from
+        # the REGULAR lobe mixture above — fetch_material folded the
+        # reference's branch probabilities (transmit w.p. T with color 1-kd,
+        # else diffuse-reflect with color kd) into effective diffuse kd(1-T)
+        # + translucency (1-kd)T lobes (bsdf/core.py:164-176), which
+        # sample_bsdf/eval_bsdf draw with pdfs consistent with NEE and the
+        # env MIS. (A custom T-branch sampler here reported prev_pdf without
+        # its branch probability, so the implicit-hit and NEE MIS weights
+        # summed >1 at every boundary crossing — a few % surplus per event
+        # that compounded over multi-crossing paths; caught by the SSS
+        # oracle cross-check, tests/test_sss_blend.py.) Only the medium
+        # STATE is SSS-specific: picking the translucency lobe crosses the
+        # boundary — entering on front hits, exiting on back hits.
         if has_sss:
             is_sss = alive & ~scat & ~passthru & (p.sss_transmission > 0.0)
-            from hydracore_tpu.utils.math3d import make_orthonormal_basis
-
-            tb_, bb_ = make_orthonormal_basis(ns)
-            ct_ = jnp.sqrt(jnp.clip(r_b[:, 1], 0.0, 1.0))
-            st_ = jnp.sqrt(jnp.clip(1.0 - r_b[:, 1], 0.0, 1.0))
-            ph_ = 2.0 * np.pi * r_b[:, 2]
-            wi_cos = (st_ * jnp.cos(ph_))[:, None] * tb_ \
-                + (st_ * jnp.sin(ph_))[:, None] * bb_ + ct_[:, None] * ns
-            trans_pick = r_m[:, 3] < p.sss_transmission
-            kd = p.diff_color
-            wi = jnp.where(is_sss[:, None],
-                           jnp.where(trans_pick[:, None], -wi_cos, wi_cos), wi)
-            weight = jnp.where(is_sss[:, None],
-                               jnp.where(trans_pick[:, None], 1.0 - kd, kd),
-                               weight)
-            prev_pdf = jnp.where(is_sss, ct_ * INV_PI_F, prev_pdf)
-            prev_spec = jnp.where(is_sss, False, prev_spec)
-            enter = is_sss & trans_pick & front
-            exit_ = is_sss & trans_pick & ~front
+            cross = is_sss & bs.is_diff_trans
+            enter = cross & front
+            exit_ = cross & ~front
             in_med = jnp.where(enter, True, jnp.where(exit_, False, in_med))
             med_sig_s = jnp.where(enter, p.sss_density * p.sss_scattering,
                                   jnp.where(exit_, 0.0, med_sig_s))
@@ -709,7 +701,6 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                                   p.sss_density[:, None] * p.sss_absorption,
                                   jnp.where(exit_[:, None], 0.0, med_sig_a))
             med_g = jnp.where(enter, p.sss_phase, med_g)
-            is_trans_sss = is_sss & trans_pick
             # scatter lanes: no surface interaction this step
             weight = jnp.where(scat[:, None], 1.0, weight)
         throughput = throughput * weight
@@ -734,7 +725,7 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             alive = alive & ~kill
 
         alive = alive & (throughput.max(axis=-1) > 1e-7)
-        n_off = jnp.where((bs.is_transmission | passthru | is_trans_sss)[:, None],
+        n_off = jnp.where((bs.is_transmission | passthru)[:, None],
                           -ngs, ngs)
         ray_o = offs_ray_pos(pos, n_off, wi)
         if has_sss:  # scattered lanes continue from inside the medium

@@ -365,7 +365,6 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         weight = jnp.where(passthru[:, None], 1.0, bs.weight)
         prev_pdf = jnp.where(passthru, 0.0, bs.pdf)
         prev_spec = jnp.where(passthru, True, bs.is_specular)
-        is_trans_sss = jnp.zeros_like(passthru)
         if has_back:  # RAY_EVENT_T-only paths stay camera-visible
             pure_t = pure_t & (passthru | bs.is_transmission) & ~scat
 
@@ -378,29 +377,18 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             fog_state = jnp.where(f_enter[:, None], armed,
                                   jnp.where(f_leave[:, None], 0.0, fog_state))
 
-        # SSS boundary event (pt.py / CPUExp_IntegratorSSS.cpp:36)
+        # SSS boundary event (pt.py / CPUExp_IntegratorSSS.cpp:36): the
+        # direction/weight/pdf ride the REGULAR lobe mixture — the folded
+        # effective lobes (dc = kd(1-T), tl = (1-kd)T, bsdf/core.py:164-176)
+        # keep sample/eval/NEE/env-MIS pdfs mutually consistent (see pt.py's
+        # note on the MIS surplus a custom T-branch sampler caused). Only the
+        # medium STATE toggles here: the translucency lobe crosses the
+        # boundary — entering on front hits, exiting on back hits.
         if has_sss:
-            from hydracore_tpu.integrators.pt import INV_PI_F
-            from hydracore_tpu.utils.math3d import make_orthonormal_basis
-
             is_sss = alive & ~scat & ~passthru & (p.sss_transmission > 0.0)
-            tb_, bb_ = make_orthonormal_basis(ns)
-            ct_ = jnp.sqrt(jnp.clip(r_b[:, 1], 0.0, 1.0))
-            st_ = jnp.sqrt(jnp.clip(1.0 - r_b[:, 1], 0.0, 1.0))
-            ph_ = 2.0 * np.pi * r_b[:, 2]
-            wi_cos = (st_ * jnp.cos(ph_))[:, None] * tb_ \
-                + (st_ * jnp.sin(ph_))[:, None] * bb_ + ct_[:, None] * ns
-            trans_pick = r_m[:, 3] < p.sss_transmission
-            kd = p.diff_color
-            wi = jnp.where(is_sss[:, None],
-                           jnp.where(trans_pick[:, None], -wi_cos, wi_cos), wi)
-            weight = jnp.where(is_sss[:, None],
-                               jnp.where(trans_pick[:, None], 1.0 - kd, kd),
-                               weight)
-            prev_pdf = jnp.where(is_sss, ct_ * INV_PI_F, prev_pdf)
-            prev_spec = jnp.where(is_sss, False, prev_spec)
-            m_enter = is_sss & trans_pick & front
-            m_exit = is_sss & trans_pick & ~front
+            cross = is_sss & bs.is_diff_trans
+            m_enter = cross & front
+            m_exit = cross & ~front
             in_med = jnp.where(m_enter, True, jnp.where(m_exit, False, in_med))
             med_sig_s = jnp.where(m_enter, p.sss_density * p.sss_scattering,
                                   jnp.where(m_exit, 0.0, med_sig_s))
@@ -408,7 +396,6 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
                                   p.sss_density[:, None] * p.sss_absorption,
                                   jnp.where(m_exit[:, None], 0.0, med_sig_a))
             med_g = jnp.where(m_enter, p.sss_phase, med_g)
-            is_trans_sss = is_sss & trans_pick
             weight = jnp.where(scat[:, None], 1.0, weight)
         tp = tp * weight
 
@@ -420,9 +407,8 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         tp = jnp.where(rr_on[:, None], tp / q[:, None], tp)
         alive = alive & ~kill & (tp.max(axis=-1) > 1e-7)
 
-        n_off = jnp.where(
-            (bs.is_transmission | passthru | is_trans_sss)[:, None],
-            -ngs, ngs)
+        n_off = jnp.where((bs.is_transmission | passthru)[:, None],
+                          -ngs, ngs)
         ray_o = offs_ray_pos(pos, n_off, wi)
         if has_sss:  # scattered lanes continue from inside the medium
             ray_o = jnp.where(scat[:, None], pos_scat, ray_o)

@@ -49,6 +49,39 @@ def test_sss_white_furnace():
     assert abs(c - 1.0) < 0.12, f"furnace mean {c}"
 
 
+def test_sss_oracle_matches_wavefront():
+    """Independent cross-check of the whole SSS transport (boundary lobes +
+    free-flight + HG + Beer absorption): the per-ray-recursive numpy oracle
+    (OracleRenderer med walk — the reference's StupidPTSSS/ShadowPTSSS
+    role, CPUExp_IntegratorSSS.cpp) must agree with the jax wavefront on
+    mean radiance of an SSS sphere under a sky."""
+    from hydracore_tpu.integrators.oracle import OracleRenderer
+
+    b = SceneBuilder()
+    m = b.add_material(diff_color=np.asarray([0.25, 0.2, 0.15], np.float32),
+                       sss_density=1.2,
+                       sss_absorption=np.asarray([0.5, 0.15, 0.05], np.float32),
+                       sss_scattering=2.0,
+                       sss_phase=0.3,
+                       sss_transmission=0.7)
+    b.add_sphere([0, 0, 0], 0.8, m, n_seg=16, n_ring=8)
+    b.sky([0.8, 0.8, 0.9])
+    sc = b.build([0, 0, 3.0], [0, 0, 0], fov=40.0, width=12, height=12,
+                 trace_depth=16)
+
+    wf = np.asarray(pt.render(sc, spp=384, seed=3, max_depth=16))
+    orc = OracleRenderer(sc, mode="mispt").render(12, 12, spp=64,
+                                                  max_depth=16, seed=9)
+    # center block looks through the medium
+    a, c = wf[3:9, 3:9].mean(), orc[3:9, 3:9].mean()
+    assert np.isfinite(orc).all()
+    assert abs(a - c) / max(a, 1e-9) < 0.15, f"wavefront={a:.4f} oracle={c:.4f}"
+    # per-channel agreement too (absorption is strongly chromatic here)
+    ac = wf[3:9, 3:9].mean(axis=(0, 1))
+    cc = orc[3:9, 3:9].mean(axis=(0, 1))
+    assert (np.abs(ac - cc) / np.maximum(ac, 1e-9) < 0.25).all(), (ac, cc)
+
+
 def test_sss_absorption_darkens():
     bright = np.asarray(pt.render(_sss_sphere_scene(), spp=24, seed=5,
                                   max_depth=24))
