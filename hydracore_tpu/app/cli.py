@@ -50,8 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "direct + indirect == color")
     p.add_argument("-regen", type=int, default=None,
                    help="1 = regenerating wavefront (full lane utilization)")
+    p.add_argument("-nowindow", type=int, default=1,
+                   help="0 = interactive viewer (the reference's GUI window "
+                        "mode, main.cpp nowindow flag) served over HTTP")
+    p.add_argument("-port", type=int, default=8000, help="viewer HTTP port")
     # compatibility no-ops
-    p.add_argument("-nowindow", type=int, default=1)
     p.add_argument("-cl_device_id", type=int, default=0)
     p.add_argument("-cpu_fb", type=int, default=0)
     return p
@@ -61,6 +64,20 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.regen is not None:  # flag > env (render_passes reads the env)
         os.environ["HYDRA_REGEN"] = str(args.regen)
+
+    if not args.nowindow:  # GUI mode (window_main, main_app_window.cpp:463)
+        from hydracore_tpu.app.viewer import run_viewer
+
+        _, server, stop = run_viewer(
+            args.inputlib, args.port, args.width, args.height,
+            (args.method or "pathtracing"), args.seed or 777)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            stop.set()
+            server.shutdown()
+        return 0
 
     import jax
 
