@@ -585,3 +585,118 @@ class OracleRenderer:
         d2 = float(np.dot(pos - o, pos - o))
         cos_l = max(float(np.dot(n, -d)), 1e-6)
         return d2 / max(area * cos_l, 1e-9)
+
+
+class OracleLT:
+    """Independent forward light tracer — the scalar numpy cross-check of
+    the device LT stack: LightSampleForward rect emission (clight.h:1064),
+    the camera connection with the image-measure factor
+    (CameraImageToSurfaceFactor, cbidir.h:78; ConnectToEyeKernel,
+    material.cl:147), cosine diffuse bounces. Shares NO code with the jax
+    wavefront (lt.py) beyond the scene tables, so agreement pins the
+    forward-sampling machinery the whole bidirectional family
+    (LT/SBDPT/IBPT/MMLT) is built on. Diffuse surfaces + rect area lights
+    only (assert-guarded) — the lobes themselves are cross-checked by
+    OracleRenderer on the backward side."""
+
+    def __init__(self, scene):
+        self.r = OracleRenderer(scene)
+        self.sc = scene
+        self.lt = scene.lights
+        self.mt = scene.materials
+
+    @staticmethod
+    def _cosine_about(n, u1, u2):
+        sign = 1.0 if n[2] >= 0 else -1.0
+        a = -1.0 / (sign + n[2])
+        b = n[0] * n[1] * a
+        tb = np.array([1.0 + sign * n[0] ** 2 * a, sign * b, -sign * n[0]])
+        bb = np.array([b, sign + n[1] ** 2 * a, -n[1]])
+        ct = np.sqrt(max(u1, 0.0))
+        st = np.sqrt(max(1.0 - u1, 0.0))
+        phi = 2.0 * np.pi * u2
+        d = st * np.cos(phi) * tb + st * np.sin(phi) * bb + ct * n
+        return d / max(np.linalg.norm(d), 1e-12)
+
+    def render(self, n_paths: int, max_depth: int = 5, seed: int = 4242):
+        """(H, W, 3) LT splat estimate of the image lt.render_lt computes
+        (direct emitter-to-camera paths excluded on both sides)."""
+        cam = self.sc.camera
+        W, H = cam.width, cam.height
+        view = np.linalg.inv(np.asarray(cam.mWorldViewInv, np.float64))
+        tan_half = float(np.asarray(cam.mProjInv)[1, 1])
+        d_img = H / (2.0 * tan_half)
+        cpos = np.asarray(cam.pos, np.float64)
+        cdf = np.asarray(self.lt.pick_cdf, np.float64)
+        ltype = np.asarray(self.lt.ltype)
+        img = np.zeros((H, W, 3))
+        g = np.random.default_rng(seed)
+
+        def connect(pos, ns, albedo, T):
+            to_cam = cpos - pos
+            dist2 = max(float(np.dot(to_cam, to_cam)), 1e-12)
+            dist = np.sqrt(dist2)
+            w_cam = to_cam / dist
+            pv = view[:3, :3] @ pos + view[:3, 3]
+            z = -pv[2]
+            if z <= 1e-4:
+                return
+            sx = pv[0] / z / (tan_half * W / H)
+            sy = pv[1] / z / tan_half
+            px = int(np.floor((sx + 1.0) * 0.5 * W))
+            py = int(np.floor((1.0 - sy) * 0.5 * H))
+            if not (0 <= px < W and 0 <= py < H):
+                return
+            cos_x = float(np.dot(w_cam, ns))
+            if cos_x <= 0.0:  # camera behind the shading surface
+                return
+            eps = 2e-4 * max(1.0, np.abs(pos).max())
+            if self.r.occluded(pos + ns * eps, w_cam, dist):
+                return
+            cos_cam = max(z / dist, 1e-6)
+            factor = (d_img / cos_cam) ** 2 / cos_cam * cos_x / dist2
+            img[py, px] += T * (albedo / np.pi) * factor / n_paths
+
+        for _ in range(n_paths):
+            u = g.random(4)
+            li = int(np.sum(cdf[1:-1] <= u[3]))
+            li = min(max(li, 0), len(cdf) - 2)
+            pick = max(cdf[li + 1] - cdf[li], 1e-12)
+            assert int(ltype[li]) == 4, "OracleLT: rect area lights only"
+            lpos = (np.asarray(self.lt.pos)[li]
+                    + (2 * u[0] - 1) * np.asarray(self.lt.vx)[li]
+                    + (2 * u[1] - 1) * np.asarray(self.lt.vy)[li]).astype(np.float64)
+            lnorm = np.asarray(self.lt.norm)[li].astype(np.float64)
+            Le = np.asarray(self.lt.intensity)[li].astype(np.float64)
+            d = self._cosine_about(lnorm, *g.random(2))
+            # Le * cos / (pdf_a * pdf_w * pick) with pdf_a=1/area,
+            # pdf_w=cos/pi  =>  Le * area * pi / pick
+            T = Le * float(np.asarray(self.lt.area)[li]) * np.pi / pick
+            o = lpos + lnorm * 1e-4
+
+            for depth in range(max_depth - 1):
+                t, tri, uu, vv = self.r.trace(o, d)
+                if not np.isfinite(t):
+                    break
+                w = 1.0 - uu - vv
+                pos = o + t * d
+                n = (w * self.r.n0[tri] + uu * self.r.n1[tri]
+                     + vv * self.r.n2[tri])
+                n = n / max(np.linalg.norm(n), 1e-12)
+                mat = int(self.r.tri_mat[tri])
+                if np.asarray(self.mt.em_color)[mat].max() > 1e-6:
+                    break  # emitter hit: no camera connection, path ends
+                assert (np.asarray(self.mt.refl_color)[mat].max() < 1e-6
+                        and np.asarray(self.mt.transp_color)[mat].max() < 1e-6), \
+                    "OracleLT: diffuse surfaces only"
+                ns = n if np.dot(n, -d) >= 0 else -n
+                albedo = np.asarray(self.mt.diff_color)[mat].astype(np.float64)
+                connect(pos, ns, albedo, T)
+                if depth == max_depth - 2:
+                    break
+                T = T * albedo  # cosine bounce: f*cos/pdf = albedo
+                if T.max() < 1e-7:
+                    break
+                d = self._cosine_about(ns, *g.random(2))
+                o = pos + ns * (2e-4 * max(1.0, np.abs(pos).max()))
+        return img
