@@ -109,3 +109,42 @@ def render_distributed(scene, spp: int, mesh: Mesh | None = None, seed: int = 77
             color, _ = render_pass_pixel_sharded(scene, jnp.uint32(i), jnp.uint32(seed), mesh, md)
             fb = fb + color
         return fb / spp
+
+
+@partial(jax.jit, static_argnames=("mesh", "n_paths", "max_depth"))
+def render_lt_pass_sharded(scene, pass_idx, seed, mesh: Mesh,
+                           n_paths: int, max_depth: int = 5):
+    """Distributed light tracing: each chip traces its own light-path
+    stream (pass offset = pass * n_chips + chip, the same stream-sharding
+    rule the PT path uses) and splats locally; framebuffers psum over ICI.
+    The reference reaches the same result with one LT process per GPU
+    adding into the shared accumulator image (SURVEY §2.3 multi-GPU)."""
+    from hydracore_tpu.integrators.lt import lt_pass
+
+    n = mesh.devices.size
+
+    def body(scene):
+        chip = jax.lax.axis_index("d")
+        my_pass = pass_idx * n + chip.astype(jnp.uint32)
+        img, paths = lt_pass(scene, my_pass, seed, n_paths, max_depth=max_depth)
+        return jax.lax.psum(img, "d") / n, jax.lax.psum(paths, "d")
+
+    return jax.shard_map(body, mesh=mesh, in_specs=(P(),),
+                         out_specs=(P(), P()))(scene)
+
+
+def render_lt_distributed(scene, n_passes: int, mesh: Mesh | None = None,
+                          seed: int = 777, paths_per_pass: int | None = None,
+                          max_depth: int | None = None):
+    """(H, W, 3) LT estimate using n_passes * n_chips light-path streams."""
+    mesh = mesh or make_mesh()
+    md = max_depth or scene.settings.trace_depth
+    H, W = scene.camera.height, scene.camera.width
+    n_paths = paths_per_pass or (W * H)
+    n_calls = max(n_passes // mesh.devices.size, 1)
+    fb = jnp.zeros((H, W, 3), jnp.float32)
+    for i in range(n_calls):
+        img, _ = render_lt_pass_sharded(scene, jnp.uint32(i), jnp.uint32(seed),
+                                        mesh, n_paths, md)
+        fb = fb + img
+    return fb / n_calls

@@ -53,3 +53,36 @@ def test_render_distributed_converges(small_scene):
     ref = np.asarray(render(small_scene, spp=16))
     # same estimator family, different sample sets: means must agree closely
     assert abs(img.mean() - ref.mean()) / max(ref.mean(), 1e-6) < 0.1
+
+
+def test_lt_sharded_matches_sequential_passes(small_scene):
+    """One distributed LT call == n_chips sequential lt_pass calls with the
+    sharded pass offsets (stream sharding rule pass*n+chip)."""
+    from hydracore_tpu.integrators.lt import lt_pass
+    from hydracore_tpu.parallel.mesh import render_lt_pass_sharded
+
+    mesh = make_mesh()
+    n = mesh.devices.size
+    W = small_scene.camera.width * small_scene.camera.height
+    fb8, paths = render_lt_pass_sharded(small_scene, jnp.uint32(0),
+                                        jnp.uint32(5), mesh, W, 3)
+    acc = jnp.zeros_like(fb8)
+    for i in range(n):
+        img, _ = lt_pass(small_scene, jnp.uint32(i), jnp.uint32(5), W,
+                         max_depth=3)
+        acc = acc + img
+    np.testing.assert_allclose(np.asarray(fb8), np.asarray(acc / n),
+                               rtol=1e-5, atol=1e-6)
+    assert int(paths) == n * W
+
+
+def test_lt_distributed_agrees_with_pt(small_scene):
+    from hydracore_tpu.parallel.mesh import render_lt_distributed
+
+    lt = np.asarray(render_lt_distributed(small_scene, n_passes=64,
+                                          paths_per_pass=16 * 16 * 8, seed=9))
+    pt = np.asarray(render(small_scene, spp=64, seed=3))
+    emit = pt.max(axis=-1) > 1.2
+    a = np.where(emit[..., None], 0, pt).mean()
+    b = np.where(emit[..., None], 0, lt).mean()
+    assert abs(a - b) / max(a, 1e-9) < 0.15, (a, b)
