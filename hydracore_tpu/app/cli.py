@@ -117,7 +117,16 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     method = (args.method or scene.settings.method or "pathtracing").lower()
-    if method in ("lighttracing", "lt"):
+    if method in ("raytracing", "rt"):
+        # RENDER_METHOD_RT: primary-rays-only normals preview — the
+        # reference's fallback/GUI-default mode (RenderDriverRTE.cpp:309,
+        # GPUOCLLayer.cpp:1460 DrawNormals / trace1DPrimaryOnly)
+        from hydracore_tpu.integrators.gbuffer import eval_gbuffer
+
+        g = eval_gbuffer(jax.device_put(scene), jnp.uint32(args.seed))
+        img = np.asarray(g["normal"]) * 0.5 + 0.5
+        args.gamma = 1.0
+    elif method in ("lighttracing", "lt"):
         from hydracore_tpu.integrators.lt import render_lt
 
         img = np.asarray(render_lt(scene, n_passes=spp, seed=args.seed, max_depth=md))

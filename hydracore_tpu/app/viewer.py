@@ -76,8 +76,11 @@ class FreeCamera:
             self.look_at = self.pos + self.tdist * d
 
 
-# method hotkeys (main_app_window.cpp:306-400: P/L/B/I/M + production toggle)
-METHODS = ("pathtracing", "lighttracing", "sbdpt", "ibpt", "mmlt", "pssmlt")
+# method hotkeys (main_app_window.cpp:306-400: P/L/B/I/M + production toggle;
+# "raytracing" is the reference's RENDER_METHOD_RT normals preview —
+# DrawNormals, GPUOCLLayer.cpp:1460 — and its GUI default)
+METHODS = ("pathtracing", "lighttracing", "sbdpt", "ibpt", "mmlt", "pssmlt",
+           "raytracing")
 
 
 class InteractiveSession:
@@ -179,6 +182,21 @@ class InteractiveSession:
                 self._dirty = False
             scene, method, spp = self.scene, self.method, self._spp
         t0 = time.time()
+        if method == "raytracing":
+            # primary-only normals preview: one deterministic eval, no
+            # progressive accumulation (the reference redraws per frame)
+            from hydracore_tpu.integrators.gbuffer import eval_gbuffer
+
+            g = eval_gbuffer(scene, jnp.uint32(self.seed))
+            view = np.asarray(g["normal"], np.float32) * 0.5 + 0.5
+            # store gamma-compensated so frame()'s tonemap returns it raw
+            view = np.power(np.clip(view, 0.0, 1.0), self.gamma)
+            with self._lock:
+                if not self._dirty:
+                    self._fb[:] = view
+                    self._spp = 1
+            time.sleep(0.1)  # static view: don't spin the render loop
+            return self._spp
         if method == "pathtracing":
             from hydracore_tpu.integrators.pt import render_passes
 
@@ -246,9 +264,9 @@ _PAGE = """<!doctype html><title>hydracore_tpu viewer</title>
 <style>body{background:#111;color:#ccc;font-family:monospace;text-align:center}
 img{image-rendering:pixelated;width:70vmin}</style>
 <h3 id=s>connecting…</h3><img id=v><p>WASD move · R/F up/down · drag look ·
-wheel zoom · P/L/B/I/M method</p>
+wheel zoom · P/L/B/I/M method · N normals preview</p>
 <script>
-const keys=new Set(),km={p:'pathtracing',l:'lighttracing',b:'sbdpt',i:'ibpt',m:'mmlt'};
+const keys=new Set(),km={p:'pathtracing',l:'lighttracing',b:'sbdpt',i:'ibpt',m:'mmlt',n:'raytracing'};
 let drag=null;
 onkeydown=e=>{const k=e.key.toLowerCase();
   if(km[k])fetch('/input',{method:'POST',body:JSON.stringify({method:km[k]})});

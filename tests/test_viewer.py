@@ -114,3 +114,21 @@ def test_http_surface():
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_raytracing_preview_mode():
+    """RENDER_METHOD_RT normals preview (DrawNormals, GPUOCLLayer.cpp:1460):
+    deterministic primary-only view, no accumulation."""
+    sc, desc = _tiny_scene()
+    s = InteractiveSession(sc, desc)
+    s.set_method("raytracing")
+    assert s.step() == 1 and s.step() == 1  # never accumulates past 1
+    img, spp = s.frame()
+    assert spp == 1
+    # sphere faces the camera: center pixels should be normal-ish blue-grey
+    # (n ~ +z => rgb ~ (0.5, 0.5, 1.0)); background = env rays, normal 0
+    c = img[9, 12].astype(np.float64) / 255.0
+    assert c[2] > 0.8 and abs(c[0] - 0.5) < 0.2, c
+    s.set_method("pathtracing")
+    assert s.step() == 1  # switching back resets and accumulates again
+    assert s.step() == 2
