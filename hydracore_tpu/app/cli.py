@@ -50,6 +50,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "direct + indirect == color")
     p.add_argument("-regen", type=int, default=None,
                    help="1 = regenerating wavefront (full lane utilization)")
+    p.add_argument("-sharedimage", default=None,
+                   help="named cross-process shared accumulator: N renderer "
+                        "processes (different -seed) add passes into one "
+                        "frame (IHRSharedAccumImage role, main.cpp:224-241); "
+                        "PT methods only, like the reference")
+    p.add_argument("-boxmode", type=int, default=0,
+                   help="1 = render standalone even when -sharedimage is "
+                        "given (the reference's attach-failure fallback)")
     p.add_argument("-nowindow", type=int, default=1,
                    help="0 = interactive viewer (the reference's GUI window "
                         "mode, main.cpp nowindow flag) served over HTTP")
@@ -179,6 +187,13 @@ def main(argv=None) -> int:
         t_start = time.time()
         last_save = t_start
         ctl_path = args.out + ".ctl"  # exitnow watchdog mailbox
+        shimg = None  # cross-process accumulator (IHRSharedAccumImage role)
+        if args.sharedimage and not args.boxmode:
+            from hydracore_tpu.utils.shared_image import SharedAccumImage
+
+            shimg = SharedAccumImage.attach_or_create(args.sharedimage, W, H)
+            sh_flushed = (np.zeros((H, W, 3), np.float32), spp_done)
+            print(f"[sharedimage] attached '{args.sharedimage}' ({W}x{H})")
         # adaptive stop (minRaysPerPixel/pt_error legacy settings,
         # RenderDriverRTE.cpp:324-335): past the spp floor, stop once the
         # frame-to-frame relative change falls below HRT_PATH_TRACE_ERROR
@@ -205,17 +220,24 @@ def main(argv=None) -> int:
                 save_png(args.out, hdr_to_ldr(np.asarray(fb) / i, gamma=args.gamma))
                 if args.checkpoint:
                     save_checkpoint(args.checkpoint, np.asarray(fb), i, args.seed)
+                if shimg is not None:  # flush the delta since the last flush
+                    cur = np.asarray(fb)
+                    shimg.add(cur - sh_flushed[0], i - sh_flushed[1])
+                    sh_flushed = (cur, i)
                 last_save = now
-            # exitnow IPC: a control file ends the loop gracefully (the
-            # reference's shared-memory message channel / max-spp watchdog,
+            # exitnow IPC: a control file OR the shared image's message
+            # channel ends the loop gracefully (the reference's
+            # shared-memory message channel / max-spp watchdog,
             # main_app_console.cpp:84, RenderDriverRTE.cpp:1921)
-            if os.path.exists(ctl_path):
-                with open(ctl_path) as cf:
-                    if "exitnow" in cf.read():
-                        print(f"[exitnow] stopping at spp={i}")
-                        os.remove(ctl_path)
-                        spp = i
-                        break
+            stop_msg = os.path.exists(ctl_path) and "exitnow" in open(ctl_path).read()
+            if not stop_msg and shimg is not None:
+                stop_msg = "exitnow" in shimg.recv_message()
+            if stop_msg:
+                print(f"[exitnow] stopping at spp={i}")
+                if os.path.exists(ctl_path):
+                    os.remove(ctl_path)
+                spp = i
+                break
             if min_spp > 0 and i >= min_spp and (i % 32 == 0 or i >= spp):
                 cur = np.asarray(fb) / i
                 if err_prev is not None:
@@ -235,6 +257,17 @@ def main(argv=None) -> int:
         if args.checkpoint:
             save_checkpoint(args.checkpoint, np.asarray(fb), spp, args.seed)
         img = np.asarray(fb) / max(spp, 1)
+        if shimg is not None:
+            # final flush, then write the COMBINED frame (every attached
+            # process converges to the same merged image, so whichever
+            # finishes last leaves the complete result — the master-merge
+            # role of the reference's external image)
+            cur = np.asarray(fb)
+            shimg.add(cur - sh_flushed[0], spp - sh_flushed[1])
+            comb, comb_spp = shimg.read()
+            print(f"[sharedimage] combined spp = {comb_spp:.0f}")
+            img = comb / max(comb_spp, 1)
+            shimg.close()
 
         if args.stat:
             from hydracore_tpu.utils.stats import profile_pass
