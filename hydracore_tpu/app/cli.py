@@ -50,6 +50,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "direct + indirect == color")
     p.add_argument("-regen", type=int, default=None,
                    help="1 = regenerating wavefront (full lane utilization)")
+    p.add_argument("-maxsamples", type=int, default=None,
+                   help="alias of -spp (input.cpp:193-194: 'yes, same')")
+    p.add_argument("-enable_mlt", type=int, default=0,
+                   help="1 = MLT-at-start: method pathtracing routes to MMLT "
+                        "(GPU_MLT_ENABLED_AT_START, RenderDriverRTE.cpp:294)")
+    p.add_argument("-mmltthreads", type=int, default=None,
+                   help="MMLT chain count (main.cpp:253-260 ladder)")
+    p.add_argument("-outdir", default=None, help="directory prefix for -out")
+    p.add_argument("-logdir", default=None,
+                   help="tee render log into <logdir>/hydra_log.txt")
+    p.add_argument("-listdevices", "-list_devices", "-listdev",
+                   "-cl_list_devices", dest="listdevices", type=int,
+                   default=0, help="1 = print accelerator devices and exit")
     p.add_argument("-sharedimage", default=None,
                    help="named cross-process shared accumulator: N renderer "
                         "processes (different -seed) add passes into one "
@@ -62,9 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 = interactive viewer (the reference's GUI window "
                         "mode, main.cpp nowindow flag) served over HTTP")
     p.add_argument("-port", type=int, default=8000, help="viewer HTTP port")
-    # compatibility no-ops
+    # compatibility no-ops (OpenCL-runtime and host-thread knobs with no
+    # TPU/XLA counterpart: device picking is jax-level, XLA owns threads)
     p.add_argument("-cl_device_id", type=int, default=0)
     p.add_argument("-cpu_fb", type=int, default=0)
+    p.add_argument("-max_cpu_threads", type=int, default=0)
+    p.add_argument("-double_rt", type=int, default=0)
+    p.add_argument("-alloc_image_b", type=int, default=0)
+    p.add_argument("-hydradir", default=None)
+    p.add_argument("-outall", default=None)
     return p
 
 
@@ -72,6 +91,34 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.regen is not None:  # flag > env (render_passes reads the env)
         os.environ["HYDRA_REGEN"] = str(args.regen)
+    if args.spp is None:
+        args.spp = args.maxsamples  # input.cpp:193-194: the same knob
+    if args.outdir:
+        args.out = os.path.join(args.outdir, args.out)
+    if args.logdir:  # tee stdout into the log dir (reference -logdir role)
+        os.makedirs(args.logdir, exist_ok=True)
+        log_f = open(os.path.join(args.logdir, "hydra_log.txt"), "a")
+        import sys as _sys
+
+        class _Tee:
+            def __init__(self, *ws):
+                self._ws = ws
+
+            def write(self, s):
+                for w in self._ws:
+                    w.write(s)
+
+            def flush(self):
+                for w in self._ws:
+                    w.flush()
+
+        _sys.stdout = _Tee(_sys.__stdout__, log_f)
+    if args.listdevices:
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            print(f"[device] {i}: {d.platform} {d.device_kind}")
+        return 0
 
     if not args.nowindow:  # GUI mode (window_main, main_app_window.cpp:463)
         from hydracore_tpu.app.viewer import run_viewer
@@ -125,6 +172,10 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     method = (args.method or scene.settings.method or "pathtracing").lower()
+    if args.enable_mlt and method in ("pathtracing", "pt"):
+        # GPU_MLT_ENABLED_AT_START: pathtracing routes to MMLT
+        # (RenderDriverRTE.cpp:294-297)
+        method = "mmlt"
     if method in ("raytracing", "rt"):
         # RENDER_METHOD_RT: primary-rays-only normals preview — the
         # reference's fallback/GUI-default mode (RenderDriverRTE.cpp:309,
@@ -141,7 +192,8 @@ def main(argv=None) -> int:
     elif method == "mmlt":
         from hydracore_tpu.integrators.mmlt import render_mmlt
 
-        img = render_mmlt(scene, n_passes=max(spp // 4, 8), seed=args.seed, max_depth=md)
+        img = render_mmlt(scene, n_passes=max(spp // 4, 8), seed=args.seed,
+                          max_depth=md, n_chains=args.mmltthreads)
     elif method in ("mlt", "pssmlt", "kmlt"):
         from hydracore_tpu.integrators.mlt import render_mlt
 

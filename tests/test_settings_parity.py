@@ -153,3 +153,45 @@ def test_mlt_step_knobs_change_proposals():
     ds = np.abs(np.asarray(prop_s) - 0.5)
     assert ds.mean() < dn.mean() * 0.5  # 4x smaller steps on average
     assert (np.asarray(prop_s) >= 0).all() and (np.asarray(prop_s) < 1).all()
+
+
+def test_cli_flag_parity(tmp_path):
+    """-maxsamples alias, -outdir/-logdir plumbing, -listdevices,
+    -enable_mlt routing (input.cpp:172-212, RenderDriverRTE.cpp:294)."""
+    import io
+    import sys as _sys
+
+    from hydracore_tpu.app.cli import build_parser, main
+
+    # the full reference flag surface parses
+    p = build_parser()
+    a = p.parse_args(["-inputlib", "x", "-maxsamples", "9", "-enable_mlt",
+                      "1", "-mmltthreads", "16384", "-outdir", "o",
+                      "-logdir", "l", "-outall", "z", "-hydradir", "h",
+                      "-max_cpu_threads", "4", "-double_rt", "1",
+                      "-alloc_image_b", "1", "-boxmode", "1",
+                      "-sharedimage", "n"])
+    assert a.maxsamples == 9 and a.enable_mlt == 1 and a.mmltthreads == 16384
+
+    # -listdevices prints devices and exits 0 without touching the scene
+    cap = io.StringIO()
+    old = _sys.stdout
+    _sys.stdout = cap
+    try:
+        rc = main(["-inputlib", "/nonexistent", "-listdevices", "1"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0 and "[device] 0:" in cap.getvalue()
+
+    # -maxsamples drives spp; -outdir prefixes -out; -logdir tees the log
+    try:
+        out = main(["-inputlib", "/root/reference/hydra_app/tests/test_42",
+                    "-out", "m.png", "-outdir", str(tmp_path),
+                    "-logdir", str(tmp_path), "-maxsamples", "2",
+                    "-width", "16", "-height", "16"])
+    finally:
+        _sys.stdout = old  # the -logdir tee replaces stdout process-wide
+    assert out in (0, None)
+    assert (tmp_path / "m.png").exists()
+    log = (tmp_path / "hydra_log.txt").read_text()
+    assert "spp = 2/2" in log
