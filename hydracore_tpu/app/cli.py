@@ -147,7 +147,8 @@ def main(argv=None) -> int:
     from hydracore_tpu.utils.framebuffer import hdr_to_ldr, save_png
 
     t0 = time.time()
-    scene = load_scene(args.inputlib, width=args.width, height=args.height)
+    scene = load_scene(args.inputlib, width=args.width, height=args.height,
+                       statefile=args.statefile)
     if args.layer and args.layer != "color":
         import dataclasses
 

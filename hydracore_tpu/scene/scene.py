@@ -637,9 +637,11 @@ def _build_shadow_split(sc: SceneData, st) -> dict:
 
 
 def load_scene(lib_dir: str, width: int | None = None, height: int | None = None,
-               instancing: str = "auto") -> SceneData:
-    """Load a HydraAPI scene library directory into a device-ready pytree."""
-    return assemble(load_statefile(lib_dir), width, height, instancing)
+               instancing: str = "auto", statefile: str | None = None) -> SceneData:
+    """Load a HydraAPI scene library directory into a device-ready pytree.
+    `statefile` picks an explicit statex_NNNNN.xml inside the library
+    (the app's -statefile flag; default = the latest)."""
+    return assemble(load_statefile(lib_dir, statefile), width, height, instancing)
 
 
 def build_mesh_light_tables(lights, tri_light, tri_v0, tri_e1, tri_e2):

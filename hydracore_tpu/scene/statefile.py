@@ -284,7 +284,13 @@ def _parse_settings(root) -> RenderSettings:
 def load_statefile(lib_dir: str, statefile: str | None = None) -> SceneDesc:
     """Load a scene library directory (the `-inputlib` argument of the
     reference CLI, hydra_app/input.cpp)."""
-    path = statefile or _latest_statefile(lib_dir)
+    if statefile:  # -statefile: a name inside the library, or a full path
+        import os as _os
+
+        path = statefile if _os.path.isabs(statefile) \
+            else _os.path.join(lib_dir, statefile)
+    else:
+        path = _latest_statefile(lib_dir)
     with open(path, "r", errors="replace") as f:
         root = _wrap_multiroot_xml(f.read())
 

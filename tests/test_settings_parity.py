@@ -195,3 +195,23 @@ def test_cli_flag_parity(tmp_path):
     assert (tmp_path / "m.png").exists()
     log = (tmp_path / "hydra_log.txt").read_text()
     assert "spp = 2/2" in log
+
+
+def test_statefile_flag_selects_explicit_state():
+    """-statefile picks a specific statex_NNNNN.xml (input.cpp inStateFile);
+    default is the latest state in the library."""
+    from hydracore_tpu.scene.scene import load_scene
+
+    lib = "/root/reference/hydra_app/tests/Benchmark_Scene03"
+    sc1 = load_scene(lib, width=8, height=8, statefile="statex_00000.xml")
+    sc2 = load_scene(lib, width=8, height=8, statefile="statex_00001.xml")
+    default = load_scene(lib, width=8, height=8)
+    assert default.num_triangles == sc2.num_triangles  # latest wins
+    # the two states must actually differ somewhere observable
+    import numpy as np
+
+    differs = (sc1.num_triangles != sc2.num_triangles
+               or not np.array_equal(np.asarray(sc1.camera.pos),
+                                     np.asarray(sc2.camera.pos))
+               or sc1.settings != sc2.settings)
+    assert differs
