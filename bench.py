@@ -111,6 +111,7 @@ _CONFIGS = [
     {"HYDRA_FUSE_TRACE": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
     {"HYDRA_SORT_EVERY": "2"},
     {"HYDRA_PRESPLIT": "1", "HYDRA_REGEN": "1"},
+    {"HYDRA_CL_K": "4", "HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1"},
 ]
 
 
@@ -189,9 +190,10 @@ def main():
                            env=tuned_env)
     msamples_tiny = 1024 * 1024 / dt_tiny / 1e6
 
-    # large-scene probe (339k tris, Benchmark_Scene03) — best-effort: the
-    # scene currently routes to the wide-BVH fallback above the cluster
-    # VMEM cap (trace_api._CL_MAX_CP); never fails the bench
+    # large-scene probe (339k tris, Benchmark_Scene03) — routes through the
+    # partitioned cluster chain (default big-scene path: P pure-VMEM kernel
+    # launches with t-threading, trace_api._use_cluster); never fails the
+    # bench
     big = None
     try:
         dt_big, _, _ = _probe(

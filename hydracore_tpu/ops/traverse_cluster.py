@@ -36,10 +36,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os_env
+
 R_BLK = 256
 M_SUB = 4  # ray blocks processed per grid step (amortizes step overhead)
 BIG = 3.0e38
-K_VISITS = 8  # visits between refilters (= big-mode DMA prefetch depth)
+# visits between refilters (= big-mode DMA prefetch depth). Smaller K
+# refilters sooner (fewer wasted visits once the front clusters resolve
+# the block) at the cost of more stage_a slab sweeps — a hardware A/B
+# knob (bench autotune tries 4).
+K_VISITS = int(_os_env.environ.get("HYDRA_CL_K", "8"))
 
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
