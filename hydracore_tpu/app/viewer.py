@@ -356,7 +356,11 @@ def run_viewer(inputlib: str, port: int = 8000, width=None, height=None,
 
     def loop():
         while not stop.is_set():
-            session.step(1)
+            try:
+                session.step(1)
+            except Exception as e:  # keep serving the last good frame
+                print(f"[viewer] render step failed: {e!r}", flush=True)
+                stop.wait(1.0)
 
     rt = threading.Thread(target=loop, daemon=True)
     st = threading.Thread(target=server.serve_forever, daemon=True)

@@ -342,27 +342,42 @@ def _mis_weight(pf, pl, spec, can, t_strat: int, n_splat, y0_hittable,
         # the (s'=1, t'=1) directly-visible-light splat is not sampled;
         # keeping it in the denominator would leak energy on k=2 paths
         allowed.discard(1)
-    dens = []
-    for tp in range(1, k + 1):
-        if tp not in allowed:
-            dens.append(None)
-            continue
-        p = jnp.ones_like(pf[0])
-        for i in range(1, tp):
-            p = p * _remap1(pf[i])
-        for i in range(tp, k):
-            p = p * _remap1(pl[i])
+
+    # Incremental pdf-RATIO walk relative to the sampled strategy (the
+    # PBRT MISWeight `ri` recursion): r(tp) = p_tp / p_{t_strat}, built as
+    # a product of per-vertex pf/pl ratios. Absolute per-strategy products
+    # of area pdfs overflow float32 on deep paths (7 vertices at ~1e4-1e5
+    # each reach 1e20; squaring hits inf and inf/inf => NaN pixels); the
+    # ratio form stays O(1) near the sampled strategy and degrades to
+    # w -> 0 (not NaN) when an alternative dominates.
+    def ok_for(tp):
         if tp == k:  # implicit hit: light must be geometrically hittable
-            ok = y0_hittable & ~spec[k - 1]
-        else:
-            ok = ~spec[tp - 1] & ~spec[tp] if tp >= 2 else ~spec[tp]
-        p = jnp.where(ok & can, p, 0.0)
+            return y0_hittable & ~spec[k - 1]
+        return (~spec[tp - 1] & ~spec[tp]) if tp >= 2 else ~spec[tp]
+
+    def term(tp, r):
+        d = jnp.where(ok_for(tp) & can, r, 0.0)
         if tp == 1:
-            p = p * n_splat
-        dens.append(p)
-    num = dens[t_strat - 1]
-    total = sum(d * d for d in dens if d is not None)
-    return jnp.where(total > 0, num * num / jnp.maximum(total, 1e-30), 0.0)
+            d = d * n_splat
+        return d * d
+
+    num_f = n_splat if t_strat == 1 else 1.0
+    total = term(t_strat, jnp.ones_like(pf[0])) if t_strat in allowed \
+        else jnp.zeros_like(pf[0])
+    # walk down: p_{tp-1} = p_tp * pl[tp-1] / pf[tp-1]
+    r = jnp.ones_like(pf[0])
+    for tp in range(t_strat - 1, 0, -1):
+        r = r * _remap1(pl[tp]) / _remap1(pf[tp])
+        if tp in allowed:
+            total = total + term(tp, r)
+    # walk up: p_{tp+1} = p_tp * pf[tp] / pl[tp]
+    r = jnp.ones_like(pf[0])
+    for tp in range(t_strat + 1, k + 1):
+        r = r * _remap1(pf[tp - 1]) / _remap1(pl[tp - 1])
+        if tp in allowed:
+            total = total + term(tp, r)
+    num = jnp.where(ok_for(t_strat) & can, jnp.float32(num_f) ** 2, 0.0)
+    return jnp.where(total > 0, num / jnp.maximum(total, 1e-30), 0.0)
 
 
 # ----------------------------------------------------------------------------

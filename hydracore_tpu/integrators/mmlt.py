@@ -85,8 +85,15 @@ def _contribs_k(scene, psv, k: int, max_depth: int):
             base = lgt_base + 4 * (depth - 1)
         return psv[:, base:base + 4]
 
+    # n_splat = W*H: a t'=1 (connect-to-eye) strategy splats to a pixel
+    # chosen by geometry, not by the PSS pixel dims — its u-integral lacks
+    # the 1/(W*H) pixel-selection suppression every own-pixel strategy
+    # has, so its contribution (and its density in the MIS walk) must be
+    # divided by the screen sample count exactly as in bdpt_pass. With
+    # n_splat=1 splat-carried transport (e.g. a bulb in a glass shell)
+    # renders W*H times too bright.
     out = _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix,
-                     jnp.float32(1.0), max_depth, "full", k_only=k)
+                     jnp.float32(W * H), max_depth, "full", k_only=k)
     return out, own_pix
 
 
@@ -161,6 +168,41 @@ def _resample_states(u, f, pix_s, col_s, Rk: int, k: int, seed):
     return u[pick], f[pick], pix_s[pick], col_s[pick]
 
 
+def _probe_alloc(scene, ks, md, R_total, probe_chains, seed):
+    """Probe per-depth brightness b0_k from uniform large-step states and
+    allocate chains ∝ b0_k (256-rounded, floor 256, zero-transport depths
+    dropped). Returns (alloc {k: chains}, probe states, b0)."""
+    probes, b0 = {}, {}
+    for k in ks:
+        u = _init_psv(probe_chains, psv_dims(k), k, seed)
+        pix_s, col_s, f = _eval_state(scene, u, k, md)
+        probes[k] = (u, f, pix_s, col_s)
+        b0[k] = float(jnp.sum(f))
+    w_total = sum(b0.values())
+    if w_total <= 0.0:
+        return {}, probes, b0
+    alloc = {}
+    for k in ks:
+        if b0[k] <= 0.0:
+            continue  # no transport at this depth
+        share = int(R_total * b0[k] / w_total)
+        alloc[k] = max(256, (share + 255) // 256 * 256)
+    return alloc, probes, b0
+
+
+def probe_depth_alloc(scene, n_chains: int, seed: int = 777,
+                      max_depth: int | None = None, k_min: int = 2,
+                      probe_chains: int = 2048):
+    """Public view of the per-depth chain allocation (the reference's
+    MMLTInitSplitDataUniform + contribution scale table,
+    GPUOCLLayerAdvanced.cpp:518,859) — for tests and diagnostics."""
+    md = max_depth or scene.settings.trace_depth
+    scene = jax.device_put(scene)
+    alloc, _, _ = _probe_alloc(scene, list(range(k_min, md + 2)), md,
+                               n_chains, probe_chains, seed)
+    return alloc
+
+
 def render_mmlt(scene, n_passes: int, n_chains: int | None = None,
                 mutations_per_pass: int = 16, seed: int = 777,
                 max_depth: int | None = None, burn_in: int | None = None,
@@ -194,22 +236,10 @@ def render_mmlt(scene, n_passes: int, n_chains: int | None = None,
     # (MMLTInitSplitDataUniform + contribution table,
     # GPUOCLLayerAdvanced.cpp:518,859). Probe states double as the
     # burn-in resampling source.
-    probes = {}
-    b0 = {}
-    for k in ks:
-        u = _init_psv(probe_chains, psv_dims(k), k, seed)
-        pix_s, col_s, f = _eval_state(scene, u, k, md)
-        probes[k] = (u, f, pix_s, col_s)
-        b0[k] = float(jnp.sum(f))
-    w_total = sum(b0.values())
-    if w_total <= 0.0:
+    alloc, probes, b0 = _probe_alloc(scene, ks, md, R_total, probe_chains,
+                                     seed)
+    if not alloc:
         return img.reshape(H, W, 3).astype(np.float32)
-    alloc = {}
-    for k in ks:
-        if b0[k] <= 0.0:
-            continue  # no transport at this depth
-        share = int(R_total * b0[k] / w_total)
-        alloc[k] = max(256, (share + 255) // 256 * 256)
 
     for k, Rk in alloc.items():
         u, f, pix_s, col_s = probes[k]

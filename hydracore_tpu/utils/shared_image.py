@@ -49,8 +49,18 @@ class SharedAccumImage:
         # unbuffered: the header is shared mutable state — a buffered file
         # object would satisfy re-reads from its own stale cache
         self._f = open(path, "r+b", buffering=0)
-        magic, ver, self.width, self.height, _, _, _ = self._read_header()
-        if magic != _MAGIC:
+        for _retry in range(50):  # creator may still be writing the header
+            try:
+                magic, ver, self.width, self.height, _, _, _ = \
+                    self._read_header()
+            except struct.error:
+                magic = 0
+            if magic == _MAGIC:
+                break
+            import time
+
+            time.sleep(0.02)
+        else:
             raise ValueError(f"{path} is not a hydra shared image")
 
     # ---- lifecycle
