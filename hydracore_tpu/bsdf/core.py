@@ -115,11 +115,13 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
     ~25 per-field gathers of the naive SoA fetch collapse into one; texture
     channels read their tex_meta from the BAKED row block (bake_tex_meta) —
     no second gather per channel."""
-    from hydracore_tpu.ops.texture import sample_tex_row
+    from hydracore_tpu.ops.gather import gather_rows
+    from hydracore_tpu.ops.texture import tex_fetch_row
     from hydracore_tpu.scene import materials as MC
 
     st = scene.settings
-    m = scene.mat_attr[mat_id]  # (R, MA_WIDTH_FULL)
+    # small-table select-chain beats the serialized XLA gather (ops/gather)
+    m = gather_rows(scene.mat_attr, mat_id)  # (R, MA_WIDTH_FULL)
 
     def col(c):
         return m[:, c]
@@ -133,8 +135,7 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
     def tex_rgb(meta_col, has: bool):
         if not has:
             return 1.0
-        return sample_tex_row(scene.texels, m[:, meta_col:meta_col + 12],
-                              uv)[:, :3]
+        return tex_fetch_row(scene, m[:, meta_col:meta_col + 12], uv)[:, :3]
 
     em = col3(MC.MA_EM) * tex_rgb(MC.MA_META_EM, _gate(st, "has_em_tex"))
     dc = col3(MC.MA_DIFF) * tex_rgb(MC.MA_META_DIFF, _gate(st, "has_diff_tex"))
@@ -152,9 +153,9 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
                                           ao=ao), 1.0)
     rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_META_REFL, _gate(st, "has_refl_tex"))
     if _gate(st, "has_alpha"):
-        op = sample_tex_row(scene.texels,
-                            m[:, MC.MA_META_OPACITY:MC.MA_META_OPACITY + 12],
-                            uv)[:, 0]
+        op = tex_fetch_row(scene,
+                           m[:, MC.MA_META_OPACITY:MC.MA_META_OPACITY + 12],
+                           uv)[:, 0]
     else:
         op = jnp.ones(uv.shape[0], jnp.float32)
     tg = col(MC.MA_TRANSP_GLOSS)
@@ -211,13 +212,13 @@ def _blend_weight(scene, mrow, uv, normal, wo, pos):
     """Per-ray top weight of a blend record (mask-texture luminance /
     view-angle Fresnel / falloff — BlendMaskMaterial semantics,
     PlainMaterialConverter.cpp:750)."""
-    from hydracore_tpu.ops.texture import sample_tex_row
+    from hydracore_tpu.ops.texture import tex_fetch_row
     from hydracore_tpu.scene import materials as MC
 
     btype = mrow[:, MC.MA_BLEND_TYPE].astype(jnp.int32)
-    mask = sample_tex_row(scene.texels,
-                          mrow[:, MC.MA_META_BLEND:MC.MA_META_BLEND + 12],
-                          uv)[:, :3]
+    mask = tex_fetch_row(scene,
+                         mrow[:, MC.MA_META_BLEND:MC.MA_META_BLEND + 12],
+                         uv)[:, :3]
     w_mask = luminance(mask)
     if normal is not None and wo is not None:
         cos_v = jnp.abs(dot3(normal, wo))
@@ -246,8 +247,10 @@ def resolve_blend_leaf(scene, mat_id, uv, normal, wo, pos, u_blend):
     mid = mat_id
     u = u_blend
     done = jnp.zeros(mat_id.shape, bool)
+    from hydracore_tpu.ops.gather import gather_rows
+
     for _ in range(levels):
-        mrow = scene.mat_attr[jnp.clip(mid, 0, scene.mat_attr.shape[0] - 1)]
+        mrow = gather_rows(scene.mat_attr, mid)
         bn = mrow[:, MC.MA_BLEND_NODE].astype(jnp.int32)
         bt = mrow[:, MC.MA_BLEND_TOP].astype(jnp.int32)
         is_blend = (bn >= 0) | (bt >= 0)
@@ -290,10 +293,10 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
         leaf = resolve_blend_leaf(scene, mat_id, uv, normal, wo, pos, u_blend)
         return _fetch_leaf(scene, leaf, uv, pos, normal, wo, ao)
     p_top = _fetch_leaf(scene, mat_id, uv, pos, normal, wo, ao)
-    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.ops.gather import gather_rows
     from hydracore_tpu.scene import materials as MC
 
-    mrow = scene.mat_attr[mat_id]
+    mrow = gather_rows(scene.mat_attr, mat_id)
     bn = mrow[:, MC.MA_BLEND_NODE].astype(jnp.int32)
     has = bn >= 0
     bot_id = jnp.where(has, jnp.clip(bn, 0, scene.mat_attr.shape[0] - 1), mat_id)
@@ -320,12 +323,12 @@ def apply_bump(scene, p: MatParams, n, tang, uv):
     """Perturb the shading normal by the material's normal map — the shading
     side of the reference bump pipeline (aux normal map applied in
     ComputeHit/Shade via the TBN frame). tang: interpolated mesh tangent."""
-    from hydracore_tpu.ops.texture import sample_tex_row
+    from hydracore_tpu.ops.texture import tex_fetch_row
 
     if not _gate(scene.settings, "has_bump"):
         return n
     has = p.bump_tex > 0
-    nm = sample_tex_row(scene.texels, p.bump_meta, uv)[:, :3] * 2.0 - 1.0
+    nm = tex_fetch_row(scene, p.bump_meta, uv)[:, :3] * 2.0 - 1.0
     t = normalize3(tang - dot3(tang, n)[:, None] * n)
     b = jnp.stack(
         [

@@ -239,9 +239,11 @@ def compute_hit(scene, tri, u, v, ray_o, ray_d, t):
     semantics, ctrace.h:940-1010)."""
     has_inst = scene.settings is not None and getattr(scene.settings, "has_inst", False)
     if has_inst:
+        from hydracore_tpu.ops.gather import gather_rows
+
         row = scene.cl_slot_tri2[jnp.clip(tri, 0, scene.cl_slot_tri2.shape[0] - 1)]
         tri_c = jnp.clip(row[:, 0], 0, scene.tri_attr.shape[0] - 1)
-        im = scene.inst_attr[jnp.clip(row[:, 1], 0, scene.inst_attr.shape[0] - 1)]
+        im = gather_rows(scene.inst_attr, row[:, 1])
     else:
         tri_c = jnp.clip(tri, 0, scene.tri_attr.shape[0] - 1)
     a = scene.tri_attr[tri_c]  # (R, 40)
@@ -540,8 +542,9 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         if has_proc_ao:  # static gate: AO probes only when a proc-tex asks
             from hydracore_tpu.scene import materials as MC
 
-            arow = scene.mat_attr[jnp.clip(mat_id, 0,
-                                           scene.mat_attr.shape[0] - 1)]
+            from hydracore_tpu.ops.gather import gather_rows
+
+            arow = gather_rows(scene.mat_attr, mat_id)
             ao_t = arow[:, MC.MA_AO_TYPE].astype(jnp.int32)
             rays_traced = rays_traced + (alive & (ao_t > 0)).sum() * AO_PROBES
             ao_val = ao_probe(scene, pos, n, ng, ao_t,
@@ -571,11 +574,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             r_l = rand_fn(depth, DG_LIGHT)
             l_idx, _ = select_light(scene.lights, r_l[:, 3])
         if scene.light_attr.shape[0] > 1:
+            from hydracore_tpu.ops.gather import gather_rows
+
             if nee:
-                rows2 = scene.light_attr[jnp.concatenate([lrow, l_idx])]
+                rows2 = gather_rows(scene.light_attr,
+                                    jnp.concatenate([lrow, l_idx]))
                 rows_hit, rows_nee = rows2[:R], rows2[R:]
             else:
-                rows_hit = scene.light_attr[lrow]
+                rows_hit = gather_rows(scene.light_attr, lrow)
 
         # ---- implicit emitter hit (HitEnvOrLightKernel light path :510)
         em_lum = p.em_color.max(axis=-1)
@@ -782,6 +788,18 @@ def _morton_pixel_order(W: int, H: int):
     return ((ys[order] * W) + xs[order]).astype(np.uint32)
 
 
+@lru_cache(maxsize=8)
+def _morton_pixel_inverse(W: int, H: int):
+    """inv[pixel] = rank of that pixel in Morton order — the STATIC inverse
+    permutation, so Morton-ordered band results land in the framebuffer via
+    one GATHER instead of a scatter (scatter measured 2.8 ms vs gather
+    0.6 ms per 256k rows, tools/exp_stage_floor.py)."""
+    order = _morton_pixel_order(W, H)
+    inv = np.empty(W * H, np.int32)
+    inv[order] = np.arange(W * H, dtype=np.int32)
+    return inv
+
+
 # megablock: max rays per dispatch — decouples image size from compile
 # size / device footprint (CalcMegaBlockSize, GPUOCLLayer.cpp:841-876).
 # Bigger bands amortize per-op fixed costs (gathers/sorts cost ~ms per OP
@@ -829,7 +847,7 @@ def render_pass_impl(scene, pass_idx, seed, max_depth: int = 5):
     Unjitted body — the graft entry point compile-checks this directly."""
     H, W = scene.camera.height, scene.camera.width
     color, pix, rays = render_band_impl(scene, pass_idx, seed, max_depth)
-    fb = jnp.zeros((H * W, 3), jnp.float32).at[pix].set(color)
+    fb = color[jnp.asarray(_morton_pixel_inverse(W, H))]  # static inverse
     return fb.reshape(H, W, 3), rays
 
 
@@ -874,15 +892,19 @@ def render_passes(scene, pass_base, seed, n_pass: int = 8, max_depth: int = 5):
                                        max_depth=max_depth)
     H, W = scene.camera.height, scene.camera.width
     R = H * W
-    fb = jnp.zeros((R, 3), jnp.float32)
     rays = jnp.zeros((), jnp.float32)
     step = min(MEGABLOCK, R)
+    bands = []
     for start in range(0, R, step):
         end = min(start + step, R)
         acc, pix, r = render_passes_band(scene, pass_base, seed, n_pass,
                                          max_depth, (start, end))
-        fb = fb.at[pix].set(acc)
+        bands.append(acc)
         rays = rays + r
+    # bands concatenate to the full Morton-ordered frame; land it with the
+    # STATIC inverse permutation (gather) instead of per-band scatters
+    morton_full = bands[0] if len(bands) == 1 else jnp.concatenate(bands)
+    fb = morton_full[jnp.asarray(_morton_pixel_inverse(W, H))]
     return fb.reshape(H, W, 3), rays
 
 

@@ -293,8 +293,9 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
             from hydracore_tpu.integrators.pt import AO_PROBES, DG_AO, ao_probe
             from hydracore_tpu.scene import materials as MC
 
-            arow = scene.mat_attr[jnp.clip(mat_id, 0,
-                                           scene.mat_attr.shape[0] - 1)]
+            from hydracore_tpu.ops.gather import gather_rows
+
+            arow = gather_rows(scene.mat_attr, mat_id)
             ao_t = arow[:, MC.MA_AO_TYPE].astype(jnp.int32)
             rays = rays + (alive & (ao_t > 0)).sum() * AO_PROBES
             ao_val = ao_probe(scene, pos, n, ng, ao_t,
@@ -317,7 +318,10 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         l_idx, _ = select_light(scene.lights, r_l[:, 3])
         rows_hit = rows_nee = None
         if scene.light_attr.shape[0] > 1:
-            rows2 = scene.light_attr[jnp.concatenate([lrow, l_idx])]
+            from hydracore_tpu.ops.gather import gather_rows
+
+            rows2 = gather_rows(scene.light_attr,
+                                jnp.concatenate([lrow, l_idx]))
             rows_hit, rows_nee = rows2[:R], rows2[R:]
 
         em_lum = p.em_color.max(axis=-1)

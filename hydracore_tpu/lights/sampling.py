@@ -55,10 +55,12 @@ def _light_rows(scene, l_idx):
     broadcast row 0 statically — XLA gathers cost ~1.6 ms per OP on this
     TPU regardless of width (tools/exp_gather.py), and a uniform-index
     gather still pays it."""
+    from hydracore_tpu.ops.gather import gather_rows
+
     la = scene.light_attr
     if la.shape[0] == 1:
         return jnp.broadcast_to(la[0], (l_idx.shape[0], la.shape[1]))
-    return la[l_idx]
+    return gather_rows(la, l_idx)
 
 
 def select_light(lights, u):
@@ -85,7 +87,7 @@ def env_radiance(scene, d):
     lt = scene.lights
     if LIGHT_SKY not in _light_types(scene):
         return jnp.broadcast_to(scene.env_color, d.shape)
-    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.ops.texture import tex_fetch
 
     sky_rows = jnp.asarray(lt.ltype) == LIGHT_SKY
     has_sky = sky_rows.any()
@@ -93,9 +95,8 @@ def env_radiance(scene, d):
     tex = lt.tex[sky_row]
     u = 0.5 + jnp.arctan2(d[:, 0], -d[:, 2]) * (0.5 / np.pi)
     v = jnp.arccos(jnp.clip(d[:, 1], -1.0, 1.0)) * (1.0 / np.pi)
-    texc = sample_tex(scene.texels, scene.tex_meta,
-                      jnp.broadcast_to(tex, (d.shape[0],)),
-                      jnp.stack([u, v], -1))[:, :3]
+    texc = tex_fetch(scene, jnp.broadcast_to(tex, (d.shape[0],)),
+                     jnp.stack([u, v], -1))[:, :3]
     base = jnp.where(has_sky, lt.intensity[sky_row], scene.env_color)
     return base[None, :] * jnp.where(has_sky & (tex > 0), texc, jnp.ones_like(texc))
 
@@ -106,7 +107,7 @@ def env_back_radiance(scene, d):
     light's <back> texture (ref backColorOfSecondEnv, cbidir.h:543-572).
     Only call under settings.has_env_back — replaces env radiance for
     camera-visible rays (environmentColorExtended, cbidir.h:624)."""
-    from hydracore_tpu.ops.texture import sample_tex
+    from hydracore_tpu.ops.texture import tex_fetch
 
     eb = scene.env_back
     slot = eb[0].astype(jnp.int32)
@@ -134,8 +135,8 @@ def env_back_radiance(scene, d):
 
     uv = jnp.where(spherical,
                    jnp.stack([u_s, v_s], -1), jnp.stack([u_c, v_c], -1))
-    texc = sample_tex(scene.texels, scene.tex_meta,
-                      jnp.broadcast_to(slot, (d.shape[0],)), uv)[:, :3]
+    texc = tex_fetch(scene, jnp.broadcast_to(slot, (d.shape[0],)),
+                     uv)[:, :3]
     return mult[None, :] * texc
 
 
@@ -190,7 +191,7 @@ def sample_light_rev(scene, l_idx, rnds, sp, rows=None) -> LightSample:
     # --- IES photometric profile on point/spot (clight.h:411)
     if (LIGHT_POINT in types or LIGHT_SPOT in types) and \
             (scene.settings is None or getattr(scene.settings, "has_ies", True)):
-        from hydracore_tpu.ops.texture import sample_tex
+        from hydracore_tpu.ops.texture import tex_fetch
 
         tex_slot = a[:, LA_TEX].astype(jnp.int32)
         emit_dir = -dir_p
@@ -198,8 +199,8 @@ def sample_light_rev(scene, l_idx, rnds, sp, rows=None) -> LightSample:
         theta_v = jnp.arccos(cos_ax) * (1.0 / np.pi)
         tb2, bb2 = make_orthonormal_basis(nrm)
         phi_v = (jnp.arctan2(dot3(emit_dir, bb2), dot3(emit_dir, tb2)) * (0.5 / np.pi)) % 1.0
-        ies_val = sample_tex(scene.texels, scene.tex_meta, tex_slot,
-                             jnp.stack([phi_v, theta_v], -1))[:, 0]
+        ies_val = tex_fetch(scene, tex_slot,
+                            jnp.stack([phi_v, theta_v], -1))[:, 0]
         has_ies = (tex_slot > 0) & ((ltype == LIGHT_POINT) | (ltype == LIGHT_SPOT))
         radiance = radiance * jnp.where(has_ies, ies_val, 1.0)[:, None]
 

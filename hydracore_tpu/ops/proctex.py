@@ -74,11 +74,10 @@ def eval_proc_tex(proc_id, uv, pos, normal, wo=None, args=None, scene=None,
         ao = jnp.ones(uv.shape[:-1], jnp.float32)
 
     if scene is not None:
-        from hydracore_tpu.ops.texture import sample_tex
+        from hydracore_tpu.ops.texture import tex_fetch
 
         def sample2d(slot_f, st):
-            return sample_tex(scene.texels, scene.tex_meta,
-                              slot_f.astype(jnp.int32), st)
+            return tex_fetch(scene, slot_f.astype(jnp.int32), st)
     else:
         def sample2d(slot_f, st):
             return jnp.ones(st.shape[:-1] + (4,), jnp.float32)
@@ -158,12 +157,48 @@ _STDLIB_IDS: dict = {}  # fn -> registered id (memoized: repeated scene
 # the whole batch and registry changes retrigger jit tracing)
 
 
+def register_source_instance(source: str, main: str | None = None,
+                             gen_args: list | None = None,
+                             cache_key: str | None = None) -> int:
+    """Compile proc-tex C SOURCE (the statefile's .c payload) to a jax
+    callable and register it — the TPU analogue of the reference's runtime
+    OpenCL splice-and-recompile (RenderDriverRTE_ProcTex.cpp:467-563).
+    Raises ProcTexCompileError outside the supported subset."""
+    from hydracore_tpu.ops.proctex_c import compile_proc_tex
+
+    key = cache_key or (main, source)
+    if key in _STDLIB_IDS and _STDLIB_IDS[key] < len(_REGISTRY):
+        return _STDLIB_IDS[key]
+    fn = compile_proc_tex(source, main=main, gen_args=gen_args)
+    # source-compiled shaders take the full 6/7-arg protocol; register with
+    # an explicit arity (readAttr_AO consumers need the ao input too)
+    _REGISTRY.append((fn, 7))
+    _STDLIB_IDS[key] = len(_REGISTRY) - 1
+    return _STDLIB_IDS[key]
+
+
 def register_stdlib_instance(name: str, loc: str = "",
-                             main: str | None = None) -> int:
-    """Bind a declared statefile proc texture to its stdlib jax
-    implementation; -1 (with a visible warning) when the code is unknown —
-    the scene renders without it, but never silently. Resolution: texture
-    name first, then the .c main symbol (prtexN_<name>)."""
+                             main: str | None = None,
+                             source: str | None = None,
+                             gen_args: list | None = None) -> int:
+    """Bind a declared statefile proc texture to a jax implementation:
+    1) compile the shader SOURCE itself when available (ops/proctex_c —
+       exact, covers arbitrary user code in the supported C subset);
+    2) else match the stdlib by texture name / main symbol;
+    3) else -1 with a visible warning — the scene renders without it,
+       but never silently."""
+    if source:
+        from hydracore_tpu.ops.proctex_c import ProcTexCompileError
+
+        try:
+            return register_source_instance(source, main=main,
+                                            gen_args=gen_args,
+                                            cache_key=loc or None)
+        except ProcTexCompileError as e:
+            warnings.warn(
+                f"procedural texture '{name}' ({loc}): source translation "
+                f"failed ({e}); falling back to the stdlib match",
+                stacklevel=2)
     fn = STDLIB.get(name.lower().strip())
     if fn is None and main:
         key = main.lower().strip()

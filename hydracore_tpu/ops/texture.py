@@ -73,6 +73,65 @@ def sample_tex_row(texels, row, uv, apply_gamma: bool = False):
     return out
 
 
+def tex_fetch_row(scene, row, uv, apply_gamma: bool = False):
+    """Bilinear fetch given (R,12) meta rows, using the quad heap when the
+    scene carries one (ONE (R,16) gather) and the 4-corner path otherwise."""
+    if getattr(scene, "texels_quad", None) is not None:
+        return sample_tex_row_quad(scene.texels_quad, row, uv, apply_gamma)
+    return sample_tex_row(scene.texels, row, uv, apply_gamma)
+
+
+def tex_fetch(scene, tex_id, uv, apply_gamma: bool = False):
+    """Bilinear fetch by texture slot id through the baked tex_meta rows."""
+    return tex_fetch_row(scene, scene.tex_meta[tex_id], uv, apply_gamma)
+
+
+def sample_tex_row_quad(quad, row, uv, apply_gamma: bool = False):
+    """sample_tex_row against the (X,16) bilinear-quad heap
+    (textures.build_quad_heap): the 2x2 footprint arrives in ONE gathered
+    row — 1/4 the gather rows of the 4-corner fetch, bit-identical output
+    (neighbor wrap is pre-baked per texture; the clamp x0<0 corner collapse
+    is reproduced by zeroing the fraction)."""
+    import jax
+    meta_i = jax.lax.bitcast_convert_type(row[:, 0:4], jnp.int32)
+    off, w, h, flags = meta_i[:, 0], meta_i[:, 1], meta_i[:, 2], meta_i[:, 3]
+    wf, hf = w.astype(jnp.float32), h.astype(jnp.float32)
+
+    u_in = row[:, 4] * uv[:, 0] + row[:, 5] * uv[:, 1] + row[:, 6]
+    v_in = row[:, 7] * uv[:, 0] + row[:, 8] * uv[:, 1] + row[:, 9]
+    gamma = row[:, 10]
+
+    clamp_u = (flags & TEX_CLAMP_U) != 0
+    clamp_v = (flags & TEX_CLAMP_V) != 0
+    u = jnp.where(clamp_u, jnp.clip(u_in, 0.0, 1.0), u_in - jnp.floor(u_in))
+    v = jnp.where(clamp_v, jnp.clip(v_in, 0.0, 1.0), v_in - jnp.floor(v_in))
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    # clamp addressing collapses the x0 = -1 corner pair onto texel 0 in the
+    # 4-corner fetch; zeroing the fraction reproduces that exactly
+    fx = jnp.where(clamp_u & (x0 < 0.0), 0.0, x - x0)[:, None]
+    fy = jnp.where(clamp_v & (y0 < 0.0), 0.0, y - y0)[:, None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    xa = jnp.where(clamp_u, jnp.clip(x0i, 0, w - 1),
+                   jnp.mod(x0i, jnp.maximum(w, 1)))
+    ya = jnp.where(clamp_v, jnp.clip(y0i, 0, h - 1),
+                   jnp.mod(y0i, jnp.maximum(h, 1)))
+    q = quad[off + ya * w + xa]  # (R, 16)
+    top = q[:, 0:4] * (1 - fx) + q[:, 4:8] * fx
+    bot = q[:, 8:12] * (1 - fx) + q[:, 12:16] * fx
+    out = top * (1 - fy) + bot * fy
+    if apply_gamma:
+        rgb = jnp.where((gamma != 1.0)[:, None],
+                        jnp.power(jnp.maximum(out[:, :3], 0.0), gamma[:, None]),
+                        out[:, :3])
+        out = jnp.concatenate([rgb, out[:, 3:4]], axis=1)
+    return out
+
+
 def sample_bilinear(texels, tex_table, tex_id, uv, samplers=None,
                     apply_gamma: bool = False):
     """Bilinear RGBA fetch.

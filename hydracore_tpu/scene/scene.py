@@ -108,6 +108,10 @@ class SceneData:
     # cbidir.h:543): (8,) f32 [tex_slot, mode(0 none/1 spherical/2 camproj),
     # gamma, mult r, g, b, 0, 0]; gated statically by settings.has_env_back
     env_back: np.ndarray = None
+    # bilinear-quad texel heap (textures.build_quad_heap): (X,16) rows of
+    # pre-wrapped 2x2 footprints — ONE gather per bilinear fetch instead of
+    # four. None when the scene's heap exceeds QUAD_HEAP_MAX_TEXELS.
+    texels_quad: np.ndarray = None
 
     @property
     def num_triangles(self) -> int:
@@ -568,12 +572,22 @@ def finalize_scene(sc: SceneData) -> SceneData:
 
     shadow_fields = _build_shadow_split(sc, st)
     from hydracore_tpu.scene.materials import bake_tex_meta
+    from hydracore_tpu.scene.textures import (QUAD_HEAP_MAX_TEXELS,
+                                              build_quad_heap)
+
+    # always derived from the CURRENT texels (finalize may re-run after a
+    # texels replace — a stale quad heap would read garbage)
+    texels_quad = None
+    if sc.texels.shape[0] <= QUAD_HEAP_MAX_TEXELS:
+        texels_quad = build_quad_heap(np.asarray(sc.texels),
+                                      np.asarray(sc.tex_table))
 
     return sc.replace(tri_attr=tri_attr, cl_slot_tri2=cl_slot_tri2,
                       mat_attr=bake_tex_meta(pack_mat_attr(sc.materials),
                                              tex_meta),
                       light_attr=pack_light_attr(sc.lights),
-                      tex_meta=tex_meta, settings=st, **shadow_fields)
+                      tex_meta=tex_meta, settings=st,
+                      texels_quad=texels_quad, **shadow_fields)
 
 
 # alpha sets beyond this keep the legacy layered closest-hit shadow walk

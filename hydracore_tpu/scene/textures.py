@@ -69,6 +69,37 @@ TEX_MEM_BUDGET = 1 << 30
 TEX_MEM_BUDGET_BUMP = 256 << 20
 _BYTES_PER_TEXEL = 16  # float32 RGBA
 
+# quad-heap cap: above this many texels the 4x duplicated bilinear layout
+# is skipped and samplers fall back to the 4-corner gather (HBM economy)
+QUAD_HEAP_MAX_TEXELS = int(os.environ.get("HYDRA_QUAD_MAX_TEXELS",
+                                          str(8 << 20)))
+
+
+def build_quad_heap(texels: np.ndarray, table: np.ndarray) -> np.ndarray:
+    """(X, 16) bilinear-quad heap: row i of texture t at texel (x, y) holds
+    the 2x2 footprint [c(x,y) | c(xn,y) | c(x,yn) | c(xn,yn)] with the
+    neighbor indices xn/yn PRE-WRAPPED under that texture's own clamp/wrap
+    flags. One (R,16) gather then replaces the (4R,4) 4-corner gather —
+    gather cost on this TPU is ~1 row/cycle regardless of width
+    (tools/exp_layout.py), so bilinear drops to 1/4 of its gather rows.
+    4x memory; gated by QUAD_HEAP_MAX_TEXELS at the finalize site."""
+    X = texels.shape[0]
+    quad = np.zeros((X, 16), np.float32)
+    for off, w, h, flags in np.asarray(table, np.int64):
+        if w <= 0 or h <= 0:
+            continue
+        img = texels[off:off + w * h].reshape(h, w, 4)
+        xs = np.arange(w)
+        ys = np.arange(h)
+        xn = np.minimum(xs + 1, w - 1) if (flags & TEX_CLAMP_U) \
+            else (xs + 1) % w
+        yn = np.minimum(ys + 1, h - 1) if (flags & TEX_CLAMP_V) \
+            else (ys + 1) % h
+        q = np.concatenate([img, img[:, xn], img[yn], img[yn][:, xn]],
+                           axis=2)
+        quad[off:off + w * h] = q.reshape(h * w, 16)
+    return quad
+
 
 def downscale2x(img: np.ndarray) -> np.ndarray:
     """Half-resolution box filter (the reference's texture resize step)."""
