@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 from flax import struct
 
-from hydracore_tpu.scene.statefile import SceneDesc, get_color, get_float, get_tex_id
+from hydracore_tpu.scene.statefile import (SceneDesc, get_color, get_float,
+                                           get_tex_id, parse_floats)
 
 # reflection distribution enum
 REFL_NONE = 0
@@ -456,11 +457,27 @@ def build_material_table(desc: SceneDesc, tex_remap: np.ndarray,
                 referenced.add(int(t.get("id", -1)))
     from hydracore_tpu.ops.proctex import register_stdlib_instance
 
+    import os as _os
+
     for tid, td in getattr(desc, "textures", {}).items():
         if getattr(td, "proc_name", None) and tid in referenced:
+            # shader source first (ops/proctex_c translates the reference's
+            # proc-tex C subset exactly); stdlib by name as the fallback
+            source = None
+            loc = td.loc or ""
+            if loc and getattr(desc, "lib_dir", None):
+                path = _os.path.join(desc.lib_dir, loc)
+                if _os.path.exists(path) and path.endswith(".c"):
+                    try:
+                        with open(path, "r", errors="replace") as f:
+                            source = f.read()
+                    except OSError:
+                        source = None
             proc_map[tid] = (register_stdlib_instance(
-                                 td.proc_name, td.loc or "",
-                                 main=getattr(td, "proc_main", None)),
+                                 td.proc_name, loc,
+                                 main=getattr(td, "proc_main", None),
+                                 source=source,
+                                 gen_args=getattr(td, "gen_args", None)),
                              getattr(td, "ao_type", 0),
                              getattr(td, "ao_length", 0.0))
 

@@ -90,6 +90,9 @@ class TextureDesc:
     # ReadAOFromNode, RenderDriverRTE_ProcTex.cpp:290-320)
     ao_type: int = 0  # 0 none / 1 up / 2 down / 3 both
     ao_length: float = 0.0
+    # <code><generated><arg> layout: [(name, type, woffset, wsize), ...] —
+    # maps shader parameters onto the material arg stack (proctex_c)
+    gen_args: list | None = None
 
 
 @dataclass
@@ -103,6 +106,12 @@ class CameraDesc:
     dof_lens_radius: float = 0.0
     enable_dof: bool = False
     focal_dist: float = -1.0  # <0: distance |look_at - position|
+    # tabulated optical system (<optical_system type="tabular">, the
+    # reference camera plugin's multi-lens tables — CamHostPluginAPI.h):
+    # list of dicts(curvature_radius, thickness, ior, aperture_radius) in
+    # scene_to_sensor order + the sensor diagonal in the same length units
+    optics: list | None = None
+    sensor_diagonal: float = 0.035
 
 
 @dataclass
@@ -225,6 +234,16 @@ def _parse_camera(root) -> CameraDesc:
     cam.up = np.asarray(parse_floats(_text_or_val(c.find("up")), [0, 1, 0])[:3], np.float32)
     cam.enable_dof = int(get_float(c, "enable_dof", 0)) != 0
     cam.dof_lens_radius = get_float(c, "dof_lens_radius", 0.0)
+    osys = c.find("optical_system")
+    if osys is not None and (osys.get("type") or "").lower() == "tabular":
+        cam.sensor_diagonal = float(osys.get("sensor_diagonal", 0.035))
+        cam.optics = [
+            dict(curvature_radius=float(ln.get("curvature_radius", 0.0)),
+                 thickness=float(ln.get("thickness", 0.0)),
+                 ior=float(ln.get("ior", 1.0)),
+                 aperture_radius=float(ln.get("aperture_radius",
+                                              ln.get("semi_diameter", 1.0))))
+            for ln in osys.findall("line")]
     return cam
 
 
@@ -318,6 +337,20 @@ def load_statefile(lib_dir: str, statefile: str | None = None) -> SceneDesc:
                 if code is not None:
                     td.proc_main = code.get("main")
                     td.loc = code.get("loc") or loc
+                    gen = code.find("generated")
+                    if gen is not None:
+                        td.gen_args = [
+                            (a.get("name", ""), a.get("type", "float"),
+                             int(a.get("woffset", 0)),
+                             int(a.get("wsize", 1)))
+                            for a in gen.findall("arg")]
+                        # prtexN_main symbol from the <call> line when the
+                        # attribute only says "main"
+                        call = gen.find("call")
+                        if call is not None and call.text:
+                            sym = call.text.strip().split("(", 1)[0]
+                            if sym:
+                                td.proc_main = sym
                 ao = t.find("ao")
                 if ao is not None:
                     hemi = (ao.get("hemisphere") or "").lower()
