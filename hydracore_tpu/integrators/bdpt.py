@@ -386,11 +386,13 @@ def _mis_weight(pf, pl, spec, can, t_strat: int, n_splat, y0_hittable,
 
 def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                max_depth: int, strategies: str = "full",
-               k_only: int | None = None):
+               k_only: int | None = None, with_labels: bool = False):
     """Evaluate SBDPT strategies for a wavefront of camera+light
     subpaths. Returns a list of (flat_pix (R,), color (R,3)) contributions
     — one entry per (s, t) strategy evaluated. k_only restricts to paths
-    with exactly k vertices (MMLT's per-depth chains)."""
+    with exactly k vertices (MMLT's per-depth chains). with_labels=True
+    returns ((s, t), flat, color) triples instead (the per-strategy oracle
+    cross-check consumes these, tests/test_oracle_bdpt.py)."""
     cam = scene.camera
     W, H = cam.width, cam.height
     R = ray_o.shape[0]
@@ -450,8 +452,8 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         w = _mis_weight(pf, pl, spec, on_light, t, n_splat,
                         y0_here.hittable, three_way)
         contrib = z.beta * z.em_color * w[:, None]
-        out.append((own_pix, jnp.where((on_light & front)[:, None],
-                                       contrib, 0.0)))
+        out.append(((0, t), own_pix, jnp.where((on_light & front)[:, None],
+                                               contrib, 0.0)))
 
     # ---- s = 1: NEE from every camera vertex to y0
     for t in range(2, NC + 1):
@@ -482,8 +484,8 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         pf, pl, spec = _assemble(R, zs, ys, y0, t, 1, junc)
         w = _mis_weight(pf, pl, spec, can, t, n_splat, y0.hittable,
                         three_way)
-        out.append((own_pix, jnp.where((can & ~occ)[:, None],
-                                       c_unw * w[:, None], 0.0)))
+        out.append(((1, t), own_pix, jnp.where((can & ~occ)[:, None],
+                                               c_unw * w[:, None], 0.0)))
 
     # ---- t = 1: connect light vertices to the camera (LT splat)
     for s in range(2, NL + 2):
@@ -513,7 +515,7 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         w = _mis_weight(pf, pl, spec, can, 1, n_splat, y0.hittable,
                         three_way)
         amt = jnp.where((can & ~occ)[:, None], c_unw * w[:, None], 0.0)
-        out.append((flat, amt))
+        out.append(((s, 1), flat, amt))
 
     # ---- s >= 2, t >= 2: inner connections (full SBDPT only)
     if not three_way:
@@ -543,7 +545,12 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                     "pf_junc": _to_area(pdf_z_w, z.pos, y.pos, y.ng),
                     "pl_junc": _to_area(pdf_y_w, y.pos, z.pos, z.ng),
                 }
-                _, pdf_y_down = eval_bsdf(y.mat, wl, y.wo, y.ns, feats)
+                # wo at y is the OUTGOING connection direction -wl (wl
+                # points z -> y, i.e. INTO y); passing wl flipped the
+                # facing test and zeroed this pdf, mis-weighting every
+                # inner connection strategy — caught by the per-(s,t)
+                # scalar oracle (tests/test_oracle_bdpt.py)
+                _, pdf_y_down = eval_bsdf(y.mat, -wl, y.wo, y.ns, feats)
                 nxt = ys[s - 3] if s >= 3 else y0
                 junc["pf_junc2"] = _to_area(pdf_y_down, y.pos, nxt.pos,
                                             nxt.ng)
@@ -554,10 +561,13 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                 pf, pl, spec = _assemble(R, zs, ys, y0, t, s, junc)
                 w = _mis_weight(pf, pl, spec, can, t, n_splat, y0.hittable,
                                 False)
-                out.append((own_pix, jnp.where((can & ~occ)[:, None],
-                                               c_unw * w[:, None], 0.0)))
+                out.append(((s, t), own_pix,
+                            jnp.where((can & ~occ)[:, None],
+                                      c_unw * w[:, None], 0.0)))
 
-    return out
+    if with_labels:
+        return out
+    return [(flat, amt) for _lbl, flat, amt in out]
 
 
 def bdpt_pass_impl(scene, pass_idx, seed, max_depth: int = 5,

@@ -700,3 +700,325 @@ class OracleLT:
                 d = self._cosine_about(ns, *g.random(2))
                 o = pos + ns * (2e-4 * max(1.0, np.abs(pos).max()))
         return img
+
+
+class OracleSBDPT:
+    """Independent scalar-numpy bidirectional oracle — per-(s, t) strategy
+    images with explicit absolute-product MIS in float64.
+
+    The reference carries CPU reference integrators for the bidirectional
+    family (IntegratorSBDPT / IntegratorMMLT, CPUExp_Integrators.h:797,842,
+    CPUExp_Integrators_*Bidir*.cpp); the jax stack (integrators/bdpt.py)
+    was previously verified only by aggregate agreement with PT — a bug
+    symmetric across the shared library (e.g. an eval_bsdf pdf convention
+    consumed by every strategy) would pass that test. This oracle shares
+    NOTHING with bdpt.py beyond the scene tables and the traversal cross-
+    checked elsewhere: camera/light subpaths, per-vertex area pdfs, the
+    power-heuristic weights and the splat geometry are all re-derived here
+    in scalar form. Diffuse (lambert) surfaces + one rect area light only,
+    assert-guarded.
+
+    Conventions pinned against bdpt.py (so per-strategy images estimate the
+    SAME weighted integrals):
+      * camera measure is per-pixel: pdf_w = d_img^2/cos_c^3 with
+        d_img = H / (2 tan(fov/2))  (cam_pdf_w, bdpt.py:106);
+      * a t'=1 strategy's contribution and its density in the weight walk
+        carry the 1/n_splat screen-sample suppression (n_splat = W*H);
+      * on k=2 paths the unsampled (s'=1, t'=1) strategy leaves the
+        denominator (bdpt._mis_weight:342);
+      * t' = k requires a geometrically hittable light.
+    """
+
+    def __init__(self, scene):
+        self.r = OracleRenderer(scene)
+        self.sc = scene
+        self.lt = scene.lights
+        self.mt = scene.materials
+        ltype = np.asarray(self.lt.ltype)
+        emitters = np.where(np.asarray(self.lt.area) > 0)[0]
+        assert len(ltype) >= 1 and int(ltype[0]) == 4 and len(emitters) >= 1, \
+            "OracleSBDPT: one rect area light expected at row 0"
+        assert (np.asarray(self.mt.refl_color).max() < 1e-6
+                and np.asarray(self.mt.transp_color).max() < 1e-6), \
+            "OracleSBDPT: diffuse surfaces only"
+        cam = scene.camera
+        self.W, self.H = cam.width, cam.height
+        self.view = np.linalg.inv(np.asarray(cam.mWorldViewInv, np.float64))
+        self.proj_inv = np.asarray(cam.mProjInv, np.float64)
+        self.tan_half = float(self.proj_inv[1, 1])
+        self.d_img = self.H / (2.0 * self.tan_half)
+        self.cpos = np.asarray(cam.pos, np.float64)
+        self.n_splat = float(self.W * self.H)
+
+    # ---- shared scalar helpers
+    def _eye_ray(self, px, py, jx, jy):
+        x = (px + jx) / self.W * 2.0 - 1.0
+        y = 1.0 - (py + jy) / self.H * 2.0
+        pv = self.proj_inv @ np.array([x, y, 0.0, 1.0])
+        dv = pv[:3] / max(abs(pv[3]), 1e-12)
+        dv /= np.linalg.norm(dv)
+        wv = np.asarray(self.sc.camera.mWorldViewInv, np.float64)
+        d = wv[:3, :3] @ dv
+        return self.cpos, d / np.linalg.norm(d), dv
+
+    def _cam_pdf_w(self, d_world):
+        dv = self.view[:3, :3] @ d_world
+        cos_c = max(-dv[2], 1e-6)
+        return self.d_img ** 2 / cos_c ** 3
+
+    @staticmethod
+    def _to_area(pdf_w, frm, to, to_ng):
+        d = to - frm
+        d2 = max(float(d @ d), 1e-12)
+        w = d / np.sqrt(d2)
+        return pdf_w * abs(float(w @ to_ng)) / d2
+
+    def _surface(self, tri, uu, vv, d):
+        """(ns, ng, mat, albedo, emission) oriented toward -d."""
+        w = 1.0 - uu - vv
+        n = (w * self.r.n0[tri] + uu * self.r.n1[tri] + vv * self.r.n2[tri])
+        n = n / max(np.linalg.norm(n), 1e-12)
+        ng = np.cross(self.r.e1[tri], self.r.e2[tri])
+        ng = ng / max(np.linalg.norm(ng), 1e-12)
+        if float(n @ -d) < 0.0:
+            n = -n
+        if float(ng @ n) < 0.0:
+            ng = -ng
+        mat = int(self.r.tri_mat[tri])
+        alb = np.asarray(self.mt.diff_color)[mat].astype(np.float64)
+        em = np.asarray(self.mt.em_color)[mat].astype(np.float64)
+        return n, ng, mat, alb, em
+
+    def _walk(self, o, d, pdf_w0, n_surf, g):
+        """Trace up to n_surf diffuse vertices; returns the vertex list:
+        dict(pos, ns, ng, alb, em, beta, pf) — beta at ARRIVAL, pf the
+        camera/light-side area pdf of this vertex."""
+        verts = []
+        beta = np.ones(3)
+        prev = o.copy()
+        pdf_w = pdf_w0
+        for _ in range(n_surf):
+            t, tri, uu, vv = self.r.trace(o, d)
+            if not np.isfinite(t):
+                break
+            pos = o + t * d
+            ns, ng, mat, alb, em = self._surface(tri, uu, vv, d)
+            pf = self._to_area(pdf_w, prev, pos, ng)
+            verts.append(dict(pos=pos, ns=ns, ng=ng, alb=alb, em=em,
+                              beta=beta.copy(), pf=pf))
+            if em.max() > 1e-6:
+                break  # emitters terminate subpaths (matches bdpt validity)
+            u = g.random(2)
+            wi = OracleLT._cosine_about(ns, u[0], u[1])
+            cos_i = max(float(wi @ ns), 0.0)
+            pdf_w = cos_i / np.pi
+            if pdf_w < 1e-9:
+                break
+            beta = beta * alb  # lambert: f*cos/pdf = albedo
+            prev = pos
+            o = pos + ng * (2e-4 * max(1.0, np.abs(pos).max()))
+            d = wi
+        return verts
+
+    def _pl_chain(self, xs, k):
+        """Light-side area pdfs pl[i] = pdfA(x_i | x_{i+1}); pl[k-1] is the
+        light-position pdf. xs[i] must carry pos/ns/ng; x_{k-1} is y0."""
+        pl = [1.0] * k
+        pl[k - 1] = self.pick_over_area
+        for i in range(k - 2, 0, -1):
+            src = xs[i + 1]
+            dv = xs[i]["pos"] - src["pos"]
+            dist = max(np.linalg.norm(dv), 1e-12)
+            w = dv / dist
+            cos_s = max(float(w @ src["ns"]), 0.0)
+            pl[i] = self._to_area(cos_s / np.pi, src["pos"], xs[i]["pos"],
+                                  xs[i]["ng"])
+        return pl
+
+    def _pf_chain(self, xs, k):
+        """Camera-side pf[i] = pdfA(x_i | x_{i-1}); pf[1] is the camera
+        vertex pdf (xs[0] = pinhole sentinel with pos only)."""
+        pf = [1.0] * k
+        dv = xs[1]["pos"] - self.cpos
+        w = dv / max(np.linalg.norm(dv), 1e-12)
+        pf[1] = self._to_area(self._cam_pdf_w(w), self.cpos,
+                              xs[1]["pos"], xs[1]["ng"])
+        for i in range(2, k):
+            src = xs[i - 1]
+            dv = xs[i]["pos"] - src["pos"]
+            dist = max(np.linalg.norm(dv), 1e-12)
+            w = dv / dist
+            cos_s = max(float(w @ src["ns"]), 0.0)
+            pf[i] = self._to_area(cos_s / np.pi, src["pos"], xs[i]["pos"],
+                                  xs[i]["ng"])
+        return pf
+
+    def _weight(self, pf, pl, t_strat, k, hittable):
+        """Power heuristic over all t' in 1..k (absolute products, f64) —
+        the explicit form of bdpt._mis_weight's ratio walk."""
+        def p_of(tp):
+            v = 1.0
+            for i in range(1, tp):
+                v *= pf[i]
+            for i in range(tp, k):
+                v *= pl[i]
+            return v
+
+        total, num = 0.0, 0.0
+        for tp in range(1, k + 1):
+            if k == 2 and tp == 1:
+                continue  # unsampled directly-visible-light splat
+            if tp == k and not hittable:
+                continue
+            d = p_of(tp) * (self.n_splat if tp == 1 else 1.0)
+            total += d * d
+            if tp == t_strat:
+                num = d * d
+        return num / total if total > 0 else 0.0
+
+    def render_strategy(self, s: int, t: int, spp: int, seed: int = 11):
+        """(H, W, 3) float64 image of the MIS-weighted (s, t) strategy:
+        t camera vertices (incl. pinhole), s light vertices (incl. the
+        light sample y0)."""
+        k = s + t
+        assert k >= 2 and t >= 1
+        g = np.random.default_rng(seed)
+        lt = self.lt
+        Le = np.asarray(lt.intensity)[0].astype(np.float64)
+        lpos_c = np.asarray(lt.pos)[0].astype(np.float64)
+        lvx = np.asarray(lt.vx)[0].astype(np.float64)
+        lvy = np.asarray(lt.vy)[0].astype(np.float64)
+        lnorm = np.asarray(lt.norm)[0].astype(np.float64)
+        area = float(np.asarray(lt.area)[0])
+        cdf = np.asarray(lt.pick_cdf, np.float64)
+        pick = max(cdf[1] - cdf[0], 1e-12)
+        self.pick_over_area = pick / area
+        img = np.zeros((self.H, self.W, 3))
+
+        def sample_light_path(n_surf):
+            u = g.random(2)
+            y0p = lpos_c + (2 * u[0] - 1) * lvx + (2 * u[1] - 1) * lvy
+            y0 = dict(pos=y0p, ns=lnorm, ng=lnorm, alb=np.zeros(3),
+                      em=Le, beta=Le / self.pick_over_area,
+                      pf=self.pick_over_area)
+            if n_surf == 0:
+                return y0, []
+            u = g.random(2)
+            d0 = OracleLT._cosine_about(lnorm, u[0], u[1])
+            o0 = y0p + lnorm * 1e-4
+            # beta after leaving: Le/(pick/area) * cos/pdf_w = that * pi
+            ys = self._walk(o0, d0, max(float(d0 @ lnorm), 1e-9) / np.pi,
+                            n_surf, g)
+            for y in ys:
+                y["beta"] = y["beta"] * y0["beta"] * np.pi
+            return y0, ys
+
+        def occluded(a, ng_a, b):
+            dv = b - a
+            dist = np.linalg.norm(dv)
+            w = dv / max(dist, 1e-12)
+            eps = 2e-4 * max(1.0, np.abs(a).max())
+            return self.r.occluded(a + ng_a * eps, w, dist * 0.995)
+
+        for py in range(self.H):
+            for px in range(self.W):
+                acc = np.zeros(3)
+                for _ in range(spp):
+                    if t >= 2:
+                        o, d, _ = self._eye_ray(px, py, *g.random(2))
+                        zs = self._walk(o, d, self._cam_pdf_w(d), t - 1, g)
+                        if len(zs) < t - 1:
+                            continue
+                        z = zs[-1]
+                        # mid-path emitter ends the subpath before t-1
+                        if any(zz["em"].max() > 1e-6 for zz in zs[:-1]):
+                            continue
+                    if s == 0:
+                        if z["em"].max() <= 1e-6:
+                            continue
+                        if float(z["ns"] @ (zs[-2]["pos"] - z["pos"]
+                                            if t > 2 else self.cpos
+                                            - z["pos"])) <= 0.0:
+                            continue
+                        xs = [dict(pos=self.cpos)] + zs
+                        pf = self._pf_chain(xs, k)
+                        pl = self._pl_chain(xs, k)
+                        w = self._weight(pf, pl, t, k, True)
+                        acc += z["beta"] * z["em"] * w
+                        continue
+                    y0, ys = sample_light_path(s - 1)
+                    if s >= 2 and len(ys) < s - 1:
+                        continue
+                    if s >= 2 and any(yy["em"].max() > 1e-6 for yy in ys):
+                        continue
+                    yv = ys[-1] if s >= 2 else y0
+                    if t >= 2:
+                        if z["em"].max() > 1e-6:
+                            continue  # camera subpath ended on the light
+                        dv = yv["pos"] - z["pos"]
+                        d2 = max(float(dv @ dv), 1e-12)
+                        dist = np.sqrt(d2)
+                        wl = dv / dist
+                        cos_z = float(wl @ z["ns"])
+                        cos_y = float(-wl @ yv["ns"])
+                        if cos_z <= 0 or cos_y <= 1e-6:
+                            continue
+                        if occluded(z["pos"], z["ng"], yv["pos"]):
+                            continue
+                        G = abs(cos_z) * abs(cos_y) / d2
+                        f_z = z["alb"] / np.pi
+                        f_y = (yv["alb"] / np.pi if s >= 2
+                               else np.ones(3))
+                        c = (z["beta"] * f_z * G * f_y
+                             * (yv["beta"] if s >= 2 else y0["beta"]))
+                        xs = ([dict(pos=self.cpos)] + zs
+                              + list(reversed(ys)) + [y0])
+                        pf = self._pf_chain(xs, k)
+                        pl = self._pl_chain(xs, k)
+                        w = self._weight(pf, pl, t, k, True)
+                        acc += c * w
+                    else:
+                        # t = 1 handled image-wide below (splats)
+                        pass
+                img[py, px] += acc / spp
+
+        if t == 1:
+            # light-path splats: n_splat paths per "pass", spp passes
+            n_paths = int(self.n_splat)
+            for _ in range(spp):
+                for _p in range(n_paths):
+                    y0, ys = sample_light_path(s - 1)
+                    if len(ys) < s - 1 or any(
+                            yy["em"].max() > 1e-6 for yy in ys):
+                        continue
+                    yv = ys[-1]
+                    to_cam = self.cpos - yv["pos"]
+                    dist2 = max(float(to_cam @ to_cam), 1e-12)
+                    dist = np.sqrt(dist2)
+                    w_cam = to_cam / dist
+                    pv = self.view[:3, :3] @ yv["pos"] + self.view[:3, 3]
+                    zc = -pv[2]
+                    if zc <= 1e-4:
+                        continue
+                    sx = pv[0] / zc / (self.tan_half * self.W / self.H)
+                    sy = pv[1] / zc / self.tan_half
+                    qx = int(np.floor((sx + 1.0) * 0.5 * self.W))
+                    qy = int(np.floor((1.0 - sy) * 0.5 * self.H))
+                    if not (0 <= qx < self.W and 0 <= qy < self.H):
+                        continue
+                    cos_x = float(w_cam @ yv["ns"])
+                    if cos_x <= 0.0:
+                        continue
+                    if occluded(yv["pos"], yv["ng"], self.cpos):
+                        continue
+                    cos_cam = max(zc / dist, 1e-6)
+                    factor = ((self.d_img / cos_cam) ** 2 / cos_cam
+                              * cos_x / dist2)
+                    c = yv["beta"] * (yv["alb"] / np.pi) * factor \
+                        / self.n_splat
+                    xs = [dict(pos=self.cpos)] + list(reversed(ys)) + [y0]
+                    pf = self._pf_chain(xs, k)
+                    pl = self._pl_chain(xs, k)
+                    w = self._weight(pf, pl, 1, k, True)
+                    img[qy, qx] += c * w / spp
+        return img
