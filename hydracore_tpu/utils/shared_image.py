@@ -24,8 +24,14 @@ import struct
 import numpy as np
 
 _MAGIC = 0x48594452  # 'HYDR'
-_HDR_FMT = "<IIIIdQ64s"  # magic, version, W, H, spp, counter, message
+# magic, version, W, H, spp, counter, b_sum, b_weight, message.
+# b_sum/b_weight: pooled MLT normalization estimator — the reference
+# publishes avgBrightness through the shared image header so a master can
+# tone-map multi-process MLT (GPUOCLLayerAdvanced.cpp:422-423); the pooled
+# (sum, weight) pair lets N processes combine their estimates exactly.
+_HDR_FMT = "<IIIIdQdd64s"
 _HDR_SIZE = struct.calcsize(_HDR_FMT)
+_VER = 2
 
 
 def _shm_path(name: str) -> str:
@@ -51,8 +57,8 @@ class SharedAccumImage:
         self._f = open(path, "r+b", buffering=0)
         for _retry in range(50):  # creator may still be writing the header
             try:
-                magic, ver, self.width, self.height, _, _, _ = \
-                    self._read_header()
+                magic, ver, self.width, self.height = \
+                    self._read_header()[:4]
             except struct.error:
                 magic = 0
             if magic == _MAGIC:
@@ -69,8 +75,8 @@ class SharedAccumImage:
         path = _shm_path(name)
         size = _HDR_SIZE + width * height * 3 * 4
         with open(path, "wb") as f:
-            f.write(struct.pack(_HDR_FMT, _MAGIC, 1, width, height, 0.0, 0,
-                                b"\0" * 64))
+            f.write(struct.pack(_HDR_FMT, _MAGIC, _VER, width, height, 0.0,
+                                0, 0.0, 0.0, b"\0" * 64))
             f.truncate(size)
         return cls(path)
 
@@ -99,8 +105,8 @@ class SharedAccumImage:
                     f"renderer wants {width}x{height}")
             return img
         with os.fdopen(fd, "wb") as f:
-            f.write(struct.pack(_HDR_FMT, _MAGIC, 1, width, height, 0.0, 0,
-                                b"\0" * 64))
+            f.write(struct.pack(_HDR_FMT, _MAGIC, _VER, width, height, 0.0,
+                                0, 0.0, 0.0, b"\0" * 64))
             f.truncate(_HDR_SIZE + width * height * 3 * 4)
         return cls(path)
 
@@ -119,29 +125,48 @@ class SharedAccumImage:
         self._f.seek(0)
         return struct.unpack(_HDR_FMT, self._f.read(_HDR_SIZE))
 
-    def _write_header(self, spp: float, counter: int, msg: bytes):
+    def _write_header(self, spp: float, counter: int, msg: bytes,
+                      b_sum: float = 0.0, b_weight: float = 0.0):
         self._f.seek(0)
-        self._f.write(struct.pack(_HDR_FMT, _MAGIC, 1, self.width,
-                                  self.height, spp, counter, msg))
+        self._f.write(struct.pack(_HDR_FMT, _MAGIC, _VER, self.width,
+                                  self.height, spp, counter, b_sum,
+                                  b_weight, msg))
         self._f.flush()
 
     # ---- the accumulator protocol (Lock -> add -> Unlock)
-    def add(self, fb_delta: np.ndarray, spp_delta: float) -> float:
+    def add(self, fb_delta: np.ndarray, spp_delta: float,
+            b_sum_delta: float = 0.0, b_weight_delta: float = 0.0) -> float:
         """Accumulate raw HDR sums; returns the combined spp after the add
-        (the reference's counterRcv++ bookkeeping rides the same lock)."""
+        (the reference's counterRcv++ bookkeeping rides the same lock).
+        MLT processes also pool their normalization estimator through
+        (b_sum_delta, b_weight_delta) — see read_b()."""
         fb_delta = np.ascontiguousarray(fb_delta, np.float32)
         assert fb_delta.shape == (self.height, self.width, 3)
         fcntl.flock(self._f, fcntl.LOCK_EX)
         try:
-            _, _, _, _, spp, counter, msg = self._read_header()
+            _, _, _, _, spp, counter, b_s, b_w, msg = self._read_header()
             mm = np.memmap(self.path, np.float32, "r+", offset=_HDR_SIZE,
                            shape=(self.height, self.width, 3))
             mm += fb_delta
             mm.flush()
             del mm
             spp += float(spp_delta)
-            self._write_header(spp, counter + 1, msg)
+            self._write_header(spp, counter + 1, msg,
+                               b_s + float(b_sum_delta),
+                               b_w + float(b_weight_delta))
             return spp
+        finally:
+            fcntl.flock(self._f, fcntl.LOCK_UN)
+
+    def read_b(self) -> float:
+        """Pooled MLT normalization constant b = sum / weight over every
+        process's contribution (0 when no MLT process reported one) —
+        the avgBrightness header channel of GPUOCLLayerAdvanced.cpp:422."""
+        fcntl.flock(self._f, fcntl.LOCK_SH)
+        try:
+            h = self._read_header()
+            b_s, b_w = h[6], h[7]
+            return b_s / b_w if b_w > 0 else 0.0
         finally:
             fcntl.flock(self._f, fcntl.LOCK_UN)
 
@@ -149,7 +174,7 @@ class SharedAccumImage:
         """(accumulated HDR sums copy, spp). Normalize by spp at readback."""
         fcntl.flock(self._f, fcntl.LOCK_SH)
         try:
-            _, _, _, _, spp, _, _ = self._read_header()
+            spp = self._read_header()[4]
             mm = np.memmap(self.path, np.float32, "r", offset=_HDR_SIZE,
                            shape=(self.height, self.width, 3))
             return np.asarray(mm).copy(), spp
@@ -172,16 +197,18 @@ class SharedAccumImage:
     def send_message(self, text: str):
         fcntl.flock(self._f, fcntl.LOCK_EX)
         try:
-            _, _, _, _, spp, counter, _ = self._read_header()
+            h = self._read_header()
+            spp, counter, b_s, b_w = h[4], h[5], h[6], h[7]
             self._write_header(spp, counter,
-                               text.encode()[:64].ljust(64, b"\0"))
+                               text.encode()[:64].ljust(64, b"\0"),
+                               b_s, b_w)
         finally:
             fcntl.flock(self._f, fcntl.LOCK_UN)
 
     def recv_message(self) -> str:
         fcntl.flock(self._f, fcntl.LOCK_SH)
         try:
-            msg = self._read_header()[6]
+            msg = self._read_header()[8]
             return msg.split(b"\0", 1)[0].decode(errors="replace")
         finally:
             fcntl.flock(self._f, fcntl.LOCK_UN)

@@ -86,3 +86,37 @@ def test_two_process_cli_merge(tmp_path):
         assert rel < 0.1, (merged.mean(), ref.mean())
     finally:
         img.unlink()
+
+
+def test_mlt_b_const_pooled_across_processes():
+    """Two MLT worker processes publish (b_sum, b_weight) through the
+    header; the master reads the pooled normalization constant — the
+    reference's avgBrightness header channel for multi-process MLT
+    (GPUOCLLayerAdvanced.cpp:422-423)."""
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    img = SharedAccumImage.create(name, 4, 4)
+    try:
+        worker = (
+            "import numpy as np, sys;"
+            "from hydracore_tpu.utils.shared_image import SharedAccumImage;"
+            "im = SharedAccumImage.attach(sys.argv[1]);"
+            "im.add(np.ones((4, 4, 3), np.float32), 1,"
+            "       b_sum_delta=float(sys.argv[2]),"
+            "       b_weight_delta=float(sys.argv[3]))"
+        )
+        procs = [subprocess.Popen(
+            [sys.executable, "-c", worker, name, str(b), str(w)],
+            cwd="/root/repo")
+            for b, w in ((6.0, 2.0), (2.0, 2.0))]
+        for p in procs:
+            assert p.wait() == 0
+        # pooled b = (6 + 2) / (2 + 2) = 2.0 — not the mean of the two
+        # per-process means unless weights are equal (here they are)
+        assert abs(img.read_b() - 2.0) < 1e-12
+        fb, spp = img.read()
+        assert spp == 2
+        # message channel must preserve the pooled estimator
+        img.send_message("hello")
+        assert abs(img.read_b() - 2.0) < 1e-12
+    finally:
+        img.unlink()
