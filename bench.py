@@ -1,6 +1,6 @@
 """Benchmark: render throughput on the cornell+teapot scene (test_224).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Scene choice: the reference's baseline row "cornell" (BASELINE.md) is the
 cornell box WITH the 25.6k-triangle teapot. The repo copy of test_42 is
@@ -8,30 +8,35 @@ missing the teapot chunk (chunk_00003.vsgf), so the honest equivalent is
 test_224 (same box + teapot present). Baseline to beat: 9.1 Msamples/s
 (RX 480, 1024x1024, depth 5, full path samples).
 
-Measurement design (round-3 fix — the r02 harness under-reported by up to
-8000x, judge-verified):
-- The axon tunnel adds a large, sticky PER-CALL completion latency that
-  depends on runtime state (docs/ROUND2_NOTES.md, tools/exp_polling.py:
-  the same 2ms program measures 16s per call after a long compile in the
-  same process, while a long program in the same state measures its true
-  6.9s). No in-process warmup discipline fixes it.
-- Fix: DIFFERENTIAL timing. For each scene, time render_passes with
-  n_pass=N_LO and n_pass=N_HI in the same process, twice each,
-  interleaved. Per-call overhead is constant in steady state (within ~2%
-  across repeats), so (T_hi - T_lo) / (N_HI - N_LO) is the pure per-pass
-  device time, independent of tunnel latency.
-- Each scene still runs in its own subprocess (keeps runtime states
-  independent and the persistent compile cache shared).
+Measurement design:
+- DIFFERENTIAL timing (round-3 harness): the axon tunnel adds large sticky
+  per-call latency; (T(n_hi) - T(n_lo)) / (n_hi - n_lo) inside one process
+  cancels it. Each probe runs in a subprocess (independent runtime states,
+  shared persistent compile cache).
+- UNKILLABLE (round-4 fix; r3 emitted nothing at rc=124): the headline
+  runs FIRST on the best-known config; a SIGTERM/SIGALRM handler emits the
+  best-so-far JSON, so the driver cutting the window still records a
+  result. Extras (512/tiny/big probes, a small config A/B) only spend
+  whatever budget remains (HYDRA_BENCH_BUDGET_S, default 2400 s with the
+  alarm at budget - 30 s).
 """
 from __future__ import annotations
 
 import json
+import os
+import signal
 import subprocess
 import sys
+import time
 
 BASELINE_MSAMPLES = 9.1  # RX 480, cornell(+teapot), 1024^2 (BASELINE.md)
 
-N_LO, N_HI = 2, 10
+N_LO, N_HI = 1, 5
+
+# best-known config from the round-4 hardware A/B (/tmp/ab_r4.log); the
+# empty dict = module defaults. Kept ALSO as the autotune seed so the
+# driver's run hits the warm compile cache.
+BEST_CFG: dict = {}
 
 _PROBE = r"""
 import time, sys, jax, jax.numpy as jnp, numpy as np
@@ -65,169 +70,148 @@ t_hi_b, _ = timed(n_hi, 500)
 dt = ((t_hi_a + t_hi_b) - (t_lo_a + t_lo_b)) / (2.0 * (n_hi - n_lo))
 spread = abs((t_hi_a - t_lo_a) - (t_hi_b - t_lo_b)) / max(
     (t_hi_a - t_lo_a + t_hi_b - t_lo_b) * 0.5, 1e-9)
-print("RESULT %.9f %.1f %.3f" % (dt, rays_hi / n_hi, spread))
+print("RESULT %.9f %.1f %.3f" % (max(dt, 1e-9), rays_hi / n_hi, spread))
 """
 
 
-def _probe(scene_dir: str, width: int, timeout: int = 5400, env=None,
-           n_lo: int = N_LO, n_hi: int = N_HI):
-    import os
-
+def _probe(scene_dir: str, width: int, timeout: float, env=None):
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
     out = subprocess.run(
-        [sys.executable, "-c", _PROBE, scene_dir, str(width), str(n_lo), str(n_hi)],
-        capture_output=True, text=True, timeout=timeout, cwd="/root/repo",
-        env=full_env,
-    )
+        [sys.executable, "-c", _PROBE, scene_dir, str(width), str(N_LO),
+         str(N_HI)],
+        capture_output=True, text=True, timeout=max(timeout, 60),
+        cwd="/root/repo", env=full_env)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT"):
             _, dt, rays, spread = line.split()
-            # differential timing can go non-positive under extreme tunnel
-            # noise; clamp so a freak sample can't yield negative throughput
             return max(float(dt), 1e-6), float(rays), float(spread)
-    raise RuntimeError(f"probe failed: {out.stdout[-500:]} {out.stderr[-500:]}")
+    raise RuntimeError(f"probe failed: {out.stdout[-400:]} {out.stderr[-400:]}")
 
 
-# Candidate configs (all correctness-tested; regen is per-pixel-identical to
-# the pass loop — tests/test_regen.py). Autotune ranks them with a short
-# differential probe at the headline resolution and the winner runs the full
-# protocol. This mirrors the reference's per-device megablock sizing
-# (CalcMegaBlockSize, GPUOCLLayer.cpp:841-876) — pick the dispatch shape the
-# hardware likes, once, then render.
-_CONFIGS = [
-    {},
-    # likely winners first: the budget guard trims the TAIL of this list,
-    # so order = expected value. fuse (half the traversal dispatches) and
-    # regen (full lane utilization) attack independent parts of the floor
-    # and compose; both regen/fuse loops are image-tested.
-    {"HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1"},
-    {"HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
-    {"HYDRA_REGEN": "1"},
-    {"HYDRA_FUSE_TRACE": "1"},
-    {"HYDRA_MEGABLOCK_LOG2": "20"},
-    {"HYDRA_REGEN": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
-    {"HYDRA_FUSE_TRACE": "1", "HYDRA_MEGABLOCK_LOG2": "20"},
-    {"HYDRA_SORT_EVERY": "2"},
-    {"HYDRA_PRESPLIT": "1", "HYDRA_REGEN": "1"},
-    {"HYDRA_CL_K": "4", "HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1"},
-]
-
-
-def _tag(env):
-    return ",".join(f"{k.replace('HYDRA_', '')}={v}" for k, v in env.items()) or "base"
-
-
-def _autotune(scene: str, width: int, configs=None, budget_s: float = 1500.0):
-    """Rank configs by a short differential probe; bounded by a wall-clock
-    budget so tuning can never starve the headline measurement."""
-    import time
-
-    t0 = time.monotonic()
-    best_env, best_dt = {}, float("inf")
-    scores = {}
-    for env in (configs if configs is not None else _CONFIGS):
-        tag = _tag(env)
-        left = budget_s - (time.monotonic() - t0)
-        if left < 60:
-            print(f"[autotune] budget exhausted; skipping {tag}+", file=sys.stderr)
-            break
-        try:
-            dt, _, _ = _probe(scene, width, timeout=min(2700, left), env=env,
-                              n_lo=1, n_hi=5)
-        except Exception as e:  # a config that fails never wins
-            print(f"[autotune] {width}px {tag}: FAILED ({e})", file=sys.stderr)
-            continue
-        scores[tag] = round(width * width / dt / 1e6, 3)
-        print(f"[autotune] {width}px {tag}: {scores[tag]} Msamples/s",
-              file=sys.stderr)
-        if dt < best_dt:
-            best_dt, best_env = dt, env
-    return best_env, scores
-
-
-def _device_available(timeout: int = 300) -> bool:
-    """Bounded TPU availability probe. With the axon tunnel down, jax device
-    init hangs forever (docs/ROUND3_NOTES.md); a subprocess + timeout keeps
-    the bench from stalling the driver for hours."""
+def _device_available(timeout: int = 420) -> str | None:
+    """Bounded TPU probe (device init hangs forever when the tunnel is
+    down; init takes ~2 min when it is up). Returns the device string."""
     try:
         out = subprocess.run(
             [sys.executable, "-c",
-             "import jax; print('DEV', len(jax.devices()))"],
-            capture_output=True, text=True, timeout=timeout, cwd="/root/repo")
-        return "DEV" in out.stdout
+             "import jax; print('DEV|' + str(jax.devices()[0]))"],
+            capture_output=True, text=True, timeout=timeout,
+            cwd="/root/repo")
+        for ln in out.stdout.splitlines():
+            if ln.startswith("DEV|"):
+                return ln[4:]
+        return None
     except Exception:
-        return False
+        return None
+
+
+def _tag(env):
+    return ",".join(f"{k.replace('HYDRA_', '')}={v}"
+                    for k, v in env.items()) or "base"
+
+
+SCENE = "/root/reference/hydra_app/tests/test_224"
+
+_state = {"json": {
+    "metric": "Msamples/s cornell+teapot (test_224) 1024x1024 depth5 "
+              "PT(MIS+NEE)",
+    "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
+    "extra": {"phase": "init"},
+}}
+_emitted = False
+
+
+def _emit(signum=None, frame=None):
+    global _emitted
+    if not _emitted:
+        _emitted = True
+        print(json.dumps(_state["json"]), flush=True)
+    if signum is not None:
+        os._exit(0)
 
 
 def main():
-    scene = "/root/reference/hydra_app/tests/test_224"
-    if not _device_available():
-        print(json.dumps({
-            "metric": "Msamples/s cornell+teapot (test_224) 1024x1024 depth5 PT(MIS+NEE)",
-            "value": 0.0, "unit": "Msamples/s", "vs_baseline": 0.0,
-            "extra": {"error": "TPU device init timed out — axon tunnel down "
-                               "(see docs/ROUND3_NOTES.md); no measurement "
-                               "possible, not a renderer regression"},
-        }))
+    budget = float(os.environ.get("HYDRA_BENCH_BUDGET_S", "2400"))
+    t0 = time.monotonic()
+    signal.signal(signal.SIGTERM, _emit)
+    signal.signal(signal.SIGALRM, _emit)
+    signal.alarm(max(int(budget) - 30, 60))
+
+    def left():
+        return budget - (time.monotonic() - t0) - 60
+
+    dev = _device_available()
+    if dev is None:
+        _state["json"]["extra"] = {
+            "error": "TPU device init timed out — axon tunnel down; no "
+                     "measurement possible, not a renderer regression"}
+        _emit()
         return 0
-    tuned_env, tune_scores = _autotune(scene, 1024)
 
-    dt1k, rays1k, spread1k = _probe(scene, 1024, env=tuned_env)
-    msamples_1k = 1024 * 1024 / dt1k / 1e6
-
-    # 512^2 re-tunes over the 1024 winner + the regen configs (regen exists
-    # to fill megablock-wide dispatches from small frames, so its advantage
-    # appears exactly here)
-    cfgs512 = [tuned_env] + [c for c in _CONFIGS
-                             if c.get("HYDRA_REGEN") and c != tuned_env]
-    tuned512, tune512_scores = _autotune(scene, 512, cfgs512)
-    dt512, rays512, spread512 = _probe(scene, 512, env=tuned512)
-    msamples_512 = 512 * 512 / dt512 / 1e6
-
-    dt_tiny, _, _ = _probe("/root/reference/hydra_app/tests/test_42", 1024,
-                           env=tuned_env)
-    msamples_tiny = 1024 * 1024 / dt_tiny / 1e6
-
-    # large-scene probe (339k tris, Benchmark_Scene03) — routes through the
-    # partitioned cluster chain (default big-scene path: P pure-VMEM kernel
-    # launches with t-threading, trace_api._use_cluster); never fails the
-    # bench
-    big = None
+    # ---- phase 1: the headline, best-known config, FIRST
+    extra = _state["json"]["extra"] = {"phase": "headline"}
     try:
-        dt_big, _, _ = _probe(
-            "/root/reference/hydra_app/tests/Benchmark_Scene03", 256,
-            timeout=2400, env=tuned_env)
-        big = round(256 * 256 / dt_big / 1e6, 3)
-    except Exception:
-        pass
+        dt1k, rays1k, spread1k = _probe(SCENE, 1024, timeout=left(),
+                                        env=BEST_CFG)
+        ms = 1024 * 1024 / dt1k / 1e6
+        _state["json"].update(value=round(ms, 3),
+                              vs_baseline=round(ms / BASELINE_MSAMPLES, 4))
+        extra.update({"Mrays/s_1024": round(rays1k / dt1k / 1e6, 2),
+                      "repeat_spread_1024": round(spread1k, 3),
+                      "config": _tag(BEST_CFG)})
+    except Exception as e:
+        extra["headline_error"] = str(e)[:300]
+        _emit()
+        return 0
 
-    import jax
+    # ---- phase 2: extras, strictly budget-gated
+    extra["phase"] = "extras"
+    for key, scene_dir, width in (
+            ("Msamples/s_512", SCENE, 512),
+            ("tiny_scene_Msamples/s", "/root/reference/hydra_app/tests/test_42",
+             1024),
+            ("big_scene_256_Msamples/s",
+             "/root/reference/hydra_app/tests/Benchmark_Scene03", 256)):
+        if left() < 300:
+            extra[key] = None
+            continue
+        try:
+            dt, _, _ = _probe(scene_dir, width, timeout=min(left(), 1500),
+                              env=BEST_CFG)
+            extra[key] = round(width * width / dt / 1e6, 3)
+        except Exception:
+            extra[key] = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "Msamples/s cornell+teapot (test_224) 1024x1024 depth5 PT(MIS+NEE)",
-                "value": round(msamples_1k, 3),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msamples_1k / BASELINE_MSAMPLES, 4),
-                "extra": {
-                    "Mrays/s_1024": round(rays1k / dt1k / 1e6, 1),
-                    "Msamples/s_512": round(msamples_512, 3),
-                    "tiny_scene_Msamples/s": round(msamples_tiny, 1),
-                    "big_scene_256_Msamples/s": big,
-                    "repeat_spread_1024": round(spread1k, 3),
-                    "repeat_spread_512": round(spread512, 3),
-                    "autotuned_config": tuned_env or {"": "base"},
-                    "autotuned_config_512": tuned512 or {"": "base"},
-                    "autotune_Msamples/s_1024": tune_scores,
-                    "autotune_Msamples/s_512": tune512_scores,
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    # ---- phase 3: a small A/B over alternates; adopt a winner if it beats
+    # the headline by > 5% (warm-cache configs only — compiles are the cost)
+    alts = [c for c in ({}, {"HYDRA_CL_RBLK": "128"},
+                        {"HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1"})
+            if c != BEST_CFG]
+    scores = {}
+    for env in alts:
+        if left() < 900:
+            break
+        try:
+            dt, rays, _ = _probe(SCENE, 1024, timeout=min(left(), 1500),
+                                 env=env)
+            ms = 1024 * 1024 / dt / 1e6
+            scores[_tag(env)] = round(ms, 3)
+            if ms > _state["json"]["value"] * 1.05:
+                _state["json"].update(
+                    value=round(ms, 3),
+                    vs_baseline=round(ms / BASELINE_MSAMPLES, 4))
+                extra.update({"Mrays/s_1024": round(rays / dt / 1e6, 2),
+                              "config": _tag(env)})
+        except Exception:
+            scores[_tag(env)] = None
+    if scores:
+        extra["alt_configs_Msamples/s"] = scores
+
+    extra["phase"] = "done"
+    extra["device"] = dev
+    _emit()
     return 0
 
 

@@ -38,8 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os_env
 
-R_BLK = 256
-M_SUB = 4  # ray blocks processed per grid step (amortizes step overhead)
+# rays per block: the coherence unit the slab stage prunes for. Smaller
+# blocks see fewer clusters each (fewer wasted dense-MT tests on
+# incoherent bounces) at the price of more stage_a sweeps — hardware A/B
+# knob (bench autotune tries 128).
+R_BLK = int(_os_env.environ.get("HYDRA_CL_RBLK", "256"))
+M_SUB = 1024 // R_BLK  # ray blocks per grid step (amortizes step overhead)
 BIG = 3.0e38
 # visits between refilters (= big-mode DMA prefetch depth). Smaller K
 # refilters sooner (fewer wasted visits once the front clusters resolve
