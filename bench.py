@@ -90,6 +90,32 @@ def _probe(scene_dir: str, width: int, timeout: float, env=None):
     raise RuntimeError(f"probe failed: {out.stdout[-400:]} {out.stderr[-400:]}")
 
 
+# MMLT throughput probe (VERDICT r3 #7): differential over mutation passes
+# at 512^2 on test_224 -> chain mutations/s (each mutation = one full-path
+# SBDPT re-eval per chain; chains = W*H).
+_MMLT_PROBE = r"""
+import time, sys, jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from hydracore_tpu.scene.scene import load_scene
+from hydracore_tpu.integrators.mmlt import render_mmlt
+W = 512
+scene = jax.device_put(load_scene(
+    "/root/reference/hydra_app/tests/test_224", width=W, height=W))
+MPP = 16
+def run(n):
+    render_mmlt(scene, n_passes=n, mutations_per_pass=MPP, seed=777,
+                max_depth=5)
+run(1)
+def timed(n):
+    t0 = time.perf_counter(); run(n); return time.perf_counter() - t0
+t_lo = timed(1); t_hi = timed(3)
+dt = max(t_hi - t_lo, 1e-9)
+muts = 2 * MPP * W * W  # pass-count delta x mutations/pass x chains
+print("RESULT %.3f" % (muts / dt / 1e6))
+"""
+
+
 def _device_available(timeout: int = 420) -> str | None:
     """Bounded TPU probe (device init hangs forever when the tunnel is
     down; init takes ~2 min when it is up). Returns the device string."""
@@ -183,6 +209,20 @@ def main():
             extra[key] = round(width * width / dt / 1e6, 3)
         except Exception:
             extra[key] = None
+
+    # MMLT chain throughput (mutations/s across all per-depth chain groups)
+    if left() > 600:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _MMLT_PROBE], capture_output=True,
+                text=True, timeout=min(left(), 1500), cwd="/root/repo",
+                env=dict(os.environ, **{k: str(v) for k, v in
+                                        BEST_CFG.items()}))
+            for ln in out.stdout.splitlines():
+                if ln.startswith("RESULT"):
+                    extra["mmlt_Mmutations/s"] = float(ln.split()[1])
+        except Exception:
+            extra["mmlt_Mmutations/s"] = None
 
     # ---- phase 3: a small A/B over alternates; adopt a winner if it beats
     # the headline by > 5% (warm-cache configs only — compiles are the cost)

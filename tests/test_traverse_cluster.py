@@ -116,7 +116,7 @@ def test_big_mode_hbm_streaming():
     big = cut_clusters(bvh, v0[p], e1[p], e2[p], k_tris=1)
     assert big.tris.shape[0] > tc.VMEM_MAX_CP >= small.tris.shape[0]
 
-    R = tc.R_BLK * tc.M_SUB
+    R = tc.R_BLK * max(1024 // tc.R_BLK, 1)
     ro = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
     rd = rng.normal(size=(R, 3)).astype(np.float32)
     rd /= np.linalg.norm(rd, axis=1, keepdims=True)

@@ -7,8 +7,11 @@ scan/CSE tricks are needed and per-dispatch latency amortizes away.
 """
 from __future__ import annotations
 
+import os as _os
 import sys
 import time
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
