@@ -450,7 +450,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         # already coherent, otherwise the traversal sorts internally
         # (screen.cl:155 Morton z-index sort analogue)
         if sorted_mode:
-            trace = closest_hit
+            trace = partial(closest_hit,
+                            kind="primary" if depth == 0 else "bounce")
         else:
             trace = closest_hit if depth == 0 else closest_hit_sorted
         if pend is not None:
@@ -624,7 +625,6 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
         ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos, rows=rows_nee)
         pick_prob = ls.pick_prob  # from the packed row (saves 2 CDF gathers)
-        rays_traced = rays_traced + alive.sum()  # shadow rays
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
         # two-sided combine (ref material.cl:737-740: brdf*max(+cos,0) +
@@ -646,15 +646,23 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             if layer == "indirect":
                 keep_nee = ~keep_nee
             ok = ok & keep_nee
+        # zero-contribution lanes (specular bsdf f=0, backfacing light,
+        # zero-radiance sample) need no occlusion query: drop them from the
+        # shadow wavefront — they land in all-dead blocks at floor cost.
+        # The reference reaches the same effect through its shadow != 0
+        # test before the shadow trace (shade.cl NoShadow path).
+        need_sh = ok & (contrib.max(axis=-1) > 0.0)
+        rays_traced = rays_traced + need_sh.sum()  # shadow rays
         if fuse:
             # defer: the occlusion query joins the NEXT extension dispatch
             pend = (sray_o, ls.dir, ls.dist,
-                    jnp.where(ok[:, None], contrib, 0.0), alive)
+                    jnp.where(need_sh[:, None], contrib, 0.0), need_sh)
         else:
             u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
-            occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive,
+            occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, need_sh,
                                     u_sh, has_alpha, presorted=sorted_mode)
-            acc = acc + jnp.where((ok & ~occluded)[:, None], contrib, 0.0)
+            acc = acc + jnp.where((need_sh & ~occluded)[:, None],
+                                  contrib, 0.0)
 
         # ---- next bounce (NextBounce: BSDF sample, RR, flags)
         r_b = rand_fn(depth, DG_BSDF)

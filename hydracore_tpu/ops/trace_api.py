@@ -67,8 +67,12 @@ def _pick(scene):
     return traverse_wide
 
 
-def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
-    return _pick(scene).closest_hit(scene, ray_o, ray_d, t_max, active)
+def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
+                kind="primary"):
+    mod = _pick(scene)
+    if mod is traverse_cluster:  # per-wavefront-kind ray-block size
+        return mod.closest_hit(scene, ray_o, ray_d, t_max, active, kind)
+    return mod.closest_hit(scene, ray_o, ray_d, t_max, active)
 
 
 def any_hit(scene, ray_o, ray_d, t_max, active=None):

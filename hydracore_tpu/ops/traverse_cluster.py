@@ -40,22 +40,48 @@ import os as _os_env
 
 # rays per block: the coherence unit the slab stage prunes for. Smaller
 # blocks see fewer clusters each (fewer wasted dense-MT tests on
-# incoherent bounces) at the price of more stage_a sweeps — hardware A/B
-# knob (bench autotune tries 128).
+# incoherent bounces — measured sub/blk dense-work ratio at 32-ray
+# granularity is 0.27 on bounce-1 wavefronts, tools/
+# exp_subgroup_divergence.py) at the price of more scalar compactions and
+# stage sweeps. Tunable PER WAVEFRONT KIND: bounce wavefronts are far
+# less coherent than primary/shadow ones, so they get their own knob.
 R_BLK = int(_os_env.environ.get("HYDRA_CL_RBLK", "256"))
-M_SUB = 1024 // R_BLK  # ray blocks per grid step (amortizes step overhead)
+R_BLK_BOUNCE = int(_os_env.environ.get("HYDRA_CL_RBLK_BOUNCE", str(R_BLK)))
+R_BLK_SHADOW = int(_os_env.environ.get("HYDRA_CL_RBLK_SHADOW", str(R_BLK)))
+
+
+def _rblk_for(kind: str) -> int:
+    return {"bounce": R_BLK_BOUNCE, "shadow": R_BLK_SHADOW}.get(kind, R_BLK)
 BIG = 3.0e38
 # visits between refilters (= big-mode DMA prefetch depth). Smaller K
 # refilters sooner (fewer wasted visits once the front clusters resolve
-# the block) at the cost of more stage_a slab sweeps — a hardware A/B
-# knob (bench autotune tries 4).
+# the block) at the cost of more refilter sweeps — a hardware A/B knob.
 K_VISITS = int(_os_env.environ.get("HYDRA_CL_K", "8"))
+# refilter flavor: "cheap" prunes with slab ENTRY distances cached at the
+# initial sweep (per 32-ray subgroup min-tn vs the subgroup's current max
+# t) — two tiny matmuls instead of re-running the 6-plane slab stage, so
+# early termination costs ~0.2us instead of ~1.5us per refilter. It keeps
+# strictly more clusters than a full re-sweep (subgroup-granular, entry
+# distance vs exact interval) but never drops a needed one: cluster c is
+# needed iff some ray r has tn(r,c) < t(r), which implies
+# min_tn[subgroup(r), c] < max_t[subgroup(r)].
+# Hardware A/B (r4, test_224 @1024^2): cheap 1.240 vs full 1.541
+# Msamples/s — the weaker pruning costs far more in extra visits than the
+# refilter sweep it saves. Default stays "full"; the cheap machinery is
+# kept behind the env knob for re-testing on other scene shapes.
+REFILTER = _os_env.environ.get("HYDRA_CL_REFILTER", "full")
+N_SUB = 8  # tn-cache subgroups per ray block
 
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
-                 big_mode: bool = False, inst_mode: bool = False):
+                 big_mode: bool = False, inst_mode: bool = False,
+                 r_blk: int = 256):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
+    R_BLK = r_blk  # shadow the module default inside the kernel closure
+    M_SUB = max(1024 // R_BLK, 1)
+
+    cheap = REFILTER == "cheap"
 
     def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref, *rest):
         if inst_mode:
@@ -64,24 +90,28 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         else:
             map_ref = imat_ref = None
         out_ref, outi_ref, cnt, lst, *big_scratch = rest
+        if cheap:
+            tnm, *big_scratch = big_scratch
+        else:
+            tnm = None
         if unroll_sub:  # interpret mode: fori over ref effects miscompiles
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
                                perm_ref, oct_ref, map_ref, imat_ref,
-                               out_ref, outi_ref, cnt, lst, big_scratch)
+                               out_ref, outi_ref, cnt, lst, tnm, big_scratch)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                            map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                           big_scratch)
+                           tnm, big_scratch)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                        map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                       big_scratch):
+                       tnm, big_scratch):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -109,9 +139,13 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         packm = jnp.where((lanes >> 4) == rows8,
                           (1 << (lanes & 15)).astype(jnp.float32), 0.0)
 
-        def stage_a(t_act):
+        GS = R_BLK // N_SUB  # rays per tn-cache subgroup
+
+        def stage_a(t_act, save_tn=False):
             """16-bit occupancy words (in front-to-back lane order) of
-            clusters whose slab interval beats some ray's t_act."""
+            clusters whose slab interval beats some ray's t_act. With
+            save_tn, also caches per-subgroup min entry distance for the
+            cheap refilter."""
             for ct in range(CT):
                 s = ct * 128
                 bxm = cblo_ref[oct_, 0:1, s:s + 128]
@@ -133,6 +167,13 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                                              jnp.maximum(ty0, ty1)),
                                  jnp.maximum(tz0, tz1))
                 hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_act)  # (R, 128)
+                if save_tn:
+                    tn_m = jnp.where(hit, jnp.maximum(tn, 0.0),
+                                     jnp.float32(BIG))
+                    for g in range(N_SUB):
+                        tnm[ct * N_SUB + g:ct * N_SUB + g + 1, :] = jnp.min(
+                            tn_m[g * GS:(g + 1) * GS, :], axis=0,
+                            keepdims=True)
                 c = jax.lax.dot_general(
                     hit.astype(jnp.float32), ones_col,
                     (((0,), (0,)), ((), ())),
@@ -140,6 +181,28 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                 flags = (c > 0.0).astype(jnp.float32)
                 words = jax.lax.dot_general(
                     packm, flags, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (8, 1)
+                cnt[ct * 8:ct * 8 + 8, 0:1] = words.astype(jnp.int32)
+
+        ones_sub = jnp.ones((N_SUB, 1), jnp.float32)
+
+        def refilter_cheap(t_cur):
+            """Rebuild occupancy words from the cached entry distances:
+            keep cluster c iff some subgroup still has min_tn[g, c] below
+            its current max t (conservative superset of a full re-sweep)."""
+            tmax = jnp.concatenate(
+                [jnp.max(t_cur[g * GS:(g + 1) * GS, 0:1], axis=0,
+                         keepdims=True) for g in range(N_SUB)],
+                axis=0)  # (N_SUB, 1)
+            for ct in range(CT):
+                tn_g = tnm[ct * N_SUB:(ct + 1) * N_SUB, :]  # (N_SUB, 128)
+                flags = (tn_g < tmax).astype(jnp.float32)
+                col = jax.lax.dot_general(
+                    flags, ones_sub, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (128, 1)
+                words = jax.lax.dot_general(
+                    packm, (col > 0.0).astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (8, 1)
                 cnt[ct * 8:ct * 8 + 8, 0:1] = words.astype(jnp.int32)
 
@@ -178,7 +241,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
         @pl.when(any_act)
         def _():
-            stage_a(t0)
+            stage_a(t0, save_tn=cheap)
             jax.lax.fori_loop(0, NW, cbody, jnp.int32(0))
 
         @pl.when(jnp.logical_not(any_act))
@@ -296,7 +359,10 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
             @pl.when(ptr < n)
             def _():
-                stage_a(t_cur)
+                if cheap:
+                    refilter_cheap(t_cur)
+                else:
+                    stage_a(t_cur)
 
                 def rbody(j, m):
                     pos = lst[j]
@@ -343,11 +409,14 @@ import os as _os  # noqa: E402
 VMEM_MAX_CP = int(_os.environ.get("HYDRA_VMEM_MAX_CP", "1024"))
 
 
-@partial(jax.jit, static_argnames=("any_hit_mode", "interpret"))
+@partial(jax.jit, static_argnames=("any_hit_mode", "interpret", "r_blk"))
 def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
-                      any_hit_mode=False, interpret=False):
-    """rays: (G, R_BLK, 8). Returns (t (G,R_BLK), slot (G,R_BLK), diag).
+                      any_hit_mode=False, interpret=False, r_blk=None):
+    """rays: (G, r_blk, 8). Returns (t (G,r_blk), slot (G,r_blk), diag).
     cl_map/inst_woop non-None => instanced mode (bvh/instanced.py layout)."""
+    R_BLK = r_blk if r_blk is not None else rays.shape[1]
+    assert rays.shape[1] == R_BLK
+    M_SUB = max(1024 // R_BLK, 1)
     G = rays.shape[0]
     assert G % M_SUB == 0, "pad ray blocks to a multiple of M_SUB"
     Cp = cbl_oct.shape[2]
@@ -361,6 +430,9 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
         pltpu.SMEM((Cp + 16,), jnp.int32),
     ]
+    if REFILTER == "cheap":
+        # per-subgroup min slab entry distance, cached by the init sweep
+        scratch += [pltpu.VMEM(((Cp // 128) * N_SUB, 128), jnp.float32)]
     if big:
         # K-deep DMA prefetch ring: one (4,384) tile + one semaphore per
         # visit of an unrolled group (see outer_body)
@@ -378,7 +450,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         ]
     out, outi = pl.pallas_call(
         _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big,
-                     inst_mode=inst),
+                     inst_mode=inst, r_blk=R_BLK),
         interpret=interpret,
         grid=(G // M_SUB,),
         in_specs=[
@@ -412,7 +484,9 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     return out[:, :, 0], outi[:, :, 0], out[:, :, 1]
 
 
-def _to_blocks(ro, rd, t_max, active):
+def _to_blocks(ro, rd, t_max, active, r_blk=None):
+    R_BLK = r_blk if r_blk is not None else globals()["R_BLK"]
+    M_SUB = max(1024 // R_BLK, 1)
     R = ro.shape[0]
     step = R_BLK * M_SUB
     Rp = (R + step - 1) // step * step
@@ -464,7 +538,8 @@ def _is_partitioned(scene) -> bool:
     return scene.cl_tris.ndim == 4
 
 
-def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp):
+def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp,
+                          r_blk=None):
     """Chain the VMEM kernel over the partition chunks (the reference's
     multi-tree bounce loop, GPUOCLKernels.cpp:424-512). Closest-hit
     threads each chunk's best t into the next chunk's per-ray t_lim so
@@ -480,7 +555,7 @@ def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp):
                                         pool[p], scene.cl_oct_perm[p],
                                         None, None,
                                         any_hit_mode=any_hit_mode,
-                                        interpret=interp)
+                                        interpret=interp, r_blk=r_blk)
         s_p = jnp.where(s_p >= 0, s_p + p * Cpp * 128, -1)
         if slot is None:
             t_best, slot = t_p, s_p
@@ -498,23 +573,28 @@ def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp):
     return t_best, slot
 
 
-def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
+def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
+                kind="primary"):
     """Returns (t, tri_id, u, v); t = +inf on miss (trace_api contract).
     Instanced scenes return the SLOT id in place of tri_id (still <0 on
     miss); compute_hit resolves slot -> (mesh tri, instance) through
-    cl_slot_tri2 — the same gather, CSE'd."""
-    rays, R = _to_blocks(ray_o, ray_d, t_max, active)
+    cl_slot_tri2 — the same gather, CSE'd. kind selects the per-wavefront
+    ray-block size (bounce wavefronts are less coherent)."""
+    r_blk = _rblk_for(kind)
+    rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
     if _is_partitioned(scene):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         t, slot = _partitioned_traverse(scene, rays, scene.cl_tris,
-                                        any_hit_mode=False, interp=interp)
+                                        any_hit_mode=False, interp=interp,
+                                        r_blk=r_blk)
     else:
         t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct,
                                        scene.cl_tris,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=False,
-                                       interpret=interp or INTERPRET)
+                                       interpret=interp or INTERPRET,
+                                       r_blk=r_blk)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
@@ -552,16 +632,19 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
     """Shadow traversal: True where occluded. opaque_only=True runs over
     the shadow pool (soft/alpha lanes degenerated at build — see
     scene._build_shadow_split), so alpha surfaces never occlude here."""
-    rays, R = _to_blocks(ray_o, ray_d, t_max, active)
+    r_blk = _rblk_for("shadow")
+    rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
     pool = scene.cl_tris_shadow if opaque_only else scene.cl_tris
     if _is_partitioned(scene):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         _, slot = _partitioned_traverse(scene, rays, pool,
-                                        any_hit_mode=True, interp=interp)
+                                        any_hit_mode=True, interp=interp,
+                                        r_blk=r_blk)
     else:
         _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=True,
-                                       interpret=interp or INTERPRET)
+                                       interpret=interp or INTERPRET,
+                                       r_blk=r_blk)
     return slot.reshape(-1)[:R] >= 0

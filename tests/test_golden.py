@@ -2,6 +2,15 @@
 
 Regenerate goldens after INTENTIONAL image changes with:
     python tests/regen_golden.py
+
+Scope: the goldens are SELF-RENDERED (this renderer, pinned at a known-good
+commit), so this gate catches regressions, not absolute error — the
+reference renderer cannot run in this environment to produce parity images.
+Absolute correctness is carried by the independent scalar oracles
+(tests/test_oracle*.py: PT family, LT, per-(s,t) SBDPT) and the physics
+invariant tests (test_integrator_physics.py: furnace, reciprocity,
+white-wall energy), which cross-check the same shared jax library the
+golden renders go through.
 """
 import os
 
