@@ -46,7 +46,10 @@ import os as _os_env
 # stage sweeps. Tunable PER WAVEFRONT KIND: bounce wavefronts are far
 # less coherent than primary/shadow ones, so they get their own knob.
 R_BLK = int(_os_env.environ.get("HYDRA_CL_RBLK", "256"))
-R_BLK_BOUNCE = int(_os_env.environ.get("HYDRA_CL_RBLK_BOUNCE", str(R_BLK)))
+# bounce default 128: hardware A/B (r4, test_224 @1024^2) — 1.730 vs
+# 1.541 Msamples/s at 256; 64 loses again (1.463). /tmp/ab_r4b.log.
+R_BLK_BOUNCE = int(_os_env.environ.get("HYDRA_CL_RBLK_BOUNCE",
+                                       "128" if R_BLK == 256 else str(R_BLK)))
 R_BLK_SHADOW = int(_os_env.environ.get("HYDRA_CL_RBLK_SHADOW", str(R_BLK)))
 
 

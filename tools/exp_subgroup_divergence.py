@@ -71,12 +71,17 @@ def analyze(tag, ro, rd, alive, sc, t_lim=None):
     sub = hit.reshape(nb, R_BLK // GS, GS, -1).any(axis=2)  # (nb, 8, C)
     work_blk = blk_union.sum(axis=1) * R_BLK
     work_sub = sub.sum(axis=(1, 2)) * GS
+    # lockstep per-subgroup visits: every subgroup advances through its OWN
+    # list but the block steps together -> steps = max_g |list_g|, each step
+    # still full-width R_BLK dense work
+    work_lock = sub.sum(axis=2).max(axis=1) * R_BLK
     per_ray = hit.sum(axis=(1, 2))  # exact per-ray lists * 1 ray
     live = hit.any(axis=(1, 2))
     print(f"{tag:18s}: blocks={live.sum():5d} "
           f"union/blk={blk_union.sum(axis=1)[live].mean():6.1f} "
           f"sub-lists/blk={sub.sum(axis=(1, 2))[live].mean():6.1f} "
           f"work ratio sub/blk={work_sub[live].sum() / max(work_blk[live].sum(), 1):.3f} "
+          f"lockstep/blk={work_lock[live].sum() / max(work_blk[live].sum(), 1):.3f} "
           f"perray/blk={per_ray[live].mean() / max(work_blk[live].mean(), 1):.3f}")
 
 
