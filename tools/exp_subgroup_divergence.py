@@ -56,7 +56,7 @@ def slab_lists(ro, rd, sc, t_lim=None):
     return (tf >= np.maximum(tn, 0.0)) & (tn < lim)
 
 
-def analyze(tag, ro, rd, alive, sc, t_lim=None):
+def analyze(tag, ro, rd, alive, sc, t_lim=None, r_blk=R_BLK):
     R = ro.shape[0]
     key = trace_api.ray_sort_key(sc, jnp.asarray(ro), jnp.asarray(rd))
     key = jnp.where(jnp.asarray(alive), key, jnp.uint32(0xFFFFFFFF))
@@ -65,24 +65,25 @@ def analyze(tag, ro, rd, alive, sc, t_lim=None):
     tl = None if t_lim is None else np.asarray(t_lim)[idx]
     hit = slab_lists(ro, rd, sc, tl)
     hit[~alive] = False
-    nb = R // R_BLK
-    hit = hit[: nb * R_BLK].reshape(nb, R_BLK, -1)
+    nb = R // r_blk
+    hit = hit[: nb * r_blk].reshape(nb, r_blk, -1)
     blk_union = hit.any(axis=1)  # (nb, C)
-    sub = hit.reshape(nb, R_BLK // GS, GS, -1).any(axis=2)  # (nb, 8, C)
-    work_blk = blk_union.sum(axis=1) * R_BLK
-    work_sub = sub.sum(axis=(1, 2)) * GS
-    # lockstep per-subgroup visits: every subgroup advances through its OWN
-    # list but the block steps together -> steps = max_g |list_g|, each step
-    # still full-width R_BLK dense work
-    work_lock = sub.sum(axis=2).max(axis=1) * R_BLK
-    per_ray = hit.sum(axis=(1, 2))  # exact per-ray lists * 1 ray
+    work_blk = blk_union.sum(axis=1) * r_blk
     live = hit.any(axis=(1, 2))
-    print(f"{tag:18s}: blocks={live.sum():5d} "
-          f"union/blk={blk_union.sum(axis=1)[live].mean():6.1f} "
-          f"sub-lists/blk={sub.sum(axis=(1, 2))[live].mean():6.1f} "
-          f"work ratio sub/blk={work_sub[live].sum() / max(work_blk[live].sum(), 1):.3f} "
-          f"lockstep/blk={work_lock[live].sum() / max(work_blk[live].sum(), 1):.3f} "
-          f"perray/blk={per_ray[live].mean() / max(work_blk[live].mean(), 1):.3f}")
+    per_ray = hit.sum(axis=(1, 2))  # exact per-ray lists * 1 ray
+    msg = (f"{tag:10s} blk={r_blk:3d}: blocks={live.sum():5d} "
+           f"union/blk={blk_union.sum(axis=1)[live].mean():6.1f} ")
+    for gs in (32, 16, 8):
+        sub = hit.reshape(nb, r_blk // gs, gs, -1).any(axis=2)
+        work_sub = sub.sum(axis=(1, 2)) * gs
+        # lockstep per-subgroup visits: every subgroup advances through its
+        # OWN list but the block steps together -> steps = max_g |list_g|,
+        # each step still full-width r_blk dense work
+        work_lock = sub.sum(axis=2).max(axis=1) * r_blk
+        msg += (f"g{gs}[sub={work_sub[live].sum() / max(work_blk[live].sum(), 1):.3f} "
+                f"lock={work_lock[live].sum() / max(work_blk[live].sum(), 1):.3f}] ")
+    msg += f"perray={per_ray[live].mean() / max(work_blk[live].mean(), 1):.3f}"
+    print(msg)
 
 
 def main():
@@ -108,7 +109,8 @@ def main():
     bs = bsdf.sample_bsdf(p, -rd, n, r_b, bsdf.scene_feats(scj))
     alive = np.asarray(tri >= 0)
     o2 = pt.offs_ray_pos(pos, ng, bs.wi)
-    analyze("bounce1", o2, bs.wi, alive, sc)
+    for rb in (256, 128, 64):
+        analyze("bounce1", o2, bs.wi, alive, sc, r_blk=rb)
 
     # shadow wavefront: rays toward one light sample
     from hydracore_tpu.lights.sampling import sample_light_rev, select_light
