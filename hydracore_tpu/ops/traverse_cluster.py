@@ -75,16 +75,31 @@ K_VISITS = int(_os_env.environ.get("HYDRA_CL_K", "8"))
 REFILTER = _os_env.environ.get("HYDRA_CL_REFILTER", "full")
 N_SUB = 8  # tn-cache subgroups per ray block
 
+# subgroup-masked visits: the slab stage also bakes, per cluster, a bitmask
+# of which SUBG-ray subgroups actually need it; each visit then runs the
+# dense MT only on flagged row slices (one scalar mask read + NS branches).
+# Measured dense-work need at 32-ray granularity on bounce-1 wavefronts is
+# 0.27x the block union's (tools/exp_subgroup_divergence.py), concentrated
+# exactly where the dense machine wastes most. 0 = off (whole-block dense).
+SUBG = int(_os_env.environ.get("HYDRA_CL_SUBG", "0"))
+SUBG_BOUNCE = int(_os_env.environ.get("HYDRA_CL_SUBG_BOUNCE", str(SUBG)))
+SUBG_SHADOW = int(_os_env.environ.get("HYDRA_CL_SUBG_SHADOW", str(SUBG)))
+
+
+def _subg_for(kind: str) -> int:
+    return {"bounce": SUBG_BOUNCE, "shadow": SUBG_SHADOW}.get(kind, SUBG)
+
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                  big_mode: bool = False, inst_mode: bool = False,
-                 r_blk: int = 256):
+                 r_blk: int = 256, subg: int = 0):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
     R_BLK = r_blk  # shadow the module default inside the kernel closure
     M_SUB = max(1024 // R_BLK, 1)
 
-    cheap = REFILTER == "cheap"
+    cheap = REFILTER == "cheap" and not subg
+    NSg = (R_BLK // subg) if subg else 0  # masked-visit subgroups
 
     def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref, *rest):
         if inst_mode:
@@ -97,24 +112,29 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             tnm, *big_scratch = big_scratch
         else:
             tnm = None
+        if subg:
+            msk, *big_scratch = big_scratch
+        else:
+            msk = None
         if unroll_sub:  # interpret mode: fori over ref effects miscompiles
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
                                perm_ref, oct_ref, map_ref, imat_ref,
-                               out_ref, outi_ref, cnt, lst, tnm, big_scratch)
+                               out_ref, outi_ref, cnt, lst, tnm, msk,
+                               big_scratch)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                            map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                           tnm, big_scratch)
+                           tnm, msk, big_scratch)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                        map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                       tnm, big_scratch):
+                       tnm, msk, big_scratch):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -143,6 +163,18 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                           (1 << (lanes & 15)).astype(jnp.float32), 0.0)
 
         GS = R_BLK // N_SUB  # rays per tn-cache subgroup
+
+        if subg:
+            # subgroup-indicator matrix (R, NSg) and bit weights (1, NSg):
+            # two extra tiny matmuls per slab tile turn the (R, 128) hit
+            # mask into per-cluster subgroup bitmasks the visit loop reads
+            # back as ONE scalar each.
+            rows_r = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, NSg), 0)
+            cols_g = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, NSg), 1)
+            submat = ((rows_r // subg) == cols_g).astype(jnp.float32)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (NSg, 1), 0)
+            pow2g = (1 << gidx).astype(jnp.float32)  # (NSg, 1) bit weights
+            ones_ns = jnp.ones((NSg, 1), jnp.float32)
 
         def stage_a(t_act, save_tn=False):
             """16-bit occupancy words (in front-to-back lane order) of
@@ -177,10 +209,26 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                         tnm[ct * N_SUB + g:ct * N_SUB + g + 1, :] = jnp.min(
                             tn_m[g * GS:(g + 1) * GS, :], axis=0,
                             keepdims=True)
-                c = jax.lax.dot_general(
-                    hit.astype(jnp.float32), ones_col,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (128, 1)
+                if subg:
+                    c_all = jax.lax.dot_general(
+                        hit.astype(jnp.float32), submat,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (128, NSg)
+                    gflags = (c_all > 0.0).astype(jnp.float32)
+                    # (Cp, 1) column layout: scalar mask reads need a
+                    # STATIC lane index (dynamic sublane is fine)
+                    mcol = jax.lax.dot_general(
+                        gflags, pow2g, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (128, 1)
+                    msk[s:s + 128, 0:1] = mcol.astype(jnp.int32)
+                    c = jax.lax.dot_general(
+                        gflags, ones_ns, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (128, 1)
+                else:
+                    c = jax.lax.dot_general(
+                        hit.astype(jnp.float32), ones_col,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # (128, 1)
                 flags = (c > 0.0).astype(jnp.float32)
                 words = jax.lax.dot_general(
                     packm, flags, (((1,), (0,)), ((), ())),
@@ -258,8 +306,9 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         lane_u = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
         big = jnp.float32(BIG)
 
-        def _mt_block(blk, t_cur):
+        def _mt_block(blk, t_cur, o6=None):
             """Dense MT over one Woop block -> per-ray packed min-t (R,1).
+            o6 overrides the ray columns with a row slice (subgroup mode).
 
             The Woop transform runs as VPU broadcast FMAs, not MXU matmuls:
             at (R,4)x(4,384) the f32 MXU path costs ~1.6 us/visit while 7
@@ -268,12 +317,14 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             mantissa bits of t (positive-float bit order == value order), so
             ONE lane reduction replaces the min + eq-select + max pair; the
             exact t is recomputed in the epilogue's gathered MT."""
+            _ox, _oy, _oz, _dx, _dy, _dz = (
+                o6 if o6 is not None else (ox, oy, oz, dx, dy, dz))
             bx = blk[0:1]  # (1, 384) broadcast rows
             by = blk[1:2]
             bz = blk[2:3]
             bc = blk[3:4]
-            os_ = ox * bx + oy * by + oz * bz + bc  # (R, 384) [ou|ov|ow]
-            ds_ = dx * bx + dy * by + dz * bz
+            os_ = _ox * bx + _oy * by + _oz * bz + bc  # (R, 384) [ou|ov|ow]
+            ds_ = _dx * bx + _dy * by + _dz * bz
             ow = os_[:, 256:384]
             dw = ds_[:, 256:384]
             t = -ow / dw  # +-inf/nan on parallel rays -> comparisons fail
@@ -385,17 +436,87 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
             return ptr, lst[Cp], t_cur, slot
 
-        ptr_end, _, t_best, slot = jax.lax.while_loop(
-            lambda st: st[0] < st[1], outer_body,
-            (jnp.int32(0), n0, t0, s0))
+        def outer_body_subg(st):
+            """Subgroup-masked visits: per cluster, ONE scalar mask read
+            tells which SUBG-ray row slices can possibly hit it; only those
+            slices run the dense MT (the rest of the block skips). t/slot
+            live in the output refs so pl.when regions can update rows."""
+            ptr, n = st
+            last = jnp.maximum(n - 1, 0)
+            for k in range(K_VISITS):
+                posk = lst[jnp.minimum(ptr + k, last)]
+                ck = perm_ref[oct_, posk]
+                mck = msk[posk, 0]
+                if inst_mode:
+                    blk = tris_ref[map_ref[0, ck]]
+                    At = imat_ref[map_ref[1, ck]]
+                    blk = jax.lax.dot_general(
+                        At, blk, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                else:
+                    blk = tris_ref[ck]
+                for g in range(NSg):
+                    @pl.when(((mck >> g) & 1) != 0)
+                    def _(g=g, blk=blk, ck=ck):
+                        a, b = g * subg, (g + 1) * subg
+                        o6 = (ox[a:b], oy[a:b], oz[a:b],
+                              dx[a:b], dy[a:b], dz[a:b])
+                        tg = out_ref[m, a:b, 0:1]
+                        tm = _mt_block(blk, tg, o6)
+                        bet = (tm < tg) & (tm < jnp.float32(BIG * 0.5))
+                        sc = jnp.where(
+                            bet, _slot_of(tm, jnp.broadcast_to(
+                                jnp.int32(ck), (subg, 1))),
+                            outi_ref[m, a:b, 0:1])
+                        tn_new = jnp.where(bet, tm, tg)
+                        if any_hit_mode:  # occluded rows retire
+                            tn_new = jnp.where(sc >= 0, jnp.float32(-BIG),
+                                               tn_new)
+                        out_ref[m, a:b, 0:1] = tn_new
+                        outi_ref[m, a:b, 0:1] = sc
+            ptr = jnp.minimum(ptr + K_VISITS, n)
 
-        # column stores (8-way lane concats cost relayouts)
-        out_ref[m, :, 0:1] = t_best
+            @pl.when(ptr < n)
+            def _():
+                stage_a(out_ref[m, :, 0:1])
+
+                def rbody(j, w):
+                    pos = lst[j]
+                    bit = (cnt[pos >> 4, 0] >> (pos & 15)) & 1
+
+                    @pl.when(bit != 0)
+                    def _(w=w, pos=pos):
+                        lst[w] = pos
+
+                    return w + bit
+
+                lst[Cp] = jax.lax.fori_loop(ptr, n, rbody, ptr)
+
+            @pl.when(ptr >= n)
+            def _():
+                lst[Cp] = n
+
+            return ptr, lst[Cp]
+
+        if subg:
+            out_ref[m, :, 0:1] = t0
+            outi_ref[m, :, 0:1] = s0
+            ptr_end, _ = jax.lax.while_loop(
+                lambda st: st[0] < st[1], outer_body_subg,
+                (jnp.int32(0), n0))
+        else:
+            ptr_end, _, t_best, slot = jax.lax.while_loop(
+                lambda st: st[0] < st[1], outer_body,
+                (jnp.int32(0), n0, t0, s0))
+
+            # column stores (8-way lane concats cost relayouts)
+            out_ref[m, :, 0:1] = t_best
+            outi_ref[m, :, 0:1] = slot
         # diagnostics: visits performed + initial actives / 1024
         out_ref[m, :, 1:2] = jnp.broadcast_to(
             ptr_end.astype(jnp.float32) + n0.astype(jnp.float32) / 1024.0,
             (R_BLK, 1))
-        outi_ref[m, :, 0:1] = slot
 
     return kernel
 
@@ -412,9 +533,11 @@ import os as _os  # noqa: E402
 VMEM_MAX_CP = int(_os.environ.get("HYDRA_VMEM_MAX_CP", "1024"))
 
 
-@partial(jax.jit, static_argnames=("any_hit_mode", "interpret", "r_blk"))
+@partial(jax.jit, static_argnames=("any_hit_mode", "interpret", "r_blk",
+                                   "subg"))
 def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
-                      any_hit_mode=False, interpret=False, r_blk=None):
+                      any_hit_mode=False, interpret=False, r_blk=None,
+                      subg=0):
     """rays: (G, r_blk, 8). Returns (t (G,r_blk), slot (G,r_blk), diag).
     cl_map/inst_woop non-None => instanced mode (bvh/instanced.py layout)."""
     R_BLK = r_blk if r_blk is not None else rays.shape[1]
@@ -425,6 +548,8 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     Cp = cbl_oct.shape[2]
     inst = cl_map is not None
     big = Cp > VMEM_MAX_CP and not inst
+    if big:
+        subg = 0  # masked visits need the VMEM-resident triangle pool
     d0 = rays[:, 0, 3:6]  # block octant from its first ray's direction
     oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
@@ -433,9 +558,13 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
         pltpu.SMEM((Cp + 16,), jnp.int32),
     ]
-    if REFILTER == "cheap":
+    if REFILTER == "cheap" and not subg:
         # per-subgroup min slab entry distance, cached by the init sweep
         scratch += [pltpu.VMEM(((Cp // 128) * N_SUB, 128), jnp.float32)]
+    if subg:
+        # per-cluster subgroup bitmasks (column layout: the visit loop's
+        # scalar read indexes a dynamic SUBLANE, static lane 0)
+        scratch += [pltpu.VMEM((max(Cp, 8), 1), jnp.int32)]
     if big:
         # K-deep DMA prefetch ring: one (4,384) tile + one semaphore per
         # visit of an unrolled group (see outer_body)
@@ -453,7 +582,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         ]
     out, outi = pl.pallas_call(
         _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big,
-                     inst_mode=inst, r_blk=R_BLK),
+                     inst_mode=inst, r_blk=R_BLK, subg=subg),
         interpret=interpret,
         grid=(G // M_SUB,),
         in_specs=[
@@ -542,7 +671,7 @@ def _is_partitioned(scene) -> bool:
 
 
 def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp,
-                          r_blk=None):
+                          r_blk=None, subg=0):
     """Chain the VMEM kernel over the partition chunks (the reference's
     multi-tree bounce loop, GPUOCLKernels.cpp:424-512). Closest-hit
     threads each chunk's best t into the next chunk's per-ray t_lim so
@@ -558,7 +687,8 @@ def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp,
                                         pool[p], scene.cl_oct_perm[p],
                                         None, None,
                                         any_hit_mode=any_hit_mode,
-                                        interpret=interp, r_blk=r_blk)
+                                        interpret=interp, r_blk=r_blk,
+                                        subg=subg)
         s_p = jnp.where(s_p >= 0, s_p + p * Cpp * 128, -1)
         if slot is None:
             t_best, slot = t_p, s_p
@@ -584,20 +714,21 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
     cl_slot_tri2 — the same gather, CSE'd. kind selects the per-wavefront
     ray-block size (bounce wavefronts are less coherent)."""
     r_blk = _rblk_for(kind)
+    subg = _subg_for(kind)
     rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
     if _is_partitioned(scene):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         t, slot = _partitioned_traverse(scene, rays, scene.cl_tris,
                                         any_hit_mode=False, interp=interp,
-                                        r_blk=r_blk)
+                                        r_blk=r_blk, subg=subg)
     else:
         t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct,
                                        scene.cl_tris,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=False,
                                        interpret=interp or INTERPRET,
-                                       r_blk=r_blk)
+                                       r_blk=r_blk, subg=subg)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
@@ -636,6 +767,7 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
     the shadow pool (soft/alpha lanes degenerated at build — see
     scene._build_shadow_split), so alpha surfaces never occlude here."""
     r_blk = _rblk_for("shadow")
+    subg = _subg_for("shadow")
     rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
     pool = scene.cl_tris_shadow if opaque_only else scene.cl_tris
@@ -643,11 +775,11 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         _, slot = _partitioned_traverse(scene, rays, pool,
                                         any_hit_mode=True, interp=interp,
-                                        r_blk=r_blk)
+                                        r_blk=r_blk, subg=subg)
     else:
         _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=True,
                                        interpret=interp or INTERPRET,
-                                       r_blk=r_blk)
+                                       r_blk=r_blk, subg=subg)
     return slot.reshape(-1)[:R] >= 0
