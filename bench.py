@@ -16,9 +16,16 @@ Measurement design:
 - UNKILLABLE (round-4 fix; r3 emitted nothing at rc=124): the headline
   runs FIRST on the best-known config; a SIGTERM/SIGALRM handler emits the
   best-so-far JSON, so the driver cutting the window still records a
-  result. Extras (512/tiny/big probes, a small config A/B) only spend
+  result. Extras (tiny/big probes, a small config A/B) only spend
   whatever budget remains (HYDRA_BENCH_BUDGET_S, default 2400 s with the
   alarm at budget - 30 s).
+- STATISTICALLY GATED (round-5 fix; the r4 headline under-reported the
+  build by ~20% off a single noisy differential at 14% spread): the probe
+  keeps taking (lo, hi) differential pairs until the 3 estimates closest
+  to the median agree within 5% (up to 6 pairs), and reports the median.
+  Extras are sanity-gated: a differential under the per-pass compute
+  floor (the r4 "262144 Msamples/s" artifact — dt collapsed to the 1e-9
+  clamp) is rejected as a measurement failure, not recorded.
 """
 from __future__ import annotations
 
@@ -63,14 +70,23 @@ def timed(n_pass, base):
     rays = run(n_pass, base)
     return time.perf_counter() - t0, rays
 
-t_lo_a, _ = timed(n_lo, 200)
-t_hi_a, rays_hi = timed(n_hi, 300)
-t_lo_b, _ = timed(n_lo, 400)
-t_hi_b, _ = timed(n_hi, 500)
-dt = ((t_hi_a + t_hi_b) - (t_lo_a + t_lo_b)) / (2.0 * (n_hi - n_lo))
-spread = abs((t_hi_a - t_lo_a) - (t_hi_b - t_lo_b)) / max(
-    (t_hi_a - t_lo_a + t_hi_b - t_lo_b) * 0.5, 1e-9)
-print("RESULT %.9f %.1f %.3f" % (max(dt, 1e-9), rays_hi / n_hi, spread))
+# median-of->=3 with a 5% agreement gate (round-5): one differential pair
+# at 14% spread mis-stated the r4 build by ~20%; keep sampling pairs until
+# the 3 estimates nearest the median agree, then report the median.
+diffs, rays_hi, base = [], 0.0, 200
+for i in range(6):
+    t_lo, _ = timed(n_lo, base)
+    t_hi, rays_hi = timed(n_hi, base + 50)
+    base += 100
+    diffs.append((t_hi - t_lo) / (n_hi - n_lo))
+    if len(diffs) >= 3:
+        med = sorted(diffs)[len(diffs) // 2]
+        best3 = sorted(diffs, key=lambda x: abs(x - med))[:3]
+        spread = (max(best3) - min(best3)) / max(med, 1e-9)
+        if spread < 0.05:
+            break
+med = sorted(best3)[1]
+print("RESULT %.9f %.1f %.3f" % (max(med, 1e-9), rays_hi / n_hi, spread))
 """
 
 
@@ -184,6 +200,7 @@ def main():
         ms = 1024 * 1024 / dt1k / 1e6
         _state["json"].update(value=round(ms, 3),
                               vs_baseline=round(ms / BASELINE_MSAMPLES, 4))
+        _state["json"]["spread"] = round(spread1k, 3)
         extra.update({"Mrays/s_1024": round(rays1k / dt1k / 1e6, 2),
                       "repeat_spread_1024": round(spread1k, 3),
                       "config": _tag(BEST_CFG)})
@@ -192,10 +209,12 @@ def main():
         _emit()
         return 0
 
-    # ---- phase 2: extras, strictly budget-gated
+    # ---- phase 2: extras, strictly budget-gated + sanity-gated: reject a
+    # differential under the per-pass compute floor (dt collapsing to the
+    # clamp produced the r4 "262144 Msamples/s" artifact) and record the
+    # rejection loudly instead of the garbage number.
     extra["phase"] = "extras"
     for key, scene_dir, width in (
-            ("Msamples/s_512", SCENE, 512),
             ("tiny_scene_Msamples/s", "/root/reference/hydra_app/tests/test_42",
              1024),
             ("big_scene_256_Msamples/s",
@@ -204,9 +223,15 @@ def main():
             extra[key] = None
             continue
         try:
-            dt, _, _ = _probe(scene_dir, width, timeout=min(left(), 1500),
-                              env=BEST_CFG)
-            extra[key] = round(width * width / dt / 1e6, 3)
+            dt, _, spr = _probe(scene_dir, width, timeout=min(left(), 1500),
+                                env=BEST_CFG)
+            ms_x = width * width / dt / 1e6
+            # floor: nothing in this class exceeds 100 Msamples/s/pass
+            if dt < width * width / 100e6 or spr > 0.5:
+                extra[key] = None
+                extra[key + "_rejected"] = f"dt={dt:.2e} spread={spr:.2f}"
+            else:
+                extra[key] = round(ms_x, 3)
         except Exception:
             extra[key] = None
 

@@ -749,6 +749,32 @@ class OracleSBDPT:
         self.d_img = self.H / (2.0 * self.tan_half)
         self.cpos = np.asarray(cam.pos, np.float64)
         self.n_splat = float(self.W * self.H)
+        # light-0 tables, shared by render_strategy and OracleMMLT (ADVICE
+        # r4: compute pick_over_area here, not via external monkey-patch)
+        self.Le = np.asarray(self.lt.intensity)[0].astype(np.float64)
+        self.lpos = np.asarray(self.lt.pos)[0].astype(np.float64)
+        self.lvx = np.asarray(self.lt.vx)[0].astype(np.float64)
+        self.lvy = np.asarray(self.lt.vy)[0].astype(np.float64)
+        self.lnorm = np.asarray(self.lt.norm)[0].astype(np.float64)
+        self.larea = float(np.asarray(self.lt.area)[0])
+        cdf0 = np.asarray(self.lt.pick_cdf, np.float64)
+        self.pick = max(cdf0[1] - cdf0[0], 1e-12)
+        self.pick_over_area = self.pick / self.larea
+
+    def _light_y0(self, u0: float, u1: float) -> dict:
+        """The light-sample vertex y0 at rect-light uniform coords."""
+        y0p = (self.lpos + (2 * u0 - 1) * self.lvx
+               + (2 * u1 - 1) * self.lvy)
+        return dict(pos=y0p, ns=self.lnorm, ng=self.lnorm, alb=np.zeros(3),
+                    em=self.Le, beta=self.Le / self.pick_over_area,
+                    pf=self.pick_over_area)
+
+    def _occluded(self, a, ng_a, b) -> bool:
+        dv = b - a
+        dist = np.linalg.norm(dv)
+        w = dv / max(dist, 1e-12)
+        eps = 2e-4 * max(1.0, np.abs(a).max())
+        return self.r.occluded(a + ng_a * eps, w, dist * 0.995)
 
     # ---- shared scalar helpers
     def _eye_ray(self, px, py, jx, jy):
@@ -883,29 +909,17 @@ class OracleSBDPT:
         k = s + t
         assert k >= 2 and t >= 1
         g = np.random.default_rng(seed)
-        lt = self.lt
-        Le = np.asarray(lt.intensity)[0].astype(np.float64)
-        lpos_c = np.asarray(lt.pos)[0].astype(np.float64)
-        lvx = np.asarray(lt.vx)[0].astype(np.float64)
-        lvy = np.asarray(lt.vy)[0].astype(np.float64)
-        lnorm = np.asarray(lt.norm)[0].astype(np.float64)
-        area = float(np.asarray(lt.area)[0])
-        cdf = np.asarray(lt.pick_cdf, np.float64)
-        pick = max(cdf[1] - cdf[0], 1e-12)
-        self.pick_over_area = pick / area
+        lnorm = self.lnorm
         img = np.zeros((self.H, self.W, 3))
 
         def sample_light_path(n_surf):
             u = g.random(2)
-            y0p = lpos_c + (2 * u[0] - 1) * lvx + (2 * u[1] - 1) * lvy
-            y0 = dict(pos=y0p, ns=lnorm, ng=lnorm, alb=np.zeros(3),
-                      em=Le, beta=Le / self.pick_over_area,
-                      pf=self.pick_over_area)
+            y0 = self._light_y0(u[0], u[1])
             if n_surf == 0:
                 return y0, []
             u = g.random(2)
             d0 = OracleLT._cosine_about(lnorm, u[0], u[1])
-            o0 = y0p + lnorm * 1e-4
+            o0 = y0["pos"] + lnorm * 1e-4
             # beta after leaving: Le/(pick/area) * cos/pdf_w = that * pi
             ys = self._walk(o0, d0, max(float(d0 @ lnorm), 1e-9) / np.pi,
                             n_surf, g)
@@ -913,12 +927,7 @@ class OracleSBDPT:
                 y["beta"] = y["beta"] * y0["beta"] * np.pi
             return y0, ys
 
-        def occluded(a, ng_a, b):
-            dv = b - a
-            dist = np.linalg.norm(dv)
-            w = dv / max(dist, 1e-12)
-            eps = 2e-4 * max(1.0, np.abs(a).max())
-            return self.r.occluded(a + ng_a * eps, w, dist * 0.995)
+        occluded = self._occluded
 
         for py in range(self.H):
             for px in range(self.W):
@@ -1035,7 +1044,9 @@ class _SeqU:
     def random(self, n=None):
         m = 1 if n is None else int(n)
         out = self.u[self.i:self.i + m]
-        assert out.shape[0] == m, "uniform vector exhausted"
+        if out.shape[0] != m:  # explicit: assert would vanish under -O and
+            raise IndexError(  # silently corrupt the Metropolis mapping
+                f"uniform vector exhausted: want {m}, have {out.shape[0]}")
         self.i += m
         return float(out[0]) if n is None else out
 
@@ -1068,17 +1079,9 @@ class OracleMMLT:
     """
 
     def __init__(self, scene):
-        self.o = OracleSBDPT(scene)
-        lt = scene.lights
-        self.Le = np.asarray(lt.intensity)[0].astype(np.float64)
-        self.lpos = np.asarray(lt.pos)[0].astype(np.float64)
-        self.lvx = np.asarray(lt.vx)[0].astype(np.float64)
-        self.lvy = np.asarray(lt.vy)[0].astype(np.float64)
-        self.lnorm = np.asarray(lt.norm)[0].astype(np.float64)
-        area = float(np.asarray(lt.area)[0])
-        cdf = np.asarray(lt.pick_cdf, np.float64)
-        pick = max(cdf[1] - cdf[0], 1e-12)
-        self.o.pick_over_area = pick / area  # _pl_chain reads it
+        self.o = OracleSBDPT(scene)  # owns the light tables + occlusion
+        self.Le = self.o.Le
+        self.lnorm = self.o.lnorm
 
     @staticmethod
     def dims(k: int) -> int:
@@ -1089,11 +1092,7 @@ class OracleMMLT:
         return 0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2]
 
     def _occluded(self, a, ng_a, b):
-        dv = b - a
-        dist = np.linalg.norm(dv)
-        w = dv / max(dist, 1e-12)
-        eps = 2e-4 * max(1.0, np.abs(a).max())
-        return self.o.r.occluded(a + ng_a * eps, w, dist * 0.995)
+        return self.o._occluded(a, ng_a, b)
 
     def eval_state(self, u, k: int):
         """(f_lum, [(qy, qx, rgb), ...]) — every k-vertex strategy's
@@ -1107,11 +1106,8 @@ class OracleMMLT:
         zs = o._walk(co, cd, o._cam_pdf_w(cd), k - 1,
                      _SeqU(u[2:2 + 2 * (k - 1)]))
         lb = 2 + 2 * (k - 1)
-        y0p = (self.lpos + (2 * u[lb] - 1) * self.lvx
-               + (2 * u[lb + 1] - 1) * self.lvy)
-        y0 = dict(pos=y0p, ns=self.lnorm, ng=self.lnorm, alb=np.zeros(3),
-                  em=self.Le, beta=self.Le / o.pick_over_area,
-                  pf=o.pick_over_area)
+        y0 = o._light_y0(float(u[lb]), float(u[lb + 1]))
+        y0p = y0["pos"]
         ys = []
         if k >= 3:
             d0 = OracleLT._cosine_about(self.lnorm, float(u[lb + 2]),

@@ -8,8 +8,9 @@ variable-length material pages walked by a random descent
 record with up to four lobes (emission / diffuse / reflection /
 transparency). Shading evaluates all lobes branch-free with masked selects
 and picks a lobe by weight for sampling — the vectorized equivalent of the
-blend walk. XML blend materials are folded into the same record (weighted
-lobe merge) for now; an exact blend-tree random walk is a later addition.
+blend walk. XML blend materials compile to an N-level blend tree walked by a
+stochastic descent at shade time (bsdf/core.py resolve_blend_leaf); simple
+weighted blends also fold into a single record as a fast path.
 """
 from __future__ import annotations
 
