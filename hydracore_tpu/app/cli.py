@@ -91,7 +91,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # compat flags are accepted but have no TPU/XLA counterpart — say so
     # instead of silently ignoring them (VERDICT r3 weak #7)
-    for flag in ("cl_device_id", "cpu_fb", "max_cpu_threads", "double_rt",
+    for flag in ("cl_device_id", "cpu_fb", "max_cpu_threads",
                  "alloc_image_b"):
         if getattr(args, flag, 0):
             print(f"[config] -{flag} accepted, no-op on TPU (OpenCL/host "
@@ -149,6 +149,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    if args.double_rt:
+        # the reference's -D DOUBLE_RAY_TRIANGLE variant
+        # (GPUOCLLayer.cpp:695-700): f64 hit refinement — must enable x64
+        # BEFORE any tracing (f64 silently downcasts otherwise)
+        jax.config.update("jax_enable_x64", True)
+        print("[config] -double_rt: float64 ray/triangle refinement on "
+              "(x64 enabled; correctness option, reduced rate)")
 
     from hydracore_tpu.integrators.pt import render_pass
     from hydracore_tpu.scene.scene import load_scene
@@ -157,6 +164,11 @@ def main(argv=None) -> int:
     t0 = time.time()
     scene = load_scene(args.inputlib, width=args.width, height=args.height,
                        statefile=args.statefile)
+    if args.double_rt:
+        import dataclasses
+
+        scene = scene.replace(settings=dataclasses.replace(
+            scene.settings, double_rt=True))
     if args.layer and args.layer != "color":
         import dataclasses
 

@@ -25,12 +25,14 @@ Camera measure is per-pixel (image plane at d_img = H/(2 tan(fov/2)) in
 pixel units), identical to integrators/lt.py's CameraImageToSurfaceFactor
 analogue, so PT / LT / SBDPT estimate the same per-pixel integral.
 
-Scope v1: area-class lights (rect/disk/sphere) participate in every
-strategy; delta lights (point/spot/direct) and the sky dome participate
-via NEE (s=1) and light-subpath strategies but not s=0 implicit hits —
-matching PT requires scenes whose emitters are area lights (the bundled
-cornell-class scenes). Env-hit MIS for sky scenes lands with the sky
-strategy extension.
+Scope: area-class lights (rect/disk/sphere/cylinder/mesh) participate in
+every strategy; the sky/environment participates in every strategy too —
+s'=0 escapes (the env s'=0 block below, ref cbidir.h:619-625 /
+mlt.cl:723), directional s'=1 NEE, and env-started light subpaths — using
+the infinite-light convention (env endpoint in solid-angle measure, first
+surface vertex from the env at planar bounding-disk density). Delta
+lights (point/spot/direct) participate via NEE and light-subpath
+strategies but have no s'=0 implicit hits (nothing to hit).
 """
 from __future__ import annotations
 
@@ -54,10 +56,13 @@ def sample_bsdf(p, wo, n, rands, feats=None):
     return _sample_bsdf_raw(p, wo, n, rands) if feats is None else \
         _sample_bsdf_raw(p, wo, n, rands, feats)
 from hydracore_tpu.integrators.pt import compute_hit, make_eye_rays
-from hydracore_tpu.lights.sampling import sample_light_fwd, select_light
+from hydracore_tpu.lights.sampling import (FAR_DIST, _light_types,
+                                           env_radiance, sample_light_fwd,
+                                           scene_bounding_sphere,
+                                           select_light)
 from hydracore_tpu.scene.lights import (LIGHT_AREA_DISK, LIGHT_AREA_RECT,
                                         LIGHT_CYLINDER, LIGHT_MESH,
-                                        LIGHT_SPHERE)
+                                        LIGHT_SKY, LIGHT_SPHERE)
 
 # light types a camera ray can land on (s'=0 strategies exist)
 HITTABLE_TYPES = (LIGHT_AREA_RECT, LIGHT_AREA_DISK, LIGHT_SPHERE,
@@ -146,14 +151,19 @@ def light_emit_pdf_w(cos_at_light):
 # ----------------------------------------------------------------------------
 
 def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int,
-                         feats=None):
+                         feats=None, n_lane=None):
     """Trace z_1..z_{n_surf} (z_0 = camera pinhole, implicit).
 
     Vertex fields: pos, ns, ng, wo (unit, toward previous vertex), beta
     (throughput up to and including arrival), pf (area pdf of this vertex
     from the camera side), pr (area pdf of this vertex from one step
     deeper — valid for i < last-1), valid, spec (scatter AT this vertex
-    was delta), mat, em_color, light_row."""
+    was delta), mat, em_color, light_row.
+
+    n_lane (R,) int32 optionally caps each LANE's surface-vertex count —
+    deeper steps go inactive for that lane (the merged per-depth MMLT
+    dispatch uses this so a k=3 chain doesn't pay k_max traversals; the
+    reference's per-depth thread split, GPUOCLLayerAdvanced.cpp:518)."""
     R = ray_o.shape[0]
     cam = scene.camera
     verts = []
@@ -163,6 +173,8 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int,
     pdf_w_prev = cam_pdf_w(cam, ray_d)
 
     for i in range(n_surf):
+        if n_lane is not None:
+            alive = alive & (jnp.int32(i) < n_lane)
         trace = closest_hit if i == 0 else closest_hit_sorted
         t, tri, u, v = trace(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
@@ -175,9 +187,16 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int,
         ng_o = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
 
         pf = _to_area(pdf_w_prev, prev_pos, pos, ng_o)
+        # env escape bookkeeping (the "sky strategy": cbidir.h:619-625
+        # environmentColorExtended in the bidir path): a live ray that
+        # missed ends the path at the environment — record the direction
+        # and the RAW solid-angle arrival pdf (the env endpoint lives in
+        # directional measure; see the env s'=0 block in _bdpt_core).
         v_rec = _V(pos=pos, ns=n, ng=ng_o, wo=-ray_d, beta=beta, pf=pf,
                    pr=jnp.zeros((R,), jnp.float32), valid=hit,
                    spec=jnp.zeros((R,), bool),
+                   is_env=alive & (tri < 0), env_dir=ray_d,
+                   pf_w_arr=pdf_w_prev,
                    mat=p, em_color=p.em_color, light_row=tri_light)
         verts.append(v_rec)
 
@@ -206,7 +225,8 @@ def trace_camera_subpath(scene, ray_o, ray_d, rand_fn, n_surf: int,
     return verts
 
 
-def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
+def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None,
+                        n_lane=None):
     """Sample y_0 on a light, trace y_1..y_{n_surf}.
 
     y0 fields: pos, ns, ng, beta (= Le/(pick*pdfA)), pf (= pick*pdfA),
@@ -221,12 +241,28 @@ def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
     for ht in HITTABLE_TYPES:
         hittable = hittable | (ltype == ht)
 
+    # sky lanes: the env endpoint lives in DIRECTIONAL measure (PBRT-style
+    # infinite-light convention; ref cbidir env handling mlt.cl:723):
+    #   pl[k-1] (endpoint density)  = pick * env_pdf_w(emit dir)
+    #   pl[k-2] (first surface hit) = planar disk density * |cos|
+    # and the env is always "hittable" (a camera ray can escape to it).
+    is_env0 = (ltype == LIGHT_SKY) if LIGHT_SKY in _light_types(scene) \
+        else jnp.zeros((R,), bool)
+    env_dir0 = -ls.dir  # direction TOWARD the sky
     y0 = _V(pos=ls.pos, ns=ls.norm, ng=ls.norm,
             beta=ls.radiance / jnp.maximum(ls.pdf_a * pick_prob, 1e-12)[:, None],
-            pf=ls.pdf_a * pick_prob,
+            pf=jnp.where(is_env0, ls.pdf_w * pick_prob,
+                         ls.pdf_a * pick_prob),
             pr=jnp.zeros((R,), jnp.float32),
             spec=jnp.zeros((R,), bool),
-            hittable=hittable, valid=jnp.ones((R,), bool), light_row=l_idx)
+            is_env=is_env0, env_dir=env_dir0,
+            # directional beta for the s'=1 env connect (radiance over the
+            # DIRECTION density; garbage on non-sky lanes, always masked)
+            beta_dir=ls.radiance / jnp.maximum(
+                ls.pdf_w * pick_prob, 1e-12)[:, None],
+            pdf_a_far=ls.pdf_a,
+            hittable=hittable | is_env0, valid=jnp.ones((R,), bool),
+            light_row=l_idx)
 
     verts = []
     beta = y0.beta * (ls.cos_at_light / jnp.maximum(ls.pdf_w, 1e-12))[:, None]
@@ -237,6 +273,8 @@ def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
     pdf_w_prev = ls.pdf_w
 
     for j in range(n_surf):
+        if n_lane is not None:  # per-lane depth cap (merged MMLT groups)
+            alive = alive & (jnp.int32(j) < n_lane)
         t, tri, u, v = closest_hit_sorted(scene, ray_o, ray_d, active=alive)
         hit = alive & (tri >= 0)
         pos, n, ng, uv, mat_id, _, tang = compute_hit(
@@ -248,6 +286,11 @@ def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
         ng_o = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
 
         pf = _to_area(pdf_w_prev, prev_pos, pos, ng_o)
+        if j == 0:
+            # env light paths: the first surface vertex's light-side
+            # density is the PLANAR disk density, not pdf_w-to-area
+            pf = jnp.where(is_env0,
+                           y0.pdf_a_far * jnp.abs(dot3(ng_o, ray_d)), pf)
         v_rec = _V(pos=pos, ns=n, ng=ng_o, wo=-ray_d, beta=beta, pf=pf,
                    pr=jnp.zeros((R,), jnp.float32), valid=hit,
                    spec=jnp.zeros((R,), bool), mat=p)
@@ -268,7 +311,10 @@ def trace_light_subpath(scene, rand_fn, n_surf: int, feats=None):
             verts[j - 1].pr = _to_area(pdf_back, pos, verts[j - 1].pos,
                                        verts[j - 1].ng)
         else:
-            y0.pr = _to_area(pdf_back, pos, y0.pos, y0.ng)
+            # env y0 lives in directional measure: the camera-side density
+            # of scattering back toward the sky is the RAW solid-angle pdf
+            y0.pr = jnp.where(is_env0, pdf_back,
+                              _to_area(pdf_back, pos, y0.pos, y0.ng))
 
         pdf_w_prev = jnp.where(bs.is_specular, 0.0, bs.pdf)
         prev_pos = pos
@@ -386,13 +432,20 @@ def _mis_weight(pf, pl, spec, can, t_strat: int, n_splat, y0_hittable,
 
 def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                max_depth: int, strategies: str = "full",
-               k_only: int | None = None, with_labels: bool = False):
+               k_only: int | None = None, with_labels: bool = False,
+               lane_k=None):
     """Evaluate SBDPT strategies for a wavefront of camera+light
     subpaths. Returns a list of (flat_pix (R,), color (R,3)) contributions
     — one entry per (s, t) strategy evaluated. k_only restricts to paths
     with exactly k vertices (MMLT's per-depth chains). with_labels=True
     returns ((s, t), flat, color) triples instead (the per-strategy oracle
-    cross-check consumes these, tests/test_oracle_bdpt.py)."""
+    cross-check consumes these, tests/test_oracle_bdpt.py).
+
+    lane_k (R,) int32: per-LANE path-vertex count — every lane evaluates
+    only its own depth's strategies, and subpath tracing goes inactive
+    past each lane's depth. This is the merged per-depth MMLT dispatch
+    (all chain groups in one wavefront; the reference packs per-depth
+    thread ranges into one megablock, GPUOCLLayerAdvanced.cpp:518-595)."""
     cam = scene.camera
     W, H = cam.width, cam.height
     R = ray_o.shape[0]
@@ -405,8 +458,13 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
     else:
         NC = k_only - 1
         NL = max(k_only - 2, 1)
-    zs = trace_camera_subpath(scene, ray_o, ray_d, rand_fn, NC, feats)
-    y0, ys = trace_light_subpath(scene, rand_fn, NL, feats)
+    nl_c = nl_l = None
+    if lane_k is not None:
+        nl_c = lane_k - 1             # camera surface vertices this lane
+        nl_l = jnp.maximum(lane_k - 2, 0)  # light surface vertices
+    zs = trace_camera_subpath(scene, ray_o, ray_d, rand_fn, NC, feats,
+                              n_lane=nl_c)
+    y0, ys = trace_light_subpath(scene, rand_fn, NL, feats, n_lane=nl_l)
 
     out = []
 
@@ -455,7 +513,55 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         out.append(((0, t), own_pix, jnp.where((on_light & front)[:, None],
                                                contrib, 0.0)))
 
-    # ---- s = 1: NEE from every camera vertex to y0
+    # ---- s = 0 env: camera path escapes to the sky (the "sky strategy";
+    # ref cbidir.h:619-625 environmentColorExtended in the bidir path,
+    # mlt.cl:723 MMLTCameraPathBounce env handling). The env endpoint uses
+    # DIRECTIONAL measure: pf[k-1] is the raw solid-angle arrival pdf,
+    # pl[k-1] the sky sampler's pick * env_pdf_w, pl[k-2] the planar
+    # bounding-disk density x |cos| (infinite-light convention).
+    if LIGHT_SKY in _light_types(scene):
+        from hydracore_tpu.lights.envmap import env_pdf_for_dir
+
+        cdf_l = scene.lights.pick_cdf
+        pick_sky = jnp.sum(jnp.where(scene.lights.ltype == LIGHT_SKY,
+                                     cdf_l[1:] - cdf_l[:-1], 0.0))
+        _, rad_s = scene_bounding_sphere(scene)
+        pdf_a_far = 1.0 / jnp.maximum(np.pi * rad_s * rad_s, 1e-12)
+        one = jnp.ones((R,), jnp.float32)
+        fzero = jnp.zeros((R,), bool)
+        for t in range(2, NC + 2):
+            if not keep(t, 0):
+                continue
+            z = zs[t - 2]
+            w_dir = z.env_dir
+            env_c = env_radiance(scene, w_dir)
+            env_pdf = env_pdf_for_dir(scene.env_rows_cdf,
+                                      scene.env_cols_cdf,
+                                      scene.env_pdf_uv, w_dir)
+            pf = [one] * t
+            pl = [one] * t
+            spec = [fzero] * t
+            for i in range(1, t - 1):
+                pf[i] = zs[i - 1].pf
+                spec[i] = zs[i - 1].spec
+            pf[t - 1] = z.pf_w_arr
+            pl[t - 1] = pick_sky * env_pdf
+            if t >= 3:
+                pl[t - 2] = pdf_a_far * jnp.abs(dot3(zs[t - 3].ng, w_dir))
+            for i in range(1, t - 2):
+                pl[i] = zs[i - 1].pr
+            w = _mis_weight(pf, pl, spec, z.is_env, t, n_splat,
+                            jnp.ones((R,), bool), three_way)
+            out.append(((0, t), own_pix,
+                        jnp.where(z.is_env[:, None],
+                                  z.beta * env_c * w[:, None], 0.0)))
+
+    # ---- s = 1: NEE from every camera vertex to y0. Sky lanes connect
+    # DIRECTIONALLY (toward y0's sampled env direction, shadow ray to
+    # infinity, radiance over the direction density) — the env analogue
+    # of LightSampleRev's sky branch, kept MIS-consistent with the env
+    # s'=0 strategy above.
+    env1 = y0.is_env
     for t in range(2, NC + 1):
         if not keep(t, 1):
             continue
@@ -464,18 +570,28 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         d2 = jnp.maximum(dot3(d, d), 1e-12)
         dist = jnp.sqrt(d2)
         wl = d / dist[:, None]
+        wl = jnp.where(env1[:, None], y0.env_dir, wl)
         cos_z = dot3(z.ns, wl)
-        cos_y = dot3(y0.ns, -wl)
+        cos_y = jnp.where(env1, 1.0, dot3(y0.ns, -wl))
         f_z, pdf_z_w = eval_bsdf(z.mat, z.wo, wl, z.ns, feats)
         can = z.valid & ~z.spec & (cos_z > 0) & (cos_y > 1e-6)
         sray_o = offs_ray_pos(z.pos, z.ng, wl)
-        occ = any_hit_sorted(scene, sray_o, wl, dist * 0.995, active=can)
+        occ = any_hit_sorted(scene, sray_o, wl,
+                             jnp.where(env1, FAR_DIST, dist * 0.995),
+                             active=can)
         G = jnp.abs(cos_z) * jnp.abs(cos_y) / d2
         c_unw = z.beta * f_z * y0.beta * G[:, None]
+        c_unw = jnp.where(env1[:, None],
+                          z.beta * f_z * y0.beta_dir
+                          * jnp.abs(cos_z)[:, None], c_unw)
 
         junc = {
-            "pf_junc": _to_area(pdf_z_w, z.pos, y0.pos, y0.ng),
-            "pl_junc": _to_area(light_emit_pdf_w(cos_y), y0.pos, z.pos, z.ng),
+            "pf_junc": jnp.where(
+                env1, pdf_z_w,
+                _to_area(pdf_z_w, z.pos, y0.pos, y0.ng)),
+            "pl_junc": jnp.where(
+                env1, y0.pdf_a_far * jnp.abs(dot3(z.ng, wl)),
+                _to_area(light_emit_pdf_w(cos_y), y0.pos, z.pos, z.ng)),
         }
         if t >= 3:
             _, pdf_back = eval_bsdf(z.mat, wl, z.wo, z.ns, feats)
@@ -511,6 +627,8 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
         _, pdf_down = eval_bsdf(y.mat, w_cam, y.wo, y.ns, feats)
         nxt = ys[s - 3] if s >= 3 else y0
         junc["pf_junc2"] = _to_area(pdf_down, y.pos, nxt.pos, nxt.ng)
+        if s == 2:  # env y0: directional measure, raw solid-angle pdf
+            junc["pf_junc2"] = jnp.where(env1, pdf_down, junc["pf_junc2"])
         pf, pl, spec = _assemble(R, zs, ys, y0, 1, s, junc)
         w = _mis_weight(pf, pl, spec, can, 1, n_splat, y0.hittable,
                         three_way)
@@ -554,6 +672,9 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                 nxt = ys[s - 3] if s >= 3 else y0
                 junc["pf_junc2"] = _to_area(pdf_y_down, y.pos, nxt.pos,
                                             nxt.ng)
+                if s == 2:  # env y0: directional measure
+                    junc["pf_junc2"] = jnp.where(env1, pdf_y_down,
+                                                 junc["pf_junc2"])
                 if t >= 3:
                     _, pdf_z_back = eval_bsdf(z.mat, wl, z.wo, z.ns, feats)
                     junc["pl_junc2"] = _to_area(pdf_z_back, z.pos,
@@ -565,6 +686,12 @@ def _bdpt_core(scene, ray_o, ray_d, rand_fn, own_pix, n_splat,
                             jnp.where((can & ~occ)[:, None],
                                       c_unw * w[:, None], 0.0)))
 
+    if lane_k is not None:
+        # each lane belongs to one depth group: zero every other depth's
+        # strategies (its own subpaths are truncated at lane_k anyway)
+        out = [(lbl, flat,
+                jnp.where((lane_k == (lbl[0] + lbl[1]))[:, None], amt, 0.0))
+               for lbl, flat, amt in out]
     if with_labels:
         return out
     return [(flat, amt) for _lbl, flat, amt in out]

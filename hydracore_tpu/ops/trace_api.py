@@ -161,7 +161,13 @@ def alpha_layer_hit(scene, ray_o, ray_d, t_lo, t_hi, active):
     """Closest hit strictly inside (t_lo, t_hi) over the DENSE alpha
     triangle set (scene.alpha_tri9f) — one fused MT block, no traversal.
     Returns (t, tri_id, u, v); tri_id -1 on miss."""
+    from hydracore_tpu.ops.intersect import want_double
+
     tri = scene.alpha_tri9f  # (9, A)
+    if want_double(scene):  # -double_rt: alpha-layer MT in float64
+        tri = tri.astype(jnp.float64)
+        ray_o = ray_o.astype(jnp.float64)
+        ray_d = ray_d.astype(jnp.float64)
     ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
     dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
     v0x, v0y, v0z = tri[0][None], tri[1][None], tri[2][None]
@@ -184,9 +190,9 @@ def alpha_layer_hit(scene, ray_o, ray_d, t_lo, t_hi, active):
         & (t > t_lo[:, None]) & (t < t_hi[:, None]) & active[:, None]
     t_m = jnp.where(hit, t, jnp.float32(3.0e38))
     k = jnp.argmin(t_m, axis=1)
-    t_k = jnp.take_along_axis(t_m, k[:, None], 1)[:, 0]
-    u_k = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
-    v_k = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+    t_k = jnp.take_along_axis(t_m, k[:, None], 1)[:, 0].astype(jnp.float32)
+    u_k = jnp.take_along_axis(u, k[:, None], 1)[:, 0].astype(jnp.float32)
+    v_k = jnp.take_along_axis(v, k[:, None], 1)[:, 0].astype(jnp.float32)
     found = t_k < 3.0e38
     tid = jnp.where(found, scene.alpha_tri_id[k], -1)
     return t_k, tid, jnp.where(found, u_k, 0.0), jnp.where(found, v_k, 0.0)

@@ -59,7 +59,15 @@ BIG = 3.0e38
 # visits between refilters (= big-mode DMA prefetch depth). Smaller K
 # refilters sooner (fewer wasted visits once the front clusters resolve
 # the block) at the cost of more refilter sweeps — a hardware A/B knob.
+# Shadow wavefronts get their own knob: any-hit lanes retire at the first
+# occluder, so earlier refilters can pay off sooner than for closest-hit.
 K_VISITS = int(_os_env.environ.get("HYDRA_CL_K", "8"))
+K_VISITS_SHADOW = int(_os_env.environ.get("HYDRA_CL_K_SHADOW",
+                                          str(K_VISITS)))
+
+
+def _kvis_for(kind: str) -> int:
+    return K_VISITS_SHADOW if kind == "shadow" else K_VISITS
 # refilter flavor: "cheap" prunes with slab ENTRY distances cached at the
 # initial sweep (per 32-ray subgroup min-tn vs the subgroup's current max
 # t) — two tiny matmuls instead of re-running the 6-plane slab stage, so
@@ -92,7 +100,7 @@ def _subg_for(kind: str) -> int:
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                  big_mode: bool = False, inst_mode: bool = False,
-                 r_blk: int = 256, subg: int = 0):
+                 r_blk: int = 256, subg: int = 0, k_vis: int = K_VISITS):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
     R_BLK = r_blk  # shadow the module default inside the kernel closure
@@ -368,7 +376,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
         def outer_body(st):
             ptr, n, t_cur, slot = st
-            # one UNROLLED group of K_VISITS independent visits; positions
+            # one UNROLLED group of k_vis independent visits; positions
             # past the list end clamp to the last valid entry (idempotent
             # re-visit — min-folding makes redundant visits harmless)
             last = jnp.maximum(n - 1, 0)
@@ -380,7 +388,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                 # in flight while earlier visits compute.
                 tbuf, dsem = big_scratch
                 cks = []
-                for k in range(K_VISITS):
+                for k in range(k_vis):
                     ck = perm_ref[oct_, lst[jnp.minimum(ptr + k, last)]]
                     pltpu.make_async_copy(tris_ref.at[ck], tbuf.at[k],
                                           dsem.at[k]).start()
@@ -396,7 +404,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
             tg, cg = visit_k(0, t_cur)
             sg = jnp.broadcast_to(jnp.int32(cg), (R_BLK, 1))
-            for k in range(1, K_VISITS):
+            for k in range(1, k_vis):
                 tk, ck = visit_k(k, t_cur)
                 bet = tk < tg
                 sg = jnp.where(bet, ck, sg)
@@ -409,7 +417,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             if any_hit_mode:
                 # occluded rays retire: refilter sees them as dead lanes
                 t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
-            ptr = jnp.minimum(ptr + K_VISITS, n)
+            ptr = jnp.minimum(ptr + k_vis, n)
 
             @pl.when(ptr < n)
             def _():
@@ -443,7 +451,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             live in the output refs so pl.when regions can update rows."""
             ptr, n = st
             last = jnp.maximum(n - 1, 0)
-            for k in range(K_VISITS):
+            for k in range(k_vis):
                 posk = lst[jnp.minimum(ptr + k, last)]
                 ck = perm_ref[oct_, posk]
                 mck = msk[posk, 0]
@@ -475,7 +483,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                                                tn_new)
                         out_ref[m, a:b, 0:1] = tn_new
                         outi_ref[m, a:b, 0:1] = sc
-            ptr = jnp.minimum(ptr + K_VISITS, n)
+            ptr = jnp.minimum(ptr + k_vis, n)
 
             @pl.when(ptr < n)
             def _():
@@ -534,10 +542,10 @@ VMEM_MAX_CP = int(_os.environ.get("HYDRA_VMEM_MAX_CP", "1024"))
 
 
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret", "r_blk",
-                                   "subg"))
+                                   "subg", "k_vis"))
 def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
                       any_hit_mode=False, interpret=False, r_blk=None,
-                      subg=0):
+                      subg=0, k_vis=K_VISITS):
     """rays: (G, r_blk, 8). Returns (t (G,r_blk), slot (G,r_blk), diag).
     cl_map/inst_woop non-None => instanced mode (bvh/instanced.py layout)."""
     R_BLK = r_blk if r_blk is not None else rays.shape[1]
@@ -568,8 +576,8 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     if big:
         # K-deep DMA prefetch ring: one (4,384) tile + one semaphore per
         # visit of an unrolled group (see outer_body)
-        scratch += [pltpu.VMEM((K_VISITS, 4, 384), jnp.float32),
-                    pltpu.SemaphoreType.DMA((K_VISITS,))]
+        scratch += [pltpu.VMEM((k_vis, 4, 384), jnp.float32),
+                    pltpu.SemaphoreType.DMA((k_vis,))]
     inst_in = []
     inst_specs = []
     if inst:
@@ -582,7 +590,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         ]
     out, outi = pl.pallas_call(
         _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big,
-                     inst_mode=inst, r_blk=R_BLK, subg=subg),
+                     inst_mode=inst, r_blk=R_BLK, subg=subg, k_vis=k_vis),
         interpret=interpret,
         grid=(G // M_SUB,),
         in_specs=[
@@ -671,7 +679,7 @@ def _is_partitioned(scene) -> bool:
 
 
 def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp,
-                          r_blk=None, subg=0):
+                          r_blk=None, subg=0, k_vis=K_VISITS):
     """Chain the VMEM kernel over the partition chunks (the reference's
     multi-tree bounce loop, GPUOCLKernels.cpp:424-512). Closest-hit
     threads each chunk's best t into the next chunk's per-ray t_lim so
@@ -688,7 +696,7 @@ def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp,
                                         None, None,
                                         any_hit_mode=any_hit_mode,
                                         interpret=interp, r_blk=r_blk,
-                                        subg=subg)
+                                        subg=subg, k_vis=k_vis)
         s_p = jnp.where(s_p >= 0, s_p + p * Cpp * 128, -1)
         if slot is None:
             t_best, slot = t_p, s_p
@@ -715,20 +723,21 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
     ray-block size (bounce wavefronts are less coherent)."""
     r_blk = _rblk_for(kind)
     subg = _subg_for(kind)
+    k_vis = _kvis_for(kind)
     rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
     if _is_partitioned(scene):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         t, slot = _partitioned_traverse(scene, rays, scene.cl_tris,
                                         any_hit_mode=False, interp=interp,
-                                        r_blk=r_blk, subg=subg)
+                                        r_blk=r_blk, subg=subg, k_vis=k_vis)
     else:
         t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct,
                                        scene.cl_tris,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=False,
                                        interpret=interp or INTERPRET,
-                                       r_blk=r_blk, subg=subg)
+                                       r_blk=r_blk, subg=subg, k_vis=k_vis)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
@@ -747,16 +756,12 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
         o_mt, d = local_rays(scene, row[:, 1], ray_o, ray_d)
     else:
         o_mt, d = ray_o, ray_d
-    pv = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pv, axis=1)
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    s = o_mt - v0
-    u = jnp.sum(s * pv, axis=1) * inv
-    qv = jnp.cross(s, e1)
-    v = jnp.sum(d * qv, axis=1) * inv
-    # exact t from the same MT (the kernel's t carries the winning lane in
-    # its low mantissa bits — ordering-exact, value-rounded)
-    t_e = jnp.sum(e2 * qv, axis=1) * inv
+    # exact (t, u, v) from one gathered MT (the kernel's t carries the
+    # winning lane in its low mantissa bits — ordering-exact,
+    # value-rounded); -double_rt refines in f64 (intersect.mt_refine)
+    from hydracore_tpu.ops.intersect import mt_refine, want_double
+
+    t_e, u, v = mt_refine(o_mt, d, v0, e1, e2, f64=want_double(scene))
     t = jnp.where(hit, t_e, jnp.inf)
     tri_out = jnp.where(hit, slot, -1) if cl_map is not None else tri
     return t, tri_out, jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
@@ -768,6 +773,7 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
     scene._build_shadow_split), so alpha surfaces never occlude here."""
     r_blk = _rblk_for("shadow")
     subg = _subg_for("shadow")
+    k_vis = _kvis_for("shadow")
     rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
     pool = scene.cl_tris_shadow if opaque_only else scene.cl_tris
@@ -775,11 +781,11 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         _, slot = _partitioned_traverse(scene, rays, pool,
                                         any_hit_mode=True, interp=interp,
-                                        r_blk=r_blk, subg=subg)
+                                        r_blk=r_blk, subg=subg, k_vis=k_vis)
     else:
         _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=True,
                                        interpret=interp or INTERPRET,
-                                       r_blk=r_blk, subg=subg)
+                                       r_blk=r_blk, subg=subg, k_vis=k_vis)
     return slot.reshape(-1)[:R] >= 0

@@ -51,13 +51,18 @@ def _mt_block(tri, ox, oy, oz, dx, dy, dz, t_cap, active_in):
     return t_k, u_k, v_k, k.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("any_hit_mode",))
-def _traverse_dense(tri9f, slot_tri, ray_o, ray_d, t_max, active_in, any_hit_mode=False):
+@partial(jax.jit, static_argnames=("any_hit_mode", "f64"))
+def _traverse_dense(tri9f, slot_tri, ray_o, ray_d, t_max, active_in,
+                    any_hit_mode=False, f64=False):
     R = ray_o.shape[0]
     B = tri9f.shape[0]
     S = B * LEAF_SIZE  # total triangle slots
     # slot-major (B, L, 16) -> (16, S): tri_fields[f, slot]
     tri_fields = jnp.transpose(tri9f.reshape(B * LEAF_SIZE, 16), (1, 0))
+    if f64:  # -double_rt: the whole dense MT runs in float64
+        tri_fields = tri_fields.astype(jnp.float64)
+        ray_o = ray_o.astype(jnp.float64)
+        ray_d = ray_d.astype(jnp.float64)
 
     ox, oy, oz = ray_o[:, 0:1], ray_o[:, 1:2], ray_o[:, 2:3]
     dx, dy, dz = ray_d[:, 0:1], ray_d[:, 1:2], ray_d[:, 2:3]
@@ -102,20 +107,27 @@ def _traverse_dense(tri9f, slot_tri, ray_o, ray_d, t_max, active_in, any_hit_mod
     found = slot_best >= 0
     tri_best = jnp.where(found, slot_tri[jnp.clip(slot_best, 0, slot_tri.shape[0] - 1)], -1)
     t_out = jnp.where(found, t_best, jnp.inf)
-    return t_out, tri_best, u_best, v_best
+    return (t_out.astype(jnp.float32), tri_best,
+            u_best.astype(jnp.float32), v_best.astype(jnp.float32))
 
 
 def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None):
+    from hydracore_tpu.ops.intersect import want_double
+
     if active is None:
         active = jnp.ones(ray_o.shape[0], bool)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
-    return _traverse_dense(scene.wbvh_tri9f, scene.wbvh_slot_tri, ray_o, ray_d, tm, active)
+    return _traverse_dense(scene.wbvh_tri9f, scene.wbvh_slot_tri, ray_o,
+                           ray_d, tm, active, f64=want_double(scene))
 
 
 def any_hit(scene, ray_o, ray_d, t_max, active=None):
+    from hydracore_tpu.ops.intersect import want_double
+
     if active is None:
         active = jnp.ones(ray_o.shape[0], bool)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ray_o.shape[0],))
     _, tri, _, _ = _traverse_dense(scene.wbvh_tri9f, scene.wbvh_slot_tri, ray_o, ray_d, tm,
-                                   active, any_hit_mode=True)
+                                   active, any_hit_mode=True,
+                                   f64=want_double(scene))
     return tri >= 0

@@ -142,6 +142,12 @@ class RenderSettings:
     mmlt_step_power: float = 1024.0  # <mmlt_step_power> large|(normal)|small
     mmlt_step_size: float = 1.0  # <mmlt_step_size> -> HRT_MMLT_STEP_SIZE_COEFF
     mmlt_sds_fixed_prob: float = 0.0  # <mmlt_sds_fixed_prob> (clamped 0..0.95)
+    # -double_rt / the reference's -D DOUBLE_RAY_TRIANGLE compile variant
+    # (GPUOCLLayer.cpp:695-700): hit REFINEMENT (final Möller–Trumbore +
+    # alpha/dense paths) runs in float64. Needs jax_enable_x64 (the CLI
+    # sets it); cluster selection stays f32 — this is a correctness
+    # option for precision-adversarial scenes, not a perf mode.
+    double_rt: bool = False
     has_alpha: bool = False  # any material with an opacity texture
     has_blend: bool = False  # any blend material (two-leaf fetch at shade)
     has_rough_glass: bool = False
