@@ -735,9 +735,12 @@ class OracleSBDPT:
         self.lt = scene.lights
         self.mt = scene.materials
         ltype = np.asarray(self.lt.ltype)
-        emitters = np.where(np.asarray(self.lt.area) > 0)[0]
-        assert len(ltype) >= 1 and int(ltype[0]) == 4 and len(emitters) >= 1, \
-            "OracleSBDPT: one rect area light expected at row 0"
+        self.sky_mode = len(ltype) >= 1 and int(ltype[0]) == 3
+        if not self.sky_mode:
+            emitters = np.where(np.asarray(self.lt.area) > 0)[0]
+            assert len(ltype) >= 1 and int(ltype[0]) == 4 \
+                and len(emitters) >= 1, \
+                "OracleSBDPT: rect area light (or sky) expected at row 0"
         assert (np.asarray(self.mt.refl_color).max() < 1e-6
                 and np.asarray(self.mt.transp_color).max() < 1e-6), \
             "OracleSBDPT: diffuse surfaces only"
@@ -759,7 +762,22 @@ class OracleSBDPT:
         self.larea = float(np.asarray(self.lt.area)[0])
         cdf0 = np.asarray(self.lt.pick_cdf, np.float64)
         self.pick = max(cdf0[1] - cdf0[0], 1e-12)
-        self.pick_over_area = self.pick / self.larea
+        if self.sky_mode:
+            # infinite-light tables (the sky case, pinning the env
+            # conventions of _bdpt_core: endpoint in solid-angle measure,
+            # first surface vertex at planar bounding-disk density —
+            # ref cbidir.h:619-625 / mlt.cl:723 env handling)
+            bmin = np.asarray(scene.bvh_bmin[0], np.float64)
+            bmax = np.asarray(scene.bvh_bmax[0], np.float64)
+            self.scene_cen = (bmin + bmax) * 0.5
+            self.scene_rad = float(np.linalg.norm(bmax - bmin) * 0.5 + 1e-3)
+            self.pdf_a_far = 1.0 / max(np.pi * self.scene_rad ** 2, 1e-12)
+            self.env_rows = np.asarray(scene.env_rows_cdf, np.float64)
+            self.env_cols = np.asarray(scene.env_cols_cdf, np.float64)
+            self.env_pdf_uv = np.asarray(scene.env_pdf_uv, np.float64)
+            self.pick_over_area = 0.0  # unused in sky mode
+        else:
+            self.pick_over_area = self.pick / self.larea
 
     def _light_y0(self, u0: float, u1: float) -> dict:
         """The light-sample vertex y0 at rect-light uniform coords."""
@@ -816,16 +834,22 @@ class OracleSBDPT:
         return n, ng, mat, alb, em
 
     def _walk(self, o, d, pdf_w0, n_surf, g):
-        """Trace up to n_surf diffuse vertices; returns the vertex list:
-        dict(pos, ns, ng, alb, em, beta, pf) — beta at ARRIVAL, pf the
-        camera/light-side area pdf of this vertex."""
+        """Trace up to n_surf diffuse vertices; returns (verts, esc):
+        verts the vertex list dict(pos, ns, ng, alb, em, beta, pf) — beta
+        at ARRIVAL, pf the camera/light-side area pdf of this vertex — and
+        esc the environment-escape record dict(dir, pdf_w, beta) when the
+        walk left the scene (None otherwise; pdf_w is the RAW solid-angle
+        pdf that generated the escaping direction — the env endpoint lives
+        in directional measure, matching _bdpt_core's sky strategies)."""
         verts = []
+        esc = None
         beta = np.ones(3)
         prev = o.copy()
         pdf_w = pdf_w0
         for _ in range(n_surf):
             t, tri, uu, vv = self.r.trace(o, d)
             if not np.isfinite(t):
+                esc = dict(dir=d.copy(), pdf_w=pdf_w, beta=beta.copy())
                 break
             pos = o + t * d
             ns, ng, mat, alb, em = self._surface(tri, uu, vv, d)
@@ -844,7 +868,7 @@ class OracleSBDPT:
             prev = pos
             o = pos + ng * (2e-4 * max(1.0, np.abs(pos).max()))
             d = wi
-        return verts
+        return verts, esc
 
     def _pl_chain(self, xs, k):
         """Light-side area pdfs pl[i] = pdfA(x_i | x_{i+1}); pl[k-1] is the
@@ -879,6 +903,88 @@ class OracleSBDPT:
                                   xs[i]["ng"])
         return pf
 
+    # ---- sky-mode helpers: the env endpoint lives in DIRECTIONAL measure
+    # (pinning _bdpt_core's infinite-light convention, cbidir.h:619-625 /
+    # mlt.cl:723: pl[k-1] = pick * env_pdf_w, pl[k-2] = planar bounding-
+    # disk density x |cos|, pf[k-1] = raw solid-angle scatter pdf).
+    def _env_pdf_w(self, d):
+        """Scalar mirror of envmap.env_pdf_for_dir."""
+        Ht, Wt = self.env_pdf_uv.shape
+        u = 0.5 + np.arctan2(d[0], -d[2]) * (0.5 / np.pi)
+        v = np.arccos(np.clip(d[1], -1.0, 1.0)) / np.pi
+        row = min(max(int(v * Ht), 0), Ht - 1)
+        col = min(max(int(u * Wt), 0), Wt - 1)
+        sin_t = np.sqrt(max(1.0 - d[1] ** 2, 1e-8))
+        return float(self.env_pdf_uv[row, col]) \
+            / max(2.0 * np.pi ** 2 * sin_t, 1e-8)
+
+    def _env_sample(self, u1, u2):
+        """Scalar mirror of envmap.sample_env_dir: (dir TOWARD sky, pdf_w)."""
+        Ht, Wt = self.env_pdf_uv.shape
+        row = min(max(int(np.searchsorted(self.env_rows, u1, side="right"))
+                      - 1, 0), Ht - 1)
+        fr = (u1 - self.env_rows[row]) / max(
+            self.env_rows[row + 1] - self.env_rows[row], 1e-12)
+        ccdf = self.env_cols[row]
+        col = min(max(int(np.sum(ccdf <= u2)) - 1, 0), Wt - 1)
+        fc = (u2 - ccdf[col]) / max(ccdf[col + 1] - ccdf[col], 1e-12)
+        v = (row + fr) / Ht
+        u = (col + fc) / Wt
+        theta = v * np.pi
+        phi = (u - 0.5) * 2.0 * np.pi
+        st = np.sin(theta)
+        d = np.array([st * np.sin(phi), np.cos(theta), -st * np.cos(phi)])
+        d /= max(np.linalg.norm(d), 1e-12)
+        pdf = float(self.env_pdf_uv[row, col]) \
+            / max(2.0 * np.pi ** 2 * st, 1e-8)
+        return d, pdf
+
+    def _pf_chain_sky(self, xs, k, d_sky):
+        """Camera-side pdfs for a path whose LAST vertex x_{k-1} is the
+        environment (xs[1..k-2] surface vertices; xs[0] pinhole):
+        pf[k-1] is the RAW solid-angle pdf toward the sky."""
+        pf = [1.0] * k
+        if k == 2:
+            pf[1] = self._cam_pdf_w(d_sky)
+            return pf
+        dv = xs[1]["pos"] - self.cpos
+        w = dv / max(np.linalg.norm(dv), 1e-12)
+        pf[1] = self._to_area(self._cam_pdf_w(w), self.cpos,
+                              xs[1]["pos"], xs[1]["ng"])
+        for i in range(2, k - 1):
+            src = xs[i - 1]
+            dv = xs[i]["pos"] - src["pos"]
+            dist = max(np.linalg.norm(dv), 1e-12)
+            w = dv / dist
+            cos_s = max(float(w @ src["ns"]), 0.0)
+            pf[i] = self._to_area(cos_s / np.pi, src["pos"], xs[i]["pos"],
+                                  xs[i]["ng"])
+        pf[k - 1] = max(float(xs[k - 2]["ns"] @ d_sky), 0.0) / np.pi
+        return pf
+
+    def _pl_chain_sky(self, xs, k, d_sky):
+        """Light-side pdfs for an env-terminated path: pl[k-1] the sky
+        sampler's pick * env_pdf_w, pl[k-2] the planar bounding-disk
+        density x |cos|, interior vertices as in _pl_chain."""
+        pl = [1.0] * k
+        pl[k - 1] = self.pick * self._env_pdf_w(d_sky)
+        if k >= 3:
+            pl[k - 2] = self.pdf_a_far \
+                * abs(float(xs[k - 2]["ng"] @ d_sky))
+        for i in range(k - 3, 0, -1):
+            src = xs[i + 1]
+            dv = xs[i]["pos"] - src["pos"]
+            dist = max(np.linalg.norm(dv), 1e-12)
+            w = dv / dist
+            cos_s = max(float(w @ src["ns"]), 0.0)
+            pl[i] = self._to_area(cos_s / np.pi, src["pos"], xs[i]["pos"],
+                                  xs[i]["ng"])
+        return pl
+
+    def _occluded_far(self, a, ng_a, d) -> bool:
+        eps = 2e-4 * max(1.0, np.abs(a).max())
+        return self.r.occluded(a + ng_a * eps, d, 1e8)
+
     def _weight(self, pf, pl, t_strat, k, hittable):
         """Power heuristic over all t' in 1..k (absolute products, f64) —
         the explicit form of bdpt._mis_weight's ratio walk."""
@@ -902,12 +1008,167 @@ class OracleSBDPT:
                 num = d * d
         return num / total if total > 0 else 0.0
 
+    def _sample_light_path_env(self, n_surf, g):
+        """Env-started light subpath: y0 is the sky endpoint (directional),
+        surface vertices walked from a scene-bounding disk inward.
+        Returns (y0, ys); y0 carries env_dir (TOWARD the sky), beta_dir
+        (radiance over the direction density, the s'=1 connect beta) and
+        the verts' beta already folds Le/(pick*pdf_a_far*pdf_w)."""
+        u = g.random(2)
+        d_sky, pdf_w = self._env_sample(u[0], u[1])
+        Le = self.r._env_radiance(d_sky)
+        y0 = dict(env_dir=d_sky, em=Le, pdf_w=pdf_w,
+                  beta_dir=Le / max(self.pick * pdf_w, 1e-300))
+        if n_surf == 0:
+            return y0, []
+        emit = -d_sky
+        # orthonormal basis about the emission direction
+        a = np.array([1.0, 0.0, 0.0]) if abs(emit[0]) < 0.9 \
+            else np.array([0.0, 1.0, 0.0])
+        tt = np.cross(emit, a)
+        tt /= max(np.linalg.norm(tt), 1e-12)
+        bb = np.cross(emit, tt)
+        u = g.random(2)
+        rr = np.sqrt(u[0]) * self.scene_rad
+        ph = 2.0 * np.pi * u[1]
+        o0 = (self.scene_cen - emit * (self.scene_rad * 1.5)
+              + rr * np.cos(ph) * tt + rr * np.sin(ph) * bb)
+        ys, _ = self._walk(o0, emit, 1.0, n_surf, g)
+        beta_walk = Le / max(self.pick * self.pdf_a_far * pdf_w, 1e-300)
+        for y in ys:
+            y["beta"] = y["beta"] * beta_walk
+        if ys:
+            # first surface vertex's light-side density is the PLANAR
+            # bounding-disk density (not pdf_w-to-area)
+            ys[0]["pf"] = self.pdf_a_far * abs(float(ys[0]["ng"] @ emit))
+        return y0, ys
+
+    def _render_strategy_sky(self, s: int, t: int, spp: int, seed: int):
+        """Sky-mode (s, t) strategy image: the light endpoint x_{k-1} is
+        the environment. Mirrors _bdpt_core's env s'=0 / s'=1 / env-started
+        light-subpath blocks in scalar float64."""
+        k = s + t
+        g = np.random.default_rng(seed)
+        img = np.zeros((self.H, self.W, 3))
+        pin = dict(pos=self.cpos)
+
+        if t >= 2:
+            for py in range(self.H):
+                for px in range(self.W):
+                    acc = np.zeros(3)
+                    for _ in range(spp):
+                        o, d, _ = self._eye_ray(px, py, *g.random(2))
+                        zs, esc = self._walk(o, d, self._cam_pdf_w(d),
+                                             t - 1, g)
+                        if s == 0:
+                            # camera path escapes to the sky after t-2
+                            # surface vertices
+                            if len(zs) != t - 2 or esc is None:
+                                continue
+                            d_sky = esc["dir"]
+                            xs = [pin] + zs + [None]
+                            pf = self._pf_chain_sky(xs, k, d_sky)
+                            pf[k - 1] = esc["pdf_w"]
+                            pl = self._pl_chain_sky(xs, k, d_sky)
+                            w = self._weight(pf, pl, t, k, True)
+                            acc += esc["beta"] \
+                                * self.r._env_radiance(d_sky) * w
+                            continue
+                        if len(zs) < t - 1:
+                            continue
+                        z = zs[-1]
+                        if s == 1:
+                            # directional NEE toward a sampled env dir
+                            u = g.random(2)
+                            d_sky, pdf_w = self._env_sample(u[0], u[1])
+                            cos_z = float(z["ns"] @ d_sky)
+                            if cos_z <= 0.0:
+                                continue
+                            if self._occluded_far(z["pos"], z["ng"], d_sky):
+                                continue
+                            beta_dir = self.r._env_radiance(d_sky) \
+                                / max(self.pick * pdf_w, 1e-300)
+                            c = (z["beta"] * (z["alb"] / np.pi) * cos_z
+                                 * beta_dir)
+                            xs = [pin] + zs + [None]
+                            pf = self._pf_chain_sky(xs, k, d_sky)
+                            pl = self._pl_chain_sky(xs, k, d_sky)
+                            w = self._weight(pf, pl, t, k, True)
+                            acc += c * w
+                            continue
+                        # s >= 2: inner connection to an env-started
+                        # light subpath
+                        y0, ys = self._sample_light_path_env(s - 1, g)
+                        if len(ys) < s - 1:
+                            continue
+                        yv = ys[-1]
+                        dv = yv["pos"] - z["pos"]
+                        d2 = max(float(dv @ dv), 1e-12)
+                        dist = np.sqrt(d2)
+                        wl = dv / dist
+                        cos_z = float(wl @ z["ns"])
+                        cos_y = float(-wl @ yv["ns"])
+                        if cos_z <= 0 or cos_y <= 1e-6:
+                            continue
+                        if self._occluded(z["pos"], z["ng"], yv["pos"]):
+                            continue
+                        G = abs(cos_z) * abs(cos_y) / d2
+                        c = (z["beta"] * (z["alb"] / np.pi) * G
+                             * (yv["alb"] / np.pi) * yv["beta"])
+                        xs = [pin] + zs + list(reversed(ys)) + [None]
+                        pf = self._pf_chain_sky(xs, k, y0["env_dir"])
+                        pl = self._pl_chain_sky(xs, k, y0["env_dir"])
+                        w = self._weight(pf, pl, t, k, True)
+                        acc += c * w
+                    img[py, px] += acc / spp
+            return img
+
+        # t == 1: env-started light paths splatted to the camera
+        n_paths = int(self.n_splat)
+        for _ in range(spp):
+            for _p in range(n_paths):
+                y0, ys = self._sample_light_path_env(s - 1, g)
+                if len(ys) < s - 1:
+                    continue
+                yv = ys[-1]
+                to_cam = self.cpos - yv["pos"]
+                dist2 = max(float(to_cam @ to_cam), 1e-12)
+                dist = np.sqrt(dist2)
+                w_cam = to_cam / dist
+                pv = self.view[:3, :3] @ yv["pos"] + self.view[:3, 3]
+                zc = -pv[2]
+                if zc <= 1e-4:
+                    continue
+                sx = pv[0] / zc / (self.tan_half * self.W / self.H)
+                sy = pv[1] / zc / self.tan_half
+                qx = int(np.floor((sx + 1.0) * 0.5 * self.W))
+                qy = int(np.floor((1.0 - sy) * 0.5 * self.H))
+                if not (0 <= qx < self.W and 0 <= qy < self.H):
+                    continue
+                cos_x = float(w_cam @ yv["ns"])
+                if cos_x <= 0.0:
+                    continue
+                if self._occluded(yv["pos"], yv["ng"], self.cpos):
+                    continue
+                cos_cam = max(zc / dist, 1e-6)
+                factor = ((self.d_img / cos_cam) ** 2 / cos_cam
+                          * cos_x / dist2)
+                c = yv["beta"] * (yv["alb"] / np.pi) * factor / self.n_splat
+                xs = [pin] + list(reversed(ys)) + [None]
+                pf = self._pf_chain_sky(xs, k, y0["env_dir"])
+                pl = self._pl_chain_sky(xs, k, y0["env_dir"])
+                w = self._weight(pf, pl, 1, k, True)
+                img[qy, qx] += c * w / spp
+        return img
+
     def render_strategy(self, s: int, t: int, spp: int, seed: int = 11):
         """(H, W, 3) float64 image of the MIS-weighted (s, t) strategy:
         t camera vertices (incl. pinhole), s light vertices (incl. the
         light sample y0)."""
         k = s + t
         assert k >= 2 and t >= 1
+        if self.sky_mode:
+            return self._render_strategy_sky(s, t, spp, seed)
         g = np.random.default_rng(seed)
         lnorm = self.lnorm
         img = np.zeros((self.H, self.W, 3))
@@ -921,8 +1182,8 @@ class OracleSBDPT:
             d0 = OracleLT._cosine_about(lnorm, u[0], u[1])
             o0 = y0["pos"] + lnorm * 1e-4
             # beta after leaving: Le/(pick/area) * cos/pdf_w = that * pi
-            ys = self._walk(o0, d0, max(float(d0 @ lnorm), 1e-9) / np.pi,
-                            n_surf, g)
+            ys, _ = self._walk(o0, d0, max(float(d0 @ lnorm), 1e-9) / np.pi,
+                               n_surf, g)
             for y in ys:
                 y["beta"] = y["beta"] * y0["beta"] * np.pi
             return y0, ys
@@ -935,7 +1196,8 @@ class OracleSBDPT:
                 for _ in range(spp):
                     if t >= 2:
                         o, d, _ = self._eye_ray(px, py, *g.random(2))
-                        zs = self._walk(o, d, self._cam_pdf_w(d), t - 1, g)
+                        zs, _ = self._walk(o, d, self._cam_pdf_w(d),
+                                           t - 1, g)
                         if len(zs) < t - 1:
                             continue
                         z = zs[-1]
@@ -1103,8 +1365,8 @@ class OracleMMLT:
         px = min(int(fx), W - 1)
         py = min(int(fy), H - 1)
         co, cd, _ = o._eye_ray(px, py, fx - px, fy - py)
-        zs = o._walk(co, cd, o._cam_pdf_w(cd), k - 1,
-                     _SeqU(u[2:2 + 2 * (k - 1)]))
+        zs, _ = o._walk(co, cd, o._cam_pdf_w(cd), k - 1,
+                        _SeqU(u[2:2 + 2 * (k - 1)]))
         lb = 2 + 2 * (k - 1)
         y0 = o._light_y0(float(u[lb]), float(u[lb + 1]))
         y0p = y0["pos"]
@@ -1112,9 +1374,9 @@ class OracleMMLT:
         if k >= 3:
             d0 = OracleLT._cosine_about(self.lnorm, float(u[lb + 2]),
                                         float(u[lb + 3]))
-            ys = o._walk(y0p + self.lnorm * 1e-4, d0,
-                         max(float(d0 @ self.lnorm), 1e-9) / np.pi,
-                         k - 2, _SeqU(u[lb + 4:]))
+            ys, _ = o._walk(y0p + self.lnorm * 1e-4, d0,
+                            max(float(d0 @ self.lnorm), 1e-9) / np.pi,
+                            k - 2, _SeqU(u[lb + 4:]))
             for y in ys:
                 y["beta"] = y["beta"] * y0["beta"] * np.pi
         pin = dict(pos=o.cpos)
