@@ -83,31 +83,24 @@ def _kvis_for(kind: str) -> int:
 REFILTER = _os_env.environ.get("HYDRA_CL_REFILTER", "full")
 N_SUB = 8  # tn-cache subgroups per ray block
 
-# subgroup-masked visits: the slab stage also bakes, per cluster, a bitmask
-# of which SUBG-ray subgroups actually need it; each visit then runs the
-# dense MT only on flagged row slices (one scalar mask read + NS branches).
-# Measured dense-work need at 32-ray granularity on bounce-1 wavefronts is
-# 0.27x the block union's (tools/exp_subgroup_divergence.py), concentrated
-# exactly where the dense machine wastes most. 0 = off (whole-block dense).
-SUBG = int(_os_env.environ.get("HYDRA_CL_SUBG", "0"))
-SUBG_BOUNCE = int(_os_env.environ.get("HYDRA_CL_SUBG_BOUNCE", str(SUBG)))
-SUBG_SHADOW = int(_os_env.environ.get("HYDRA_CL_SUBG_SHADOW", str(SUBG)))
-
-
-def _subg_for(kind: str) -> int:
-    return {"bounce": SUBG_BOUNCE, "shadow": SUBG_SHADOW}.get(kind, SUBG)
+# NOTE (r5): subgroup-masked visits (HYDRA_CL_SUBG_*) were built in r4 and
+# DELETED here after the hardware A/B lost decisively: 1.504 (SUBG=32,
+# RBLK 256) / 1.342 (bounce+shadow) vs 1.735 Msamples/s base on test_224
+# @1024^2 d5 — per-cluster pl.when row-slice branches serialize on the
+# scalar core and break the dense pipeline, costing more than the skipped
+# MT work they save (the CPU-model bound of 0.27x dense work,
+# tools/exp_subgroup_divergence.py, does not survive contact with Mosaic).
 
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                  big_mode: bool = False, inst_mode: bool = False,
-                 r_blk: int = 256, subg: int = 0, k_vis: int = K_VISITS):
+                 r_blk: int = 256, k_vis: int = K_VISITS):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
     R_BLK = r_blk  # shadow the module default inside the kernel closure
     M_SUB = max(1024 // R_BLK, 1)
 
-    cheap = REFILTER == "cheap" and not subg
-    NSg = (R_BLK // subg) if subg else 0  # masked-visit subgroups
+    cheap = REFILTER == "cheap"
 
     def kernel(ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref, *rest):
         if inst_mode:
@@ -120,29 +113,25 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             tnm, *big_scratch = big_scratch
         else:
             tnm = None
-        if subg:
-            msk, *big_scratch = big_scratch
-        else:
-            msk = None
         if unroll_sub:  # interpret mode: fori over ref effects miscompiles
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
                                perm_ref, oct_ref, map_ref, imat_ref,
-                               out_ref, outi_ref, cnt, lst, tnm, msk,
+                               out_ref, outi_ref, cnt, lst, tnm,
                                big_scratch)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                            map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                           tnm, msk, big_scratch)
+                           tnm, big_scratch)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                        map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                       tnm, msk, big_scratch):
+                       tnm, big_scratch):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -171,18 +160,6 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                           (1 << (lanes & 15)).astype(jnp.float32), 0.0)
 
         GS = R_BLK // N_SUB  # rays per tn-cache subgroup
-
-        if subg:
-            # subgroup-indicator matrix (R, NSg) and bit weights (1, NSg):
-            # two extra tiny matmuls per slab tile turn the (R, 128) hit
-            # mask into per-cluster subgroup bitmasks the visit loop reads
-            # back as ONE scalar each.
-            rows_r = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, NSg), 0)
-            cols_g = jax.lax.broadcasted_iota(jnp.int32, (R_BLK, NSg), 1)
-            submat = ((rows_r // subg) == cols_g).astype(jnp.float32)
-            gidx = jax.lax.broadcasted_iota(jnp.int32, (NSg, 1), 0)
-            pow2g = (1 << gidx).astype(jnp.float32)  # (NSg, 1) bit weights
-            ones_ns = jnp.ones((NSg, 1), jnp.float32)
 
         def stage_a(t_act, save_tn=False):
             """16-bit occupancy words (in front-to-back lane order) of
@@ -217,26 +194,10 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                         tnm[ct * N_SUB + g:ct * N_SUB + g + 1, :] = jnp.min(
                             tn_m[g * GS:(g + 1) * GS, :], axis=0,
                             keepdims=True)
-                if subg:
-                    c_all = jax.lax.dot_general(
-                        hit.astype(jnp.float32), submat,
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (128, NSg)
-                    gflags = (c_all > 0.0).astype(jnp.float32)
-                    # (Cp, 1) column layout: scalar mask reads need a
-                    # STATIC lane index (dynamic sublane is fine)
-                    mcol = jax.lax.dot_general(
-                        gflags, pow2g, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (128, 1)
-                    msk[s:s + 128, 0:1] = mcol.astype(jnp.int32)
-                    c = jax.lax.dot_general(
-                        gflags, ones_ns, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (128, 1)
-                else:
-                    c = jax.lax.dot_general(
-                        hit.astype(jnp.float32), ones_col,
-                        (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # (128, 1)
+                c = jax.lax.dot_general(
+                    hit.astype(jnp.float32), ones_col,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (128, 1)
                 flags = (c > 0.0).astype(jnp.float32)
                 words = jax.lax.dot_general(
                     packm, flags, (((1,), (0,)), ((), ())),
@@ -314,9 +275,8 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         lane_u = jax.lax.broadcasted_iota(jnp.uint32, (1, 128), 1)
         big = jnp.float32(BIG)
 
-        def _mt_block(blk, t_cur, o6=None):
+        def _mt_block(blk, t_cur):
             """Dense MT over one Woop block -> per-ray packed min-t (R,1).
-            o6 overrides the ray columns with a row slice (subgroup mode).
 
             The Woop transform runs as VPU broadcast FMAs, not MXU matmuls:
             at (R,4)x(4,384) the f32 MXU path costs ~1.6 us/visit while 7
@@ -325,8 +285,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             mantissa bits of t (positive-float bit order == value order), so
             ONE lane reduction replaces the min + eq-select + max pair; the
             exact t is recomputed in the epilogue's gathered MT."""
-            _ox, _oy, _oz, _dx, _dy, _dz = (
-                o6 if o6 is not None else (ox, oy, oz, dx, dy, dz))
+            _ox, _oy, _oz, _dx, _dy, _dz = ox, oy, oz, dx, dy, dz
             bx = blk[0:1]  # (1, 384) broadcast rows
             by = blk[1:2]
             bz = blk[2:3]
@@ -444,83 +403,13 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
             return ptr, lst[Cp], t_cur, slot
 
-        def outer_body_subg(st):
-            """Subgroup-masked visits: per cluster, ONE scalar mask read
-            tells which SUBG-ray row slices can possibly hit it; only those
-            slices run the dense MT (the rest of the block skips). t/slot
-            live in the output refs so pl.when regions can update rows."""
-            ptr, n = st
-            last = jnp.maximum(n - 1, 0)
-            for k in range(k_vis):
-                posk = lst[jnp.minimum(ptr + k, last)]
-                ck = perm_ref[oct_, posk]
-                mck = msk[posk, 0]
-                if inst_mode:
-                    blk = tris_ref[map_ref[0, ck]]
-                    At = imat_ref[map_ref[1, ck]]
-                    blk = jax.lax.dot_general(
-                        At, blk, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                else:
-                    blk = tris_ref[ck]
-                for g in range(NSg):
-                    @pl.when(((mck >> g) & 1) != 0)
-                    def _(g=g, blk=blk, ck=ck):
-                        a, b = g * subg, (g + 1) * subg
-                        o6 = (ox[a:b], oy[a:b], oz[a:b],
-                              dx[a:b], dy[a:b], dz[a:b])
-                        tg = out_ref[m, a:b, 0:1]
-                        tm = _mt_block(blk, tg, o6)
-                        bet = (tm < tg) & (tm < jnp.float32(BIG * 0.5))
-                        sc = jnp.where(
-                            bet, _slot_of(tm, jnp.broadcast_to(
-                                jnp.int32(ck), (subg, 1))),
-                            outi_ref[m, a:b, 0:1])
-                        tn_new = jnp.where(bet, tm, tg)
-                        if any_hit_mode:  # occluded rows retire
-                            tn_new = jnp.where(sc >= 0, jnp.float32(-BIG),
-                                               tn_new)
-                        out_ref[m, a:b, 0:1] = tn_new
-                        outi_ref[m, a:b, 0:1] = sc
-            ptr = jnp.minimum(ptr + k_vis, n)
+        ptr_end, _, t_best, slot = jax.lax.while_loop(
+            lambda st: st[0] < st[1], outer_body,
+            (jnp.int32(0), n0, t0, s0))
 
-            @pl.when(ptr < n)
-            def _():
-                stage_a(out_ref[m, :, 0:1])
-
-                def rbody(j, w):
-                    pos = lst[j]
-                    bit = (cnt[pos >> 4, 0] >> (pos & 15)) & 1
-
-                    @pl.when(bit != 0)
-                    def _(w=w, pos=pos):
-                        lst[w] = pos
-
-                    return w + bit
-
-                lst[Cp] = jax.lax.fori_loop(ptr, n, rbody, ptr)
-
-            @pl.when(ptr >= n)
-            def _():
-                lst[Cp] = n
-
-            return ptr, lst[Cp]
-
-        if subg:
-            out_ref[m, :, 0:1] = t0
-            outi_ref[m, :, 0:1] = s0
-            ptr_end, _ = jax.lax.while_loop(
-                lambda st: st[0] < st[1], outer_body_subg,
-                (jnp.int32(0), n0))
-        else:
-            ptr_end, _, t_best, slot = jax.lax.while_loop(
-                lambda st: st[0] < st[1], outer_body,
-                (jnp.int32(0), n0, t0, s0))
-
-            # column stores (8-way lane concats cost relayouts)
-            out_ref[m, :, 0:1] = t_best
-            outi_ref[m, :, 0:1] = slot
+        # column stores (8-way lane concats cost relayouts)
+        out_ref[m, :, 0:1] = t_best
+        outi_ref[m, :, 0:1] = slot
         # diagnostics: visits performed + initial actives / 1024
         out_ref[m, :, 1:2] = jnp.broadcast_to(
             ptr_end.astype(jnp.float32) + n0.astype(jnp.float32) / 1024.0,
@@ -542,10 +431,10 @@ VMEM_MAX_CP = int(_os.environ.get("HYDRA_VMEM_MAX_CP", "1024"))
 
 
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret", "r_blk",
-                                   "subg", "k_vis"))
+                                   "k_vis"))
 def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
                       any_hit_mode=False, interpret=False, r_blk=None,
-                      subg=0, k_vis=K_VISITS):
+                      k_vis=K_VISITS):
     """rays: (G, r_blk, 8). Returns (t (G,r_blk), slot (G,r_blk), diag).
     cl_map/inst_woop non-None => instanced mode (bvh/instanced.py layout)."""
     R_BLK = r_blk if r_blk is not None else rays.shape[1]
@@ -556,8 +445,6 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     Cp = cbl_oct.shape[2]
     inst = cl_map is not None
     big = Cp > VMEM_MAX_CP and not inst
-    if big:
-        subg = 0  # masked visits need the VMEM-resident triangle pool
     d0 = rays[:, 0, 3:6]  # block octant from its first ray's direction
     oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
@@ -566,13 +453,9 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
         pltpu.SMEM((Cp + 16,), jnp.int32),
     ]
-    if REFILTER == "cheap" and not subg:
+    if REFILTER == "cheap":
         # per-subgroup min slab entry distance, cached by the init sweep
         scratch += [pltpu.VMEM(((Cp // 128) * N_SUB, 128), jnp.float32)]
-    if subg:
-        # per-cluster subgroup bitmasks (column layout: the visit loop's
-        # scalar read indexes a dynamic SUBLANE, static lane 0)
-        scratch += [pltpu.VMEM((max(Cp, 8), 1), jnp.int32)]
     if big:
         # K-deep DMA prefetch ring: one (4,384) tile + one semaphore per
         # visit of an unrolled group (see outer_body)
@@ -590,7 +473,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         ]
     out, outi = pl.pallas_call(
         _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big,
-                     inst_mode=inst, r_blk=R_BLK, subg=subg, k_vis=k_vis),
+                     inst_mode=inst, r_blk=R_BLK, k_vis=k_vis),
         interpret=interpret,
         grid=(G // M_SUB,),
         in_specs=[
@@ -679,24 +562,50 @@ def _is_partitioned(scene) -> bool:
 
 
 def _partitioned_traverse(scene, rays, pool, any_hit_mode, interp,
-                          r_blk=None, subg=0, k_vis=K_VISITS):
+                          r_blk=None, k_vis=K_VISITS):
     """Chain the VMEM kernel over the partition chunks (the reference's
     multi-tree bounce loop, GPUOCLKernels.cpp:424-512). Closest-hit
     threads each chunk's best t into the next chunk's per-ray t_lim so
     later chunks prune against earlier hits; any-hit retires occluded
     lanes between chunks. Slots come back partition-offset
-    (p*Cpp*128 + local), matching the flat slot_tri table."""
+    (p*Cpp*128 + local), matching the flat slot_tri table.
+
+    Per-chunk ray culling (r5): chunks follow the DFS cut order, so each
+    is spatially local — before launching chunk p, rays that cannot hit
+    its AABB inside their current t cap go inactive; whole ray blocks
+    that miss the chunk then take the kernel's all-dead early-out (~1 us
+    instead of a full slab sweep + visit loop). The t-threading makes the
+    cull tighter chunk over chunk."""
     P, Cpp = pool.shape[0], pool.shape[1]
     neg = jnp.float32(-BIG * 0.5)
+    # chunk AABBs from the partitioned lane bounds; padded lanes are 1e30
+    # point boxes and are masked out of the union
+    bl = scene.cl_bounds  # (P, 8, cap)
+    lane_ok = bl[:, 0, :] < 1e29
+    inf_ = jnp.float32(1e30)
+    cmin = jnp.min(jnp.where(lane_ok[:, None, :], bl[:, 0:3, :], inf_), 2)
+    cmax = jnp.max(jnp.where(lane_ok[:, None, :], bl[:, 3:6, :], -inf_), 2)
+    ro = rays[:, :, 0:3]
+    rd = rays[:, :, 3:6]
+    eps = jnp.float32(1e-12)
+    inv = 1.0 / jnp.where(jnp.abs(rd) < eps,
+                          jnp.where(rd < 0, -eps, eps), rd)
     t_best = None
     slot = None
     for p in range(P):
-        t_p, s_p, _ = _cluster_traverse(rays, scene.cl_bounds_oct[p],
+        ta = (cmin[p] - ro) * inv  # (G, R_BLK, 3)
+        tb = (cmax[p] - ro) * inv
+        tn = jnp.max(jnp.minimum(ta, tb), axis=2)
+        tf = jnp.min(jnp.maximum(ta, tb), axis=2)
+        can = (tf >= jnp.maximum(tn, 0.0)) & (tn < rays[:, :, 6])
+        rays_p = rays.at[:, :, 7].set(
+            jnp.where(can, rays[:, :, 7], 0.0))
+        t_p, s_p, _ = _cluster_traverse(rays_p, scene.cl_bounds_oct[p],
                                         pool[p], scene.cl_oct_perm[p],
                                         None, None,
                                         any_hit_mode=any_hit_mode,
                                         interpret=interp, r_blk=r_blk,
-                                        subg=subg, k_vis=k_vis)
+                                        k_vis=k_vis)
         s_p = jnp.where(s_p >= 0, s_p + p * Cpp * 128, -1)
         if slot is None:
             t_best, slot = t_p, s_p
@@ -722,7 +631,6 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
     cl_slot_tri2 — the same gather, CSE'd. kind selects the per-wavefront
     ray-block size (bounce wavefronts are less coherent)."""
     r_blk = _rblk_for(kind)
-    subg = _subg_for(kind)
     k_vis = _kvis_for(kind)
     rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
@@ -730,14 +638,14 @@ def closest_hit(scene, ray_o, ray_d, t_max=1e30, active=None,
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         t, slot = _partitioned_traverse(scene, rays, scene.cl_tris,
                                         any_hit_mode=False, interp=interp,
-                                        r_blk=r_blk, subg=subg, k_vis=k_vis)
+                                        r_blk=r_blk, k_vis=k_vis)
     else:
         t, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct,
                                        scene.cl_tris,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=False,
                                        interpret=interp or INTERPRET,
-                                       r_blk=r_blk, subg=subg, k_vis=k_vis)
+                                       r_blk=r_blk, k_vis=k_vis)
     t = t.reshape(-1)[:R]
     slot = slot.reshape(-1)[:R]
     hit = slot >= 0
@@ -772,7 +680,6 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
     the shadow pool (soft/alpha lanes degenerated at build — see
     scene._build_shadow_split), so alpha surfaces never occlude here."""
     r_blk = _rblk_for("shadow")
-    subg = _subg_for("shadow")
     k_vis = _kvis_for("shadow")
     rays, R = _to_blocks(ray_o, ray_d, t_max, active, r_blk)
     cl_map, iwoop, interp = _scene_inst(scene)
@@ -781,11 +688,11 @@ def any_hit(scene, ray_o, ray_d, t_max, active=None, opaque_only=False):
         interp = INTERPRET or jax.default_backend() not in ("tpu", "axon")
         _, slot = _partitioned_traverse(scene, rays, pool,
                                         any_hit_mode=True, interp=interp,
-                                        r_blk=r_blk, subg=subg, k_vis=k_vis)
+                                        r_blk=r_blk, k_vis=k_vis)
     else:
         _, slot, _ = _cluster_traverse(rays, scene.cl_bounds_oct, pool,
                                        scene.cl_oct_perm, cl_map, iwoop,
                                        any_hit_mode=True,
                                        interpret=interp or INTERPRET,
-                                       r_blk=r_blk, subg=subg, k_vis=k_vis)
+                                       r_blk=r_blk, k_vis=k_vis)
     return slot.reshape(-1)[:R] >= 0
