@@ -16,6 +16,7 @@ All functions take/return (R, ...) batches.
 """
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -75,6 +76,10 @@ class MatParams(NamedTuple):
     # baked normal-map tex_meta row (materials.MA_META_BUMP) — bitcast ints
     # inside: blend combination must SWITCH, never lerp
     bump_meta: jnp.ndarray = None  # (R,12)
+    # normal-map RGB prefetched by _fetch_leaf's stacked channel gather
+    # (rides the same (K*R) heap gather as the color channels); like
+    # bump_meta it must SWITCH at blend combine, never lerp
+    bump_rgb: jnp.ndarray = None  # (R,3)
 
 
 def luminance(c):
@@ -116,7 +121,8 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
     channels read their tex_meta from the BAKED row block (bake_tex_meta) —
     no second gather per channel."""
     from hydracore_tpu.ops.gather import gather_rows
-    from hydracore_tpu.ops.texture import tex_fetch_row
+    from hydracore_tpu.ops.texture import (tex_fetch_row,
+                                           tex_fetch_rows_batch)
     from hydracore_tpu.scene import materials as MC
 
     st = scene.settings
@@ -132,13 +138,38 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
     def coli(c):
         return m[:, c].astype(jnp.int32)
 
-    def tex_rgb(meta_col, has: bool):
-        if not has:
-            return 1.0
-        return tex_fetch_row(scene, m[:, meta_col:meta_col + 12], uv)[:, :3]
+    # ---- stacked channel fetch (HYDRA_TEXFUSE, default OFF): heap-gather
+    # cost on this TPU scales per-ROW, not per-op (tools/exp_gather_fuse.py:
+    # 4 separate (R,16) quad gathers 17.9 ms vs one (4R,16) batch 22.1 ms at
+    # R=256k — the stacked uv/meta concats only add cost). Kept as a knob
+    # for re-pricing; bit-identical either way.
+    fuse_tex = _os.environ.get("HYDRA_TEXFUSE", "0") == "1"
+    chans = []
+    if _gate(st, "has_em_tex"):
+        chans.append(("em", MC.MA_META_EM))
+    if _gate(st, "has_diff_tex"):
+        chans.append(("diff", MC.MA_META_DIFF))
+    if _gate(st, "has_refl_tex"):
+        chans.append(("refl", MC.MA_META_REFL))
+    if _gate(st, "has_alpha"):
+        chans.append(("op", MC.MA_META_OPACITY))
+    if _gate(st, "has_transl") and _gate(st, "has_transl_tex"):
+        chans.append(("transl", MC.MA_META_TRANSL))
+    if fuse_tex and _gate(st, "has_bump"):
+        chans.append(("bump", MC.MA_META_BUMP))
+    if fuse_tex and chans:
+        outs = tex_fetch_rows_batch(scene,
+                                    [m[:, c:c + 12] for _, c in chans], uv)
+        fetched = {nm: o for (nm, _), o in zip(chans, outs)}
+    else:
+        fetched = {nm: tex_fetch_row(scene, m[:, c:c + 12], uv)
+                   for nm, c in chans}
 
-    em = col3(MC.MA_EM) * tex_rgb(MC.MA_META_EM, _gate(st, "has_em_tex"))
-    dc = col3(MC.MA_DIFF) * tex_rgb(MC.MA_META_DIFF, _gate(st, "has_diff_tex"))
+    def tex_rgb(name):
+        return fetched[name][:, :3] if name in fetched else 1.0
+
+    em = col3(MC.MA_EM) * tex_rgb("em")
+    dc = col3(MC.MA_DIFF) * tex_rgb("diff")
     sss_on = _gate(st, "has_sss") if st is not None else False
 
     from hydracore_tpu.ops.proctex import eval_proc_tex, num_proc_tex
@@ -151,17 +182,15 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
                             eval_proc_tex(proc, uv, pos, nn, wo=wo,
                                           args=pargs, scene=scene,
                                           ao=ao), 1.0)
-    rc = col3(MC.MA_REFL) * tex_rgb(MC.MA_META_REFL, _gate(st, "has_refl_tex"))
-    if _gate(st, "has_alpha"):
-        op = tex_fetch_row(scene,
-                           m[:, MC.MA_META_OPACITY:MC.MA_META_OPACITY + 12],
-                           uv)[:, 0]
+    rc = col3(MC.MA_REFL) * tex_rgb("refl")
+    if "op" in fetched:
+        op = fetched["op"][:, 0]
     else:
         op = jnp.ones(uv.shape[0], jnp.float32)
     tg = col(MC.MA_TRANSP_GLOSS)
     tl = col3(MC.MA_TRANSL)
     if _gate(st, "has_transl"):
-        tl = tl * tex_rgb(MC.MA_META_TRANSL, _gate(st, "has_transl_tex"))
+        tl = tl * tex_rgb("transl")
     if sss_on:
         # SSS boundary event as effective lobes (the reference's branch
         # probabilities, CPUExp_IntegratorSSS.cpp:69-97: transmit w.p. T
@@ -205,6 +234,7 @@ def _fetch_leaf(scene, mat_id, uv, pos=None, normal=None, wo=None,
         fog_mult=col(MC.MA_FOG_MULT) if _gate(st, "has_fog") else None,
         bump_meta=(m[:, MC.MA_META_BUMP:MC.MA_META_BUMP + 12]
                    if _gate(st, "has_bump") else None),
+        bump_rgb=(fetched["bump"][:, :3] if "bump" in fetched else None),
     )
 
 
@@ -307,8 +337,10 @@ def fetch_material(scene, mat_id, uv, pos=None, normal=None, wo=None,
     def lerp(name, a, b):
         if a is None or b is None:
             return a if b is None else b
-        if name.endswith("_meta"):  # baked tex rows hold bitcast ints:
-            return jnp.where((w >= 0.5)[:, None], a, b)  # switch, never lerp
+        if name.endswith("_meta") or name == "bump_rgb":
+            # baked tex rows hold bitcast ints; the prefetched bump rgb
+            # must follow its meta: switch, never lerp
+            return jnp.where((w >= 0.5)[:, None], a, b)
         if a.ndim == 2:
             return a * w[:, None] + b * (1.0 - w[:, None])
         if a.dtype in (jnp.int32, jnp.uint32):
@@ -328,7 +360,10 @@ def apply_bump(scene, p: MatParams, n, tang, uv):
     if not _gate(scene.settings, "has_bump"):
         return n
     has = p.bump_tex > 0
-    nm = tex_fetch_row(scene, p.bump_meta, uv)[:, :3] * 2.0 - 1.0
+    if p.bump_rgb is not None:  # prefetched by _fetch_leaf's stacked gather
+        nm = p.bump_rgb * 2.0 - 1.0
+    else:
+        nm = tex_fetch_row(scene, p.bump_meta, uv)[:, :3] * 2.0 - 1.0
     t = normalize3(tang - dot3(tang, n)[:, None] * n)
     b = jnp.stack(
         [

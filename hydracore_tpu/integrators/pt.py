@@ -79,6 +79,21 @@ def mis_weight(a, b):
     return jnp.where(a2 + b * b > 0.0, a2 / (a2 + b * b), 0.0)
 
 
+def permute_rows_exact(packed, perm):
+    """Row-permute a (R, C) f32 matrix through a bf16-BIT-PAIR gather:
+    bitcast every f32 lane to two bf16 lanes (pure bit movement — exact
+    round-trip for every bit pattern incl. bitcast ints), gather the
+    (R, 2C) bf16 rows, bitcast back. Half the bytes of the f32 row gather:
+    2.96 -> 0.96 ms per 256k x 17 permute (tools/exp_gather_fuse.py,
+    HYDRA_PERM_BF16=0 falls back to the plain gather)."""
+    if _os.environ.get("HYDRA_PERM_BF16", "1") != "1":
+        return packed[perm]
+    R, C = packed.shape
+    b = jax.lax.bitcast_convert_type(packed, jnp.bfloat16).reshape(R, 2 * C)
+    return jax.lax.bitcast_convert_type(
+        b[perm].reshape(R, C, 2), jnp.float32)
+
+
 MAX_ALPHA_SHADOW_STEPS = 2  # transparent layers a shadow ray may cross
 
 AO_PROBES = 4  # hemisphere probes per hit (MakeAORaysPacked4 analogue)
@@ -413,7 +428,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 alive.astype(f32)[:, None],
                 jax.lax.bitcast_convert_type(sidx, f32)[:, None],
                 jax.lax.bitcast_convert_type(orig_pos, f32)[:, None],
-            ], axis=1)[perm]
+            ], axis=1)
+            packed = permute_rows_exact(packed, perm)
             ray_o, ray_d = packed[:, 0:3], packed[:, 3:6]
             throughput, acc = packed[:, 6:9], packed[:, 9:12]
             prev_pdf = packed[:, 12]
@@ -426,13 +442,14 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
             if has_sss:  # medium state rides the same permute
                 med = jnp.concatenate([
                     in_med.astype(f32)[:, None], med_sig_s[:, None],
-                    med_sig_a, med_g[:, None]], axis=1)[perm]
+                    med_sig_a, med_g[:, None]], axis=1)
+                med = permute_rows_exact(med, perm)
                 in_med = med[:, 0] > 0.5
                 med_sig_s = med[:, 1]
                 med_sig_a = med[:, 2:5]
                 med_g = med[:, 5]
             if has_fog:
-                fog_state = fog_state[perm]
+                fog_state = permute_rows_exact(fog_state, perm)
             if not pt_caustics:
                 diff_bounce = diff_bounce[perm]
             if layer != "color":
@@ -441,7 +458,8 @@ def pt_trace_impl(scene, ray_o, ray_d, rand_fn, max_depth: int = 5, min_rr_depth
                 po, pd, pdist, pcontrib, pmask = pend
                 pp = jnp.concatenate([
                     po, pd, pdist[:, None], pcontrib,
-                    pmask.astype(f32)[:, None]], axis=1)[perm]
+                    pmask.astype(f32)[:, None]], axis=1)
+                pp = permute_rows_exact(pp, perm)
                 pend = (pp[:, 0:3], pp[:, 3:6], pp[:, 6], pp[:, 7:10],
                         pp[:, 10] > 0.5)
 

@@ -81,6 +81,22 @@ def tex_fetch_row(scene, row, uv, apply_gamma: bool = False):
     return sample_tex_row(scene.texels, row, uv, apply_gamma)
 
 
+def tex_fetch_rows_batch(scene, rows_list, uv, apply_gamma: bool = False):
+    """K channel fetches at the SAME uv through ONE stacked heap gather.
+
+    The per-channel fetches of a material (em/diff/refl/opacity/bump) each
+    cost one serialized heap gather; stacking their (R,12) meta rows into a
+    (K*R,12) batch turns K gather ops into one (K*R)-row op. Bit-identical
+    to K separate tex_fetch_row calls — same code path, batched."""
+    if len(rows_list) == 1:
+        return [tex_fetch_row(scene, rows_list[0], uv, apply_gamma)]
+    rows = jnp.concatenate(rows_list, axis=0)
+    uvk = jnp.concatenate([uv] * len(rows_list), axis=0)
+    out = tex_fetch_row(scene, rows, uvk, apply_gamma)
+    R = uv.shape[0]
+    return [out[i * R:(i + 1) * R] for i in range(len(rows_list))]
+
+
 def tex_fetch(scene, tex_id, uv, apply_gamma: bool = False):
     """Bilinear fetch by texture slot id through the baked tex_meta rows."""
     return tex_fetch_row(scene, scene.tex_meta[tex_id], uv, apply_gamma)

@@ -83,6 +83,16 @@ def _kvis_for(kind: str) -> int:
 REFILTER = _os_env.environ.get("HYDRA_CL_REFILTER", "full")
 N_SUB = 8  # tn-cache subgroups per ray block
 
+# cluster iteration flavor (HYDRA_CL_POP, default on): "pop" iterates the
+# occupancy words directly — copy them to SMEM once per sweep (NW ~40-cycle
+# VMEM reads, the same count the list compaction already paid) and pop the
+# lowest set bit per visit (~10 scalar ops). The r4 list machinery instead
+# re-SCANNED O(Cp) per sweep: a 16-iteration bit loop per nonzero word at
+# init (cbody) plus one 40-cycle cnt read PER remaining list entry at every
+# refilter (rbody) — several us of scalar work per live block that the
+# front-to-back bit order makes unnecessary (bit position IS visit order).
+POP_ITER = _os_env.environ.get("HYDRA_CL_POP", "1") == "1"
+
 # NOTE (r5): subgroup-masked visits (HYDRA_CL_SUBG_*) were built in r4 and
 # DELETED here after the hardware A/B lost decisively: 1.504 (SUBG=32,
 # RBLK 256) / 1.342 (bounce+shadow) vs 1.735 Msamples/s base on test_224
@@ -108,7 +118,12 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             rest = rest[2:]
         else:
             map_ref = imat_ref = None
-        out_ref, outi_ref, cnt, lst, *big_scratch = rest
+        if POP_ITER:
+            out_ref, outi_ref, cnt, aw, vis, *big_scratch = rest
+            lst = None
+        else:
+            out_ref, outi_ref, cnt, lst, *big_scratch = rest
+            aw = vis = None
         if cheap:
             tnm, *big_scratch = big_scratch
         else:
@@ -117,21 +132,21 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
                                perm_ref, oct_ref, map_ref, imat_ref,
-                               out_ref, outi_ref, cnt, lst, tnm,
+                               out_ref, outi_ref, cnt, lst, aw, vis, tnm,
                                big_scratch)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                            map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                           tnm, big_scratch)
+                           aw, vis, tnm, big_scratch)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                        map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                       tnm, big_scratch):
+                       aw, vis, tnm, big_scratch):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -161,11 +176,12 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
         GS = R_BLK // N_SUB  # rays per tn-cache subgroup
 
-        def stage_a(t_act, save_tn=False):
+        def stage_a(t_act, save_tn=False, save_n0=False):
             """16-bit occupancy words (in front-to-back lane order) of
             clusters whose slab interval beats some ray's t_act. With
             save_tn, also caches per-subgroup min entry distance for the
-            cheap refilter."""
+            cheap refilter; with save_n0, per-tile active-cluster counts
+            land in cnt rows NW.. (diagnostics)."""
             for ct in range(CT):
                 s = ct * 128
                 bxm = cblo_ref[oct_, 0:1, s:s + 128]
@@ -203,6 +219,9 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                     packm, flags, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (8, 1)
                 cnt[ct * 8:ct * 8 + 8, 0:1] = words.astype(jnp.int32)
+                if save_n0:
+                    cnt[NW + ct:NW + ct + 1, 0:1] = jnp.sum(
+                        flags, axis=0, keepdims=True).astype(jnp.int32)
 
         ones_sub = jnp.ones((N_SUB, 1), jnp.float32)
 
@@ -231,44 +250,113 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         t0 = jnp.where(act, jnp.minimum(t_lim, jnp.float32(BIG)),
                        jnp.float32(-BIG))
 
-        # ---- initial compaction: bit-scan words into the SMEM list ----
-        def cbody(w, n):
-            word = cnt[w, 0]
-
-            @pl.when(word != 0)
-            def _():
-                def bbody(b, m):
-                    bit = (word >> b) & 1
-
-                    @pl.when(bit != 0)
-                    def _(m=m, b=b):
-                        lst[m] = w * 16 + b
-
-                    return m + bit
-
-                lst[Cp] = jax.lax.fori_loop(0, 16, bbody, n)
-
-            @pl.when(word == 0)
-            def _():
-                lst[Cp] = n
-
-            return lst[Cp]
-
         # all-dead blocks (sorted wavefronts pack dead lanes into whole
         # blocks) skip the slab sweep + compaction entirely: ~6 us floor
         # -> ~1 us, a real win at late bounces where most lanes are dead
         any_act = jnp.max(rays[:, 7]) > 0.0
 
-        @pl.when(any_act)
-        def _():
-            stage_a(t0, save_tn=cheap)
-            jax.lax.fori_loop(0, NW, cbody, jnp.int32(0))
+        if POP_ITER:
+            # ---- bit-pop iteration (no compaction lists): copy the sweep's
+            # occupancy words into SMEM once (NW dynamic VMEM reads — the
+            # same count cbody paid), then take visits by popping the lowest
+            # set bit (bit position IS front-to-back order). Refilters AND
+            # fresh words against the visited mask; sweeps are monotone
+            # subsets (t only decreases), so the word cursor never rewinds.
+            def _load_words(first: bool):
+                for w in range(NW):
+                    word = cnt[w, 0]
+                    if first:
+                        aw[w] = word
+                        vis[w] = 0
+                    else:
+                        aw[w] = word & (~vis[w])
 
-        @pl.when(jnp.logical_not(any_act))
-        def _():
-            lst[Cp] = jnp.int32(0)
+            def _skip(w):
+                """Advance the cursor past empty words (cond is ref-free;
+                the carried word value is re-read in the body)."""
+                def cond(s):
+                    w_, word = s
+                    return jnp.logical_and(w_ < NW, word == 0)
 
-        n0 = lst[Cp]
+                def body(s):
+                    w_, _ = s
+                    w_ = w_ + 1
+                    return w_, aw[jnp.minimum(w_, NW - 1)]
+
+                w_, _ = jax.lax.while_loop(
+                    cond, body, (w, aw[jnp.minimum(w, NW - 1)]))
+                return w_
+
+            def _pop(w, fallback_pos):
+                """w points at a nonzero word (or NW). Returns
+                (front-to-back position, advanced cursor, ok)."""
+                ok = w < NW
+                wc = jnp.minimum(w, NW - 1)
+                word = aw[wc]
+                low = word & (0 - word)
+
+                @pl.when(ok)
+                def _():
+                    aw[wc] = word - low
+                    vis[wc] = vis[wc] | low
+
+                # bit index from the f32 exponent of the isolated bit
+                b = (jax.lax.bitcast_convert_type(
+                    low.astype(jnp.float32), jnp.int32) >> 23) - 127
+                pos = jnp.where(ok, w * 16 + b, fallback_pos)
+                return pos, _skip(w), ok
+
+            @pl.when(any_act)
+            def _():
+                stage_a(t0, save_tn=cheap, save_n0=True)
+                _load_words(True)
+
+            @pl.when(jnp.logical_not(any_act))
+            def _():
+                for w in range(NW):
+                    aw[w] = 0
+                for ct in range(CT):
+                    cnt[NW + ct:NW + ct + 1, 0:1] = jnp.zeros((1, 1),
+                                                              jnp.int32)
+
+            w0 = _skip(jnp.int32(0))
+            n0 = jnp.int32(0)
+            for ct in range(CT):
+                n0 = n0 + cnt[NW + ct, 0]
+        else:
+            # ---- initial compaction: bit-scan words into the SMEM list ----
+            def cbody(w, n):
+                word = cnt[w, 0]
+
+                @pl.when(word != 0)
+                def _():
+                    def bbody(b, m):
+                        bit = (word >> b) & 1
+
+                        @pl.when(bit != 0)
+                        def _(m=m, b=b):
+                            lst[m] = w * 16 + b
+
+                        return m + bit
+
+                    lst[Cp] = jax.lax.fori_loop(0, 16, bbody, n)
+
+                @pl.when(word == 0)
+                def _():
+                    lst[Cp] = n
+
+                return lst[Cp]
+
+            @pl.when(any_act)
+            def _():
+                stage_a(t0, save_tn=cheap)
+                jax.lax.fori_loop(0, NW, cbody, jnp.int32(0))
+
+            @pl.when(jnp.logical_not(any_act))
+            def _():
+                lst[Cp] = jnp.int32(0)
+
+            n0 = lst[Cp]
 
 
         # ---- visit loop with periodic refilter ----
@@ -332,6 +420,59 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             lane = (jax.lax.bitcast_convert_type(tp, jnp.uint32)
                     & jnp.uint32(0x7F)).astype(jnp.int32)
             return c * 128 + lane
+
+        def outer_body_pop(st):
+            w, t_cur, slot, nvis = st
+            # pop one UNROLLED group of k_vis positions up front (the big
+            # mode needs the whole group's ids to keep its DMAs in flight);
+            # exhausted pops fall back to the previous id — an idempotent
+            # re-visit the min-fold makes harmless
+            p0, w, _ = _pop(w, jnp.int32(0))
+            poss = [p0]
+            for k in range(1, k_vis):
+                pk, w, _ = _pop(w, poss[-1])
+                poss.append(pk)
+            if big_mode:
+                tbuf, dsem = big_scratch
+                cks = []
+                for k in range(k_vis):
+                    ck = perm_ref[oct_, poss[k]]
+                    pltpu.make_async_copy(tris_ref.at[ck], tbuf.at[k],
+                                          dsem.at[k]).start()
+                    cks.append(ck)
+
+                def visit_k(k, t_cur):
+                    pltpu.make_async_copy(tris_ref.at[cks[k]], tbuf.at[k],
+                                          dsem.at[k]).wait()
+                    return _mt_block(tbuf[k], t_cur), cks[k]
+            else:
+                def visit_k(k, t_cur):
+                    return visit_tm(poss[k], t_cur)
+
+            tg, cg = visit_k(0, t_cur)
+            sg = jnp.broadcast_to(jnp.int32(cg), (R_BLK, 1))
+            for k in range(1, k_vis):
+                tk, ck = visit_k(k, t_cur)
+                bet = tk < tg
+                sg = jnp.where(bet, ck, sg)
+                tg = jnp.where(bet, tk, tg)
+            better = (tg < t_cur) & (tg < jnp.float32(BIG * 0.5))
+            t_cur = jnp.where(better, tg, t_cur)
+            slot = jnp.where(better, _slot_of(tg, sg), slot)
+            if any_hit_mode:
+                t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
+            nvis = nvis + k_vis
+
+            @pl.when(w < NW)
+            def _():
+                if cheap:
+                    refilter_cheap(t_cur)
+                else:
+                    stage_a(t_cur)
+                _load_words(False)
+
+            w = _skip(w)  # refilter may have emptied the cursor's word
+            return w, t_cur, slot, nvis
 
         def outer_body(st):
             ptr, n, t_cur, slot = st
@@ -403,16 +544,21 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
             return ptr, lst[Cp], t_cur, slot
 
-        ptr_end, _, t_best, slot = jax.lax.while_loop(
-            lambda st: st[0] < st[1], outer_body,
-            (jnp.int32(0), n0, t0, s0))
+        if POP_ITER:
+            _, t_best, slot, nvis_end = jax.lax.while_loop(
+                lambda st: st[0] < NW, outer_body_pop,
+                (w0, t0, s0, jnp.int32(0)))
+        else:
+            nvis_end, _, t_best, slot = jax.lax.while_loop(
+                lambda st: st[0] < st[1], outer_body,
+                (jnp.int32(0), n0, t0, s0))
 
         # column stores (8-way lane concats cost relayouts)
         out_ref[m, :, 0:1] = t_best
         outi_ref[m, :, 0:1] = slot
         # diagnostics: visits performed + initial actives / 1024
         out_ref[m, :, 1:2] = jnp.broadcast_to(
-            ptr_end.astype(jnp.float32) + n0.astype(jnp.float32) / 1024.0,
+            nvis_end.astype(jnp.float32) + n0.astype(jnp.float32) / 1024.0,
             (R_BLK, 1))
 
     return kernel
@@ -449,10 +595,19 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
             + 4 * (d0[:, 2] > 0).astype(jnp.int32))
-    scratch = [
-        pltpu.VMEM((max(Cp // 16, 8), 8), jnp.int32),
-        pltpu.SMEM((Cp + 16,), jnp.int32),
-    ]
+    NW = max(Cp // 16, 8)
+    if POP_ITER:
+        scratch = [
+            # occupancy words + CT per-tile n0 count cells
+            pltpu.VMEM((NW + max(Cp // 128, 1), 8), jnp.int32),
+            pltpu.SMEM((NW,), jnp.int32),  # active words (SMEM copy)
+            pltpu.SMEM((NW,), jnp.int32),  # visited-bit mask
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((NW, 8), jnp.int32),
+            pltpu.SMEM((Cp + 16,), jnp.int32),
+        ]
     if REFILTER == "cheap":
         # per-subgroup min slab entry distance, cached by the init sweep
         scratch += [pltpu.VMEM(((Cp // 128) * N_SUB, 128), jnp.float32)]
