@@ -342,7 +342,6 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         ns = jnp.where(dot3(n, -ray_d)[:, None] >= 0.0, n, -n)
         ngs = jnp.where(dot3(ng, -ray_d)[:, None] >= 0.0, ng, -ng)
         ls = sample_light_rev(scene, l_idx, r_l[:, :3], pos, rows=rows_nee)
-        rays = rays + alive.sum()
         sray_o = offs_ray_pos(pos, ngs, ls.dir)
         f, pdf_fwd = eval_bsdf(p, -ray_d, ls.dir, ns, feats)
         cos_s = jnp.abs(dot3(ls.dir, ns))
@@ -351,17 +350,22 @@ def render_passes_regen(scene, pass_base, seed, n_pass: int = 8,
         contrib = tp * f * ls.radiance * (
             cos_s * w_l / jnp.maximum(ls.pdf_w * ls.pick_prob, 1e-12))[:, None]
         ok = alive & (cos_s > 0.0) & ~passthru & ~scat
+        # zero-contribution lanes need no occlusion query (pt.py's r4
+        # shadow-ray drop — keeps the two schedules' ray counters equal)
+        need_sh = ok & (contrib.max(axis=-1) > 0.0)
+        rays = rays + need_sh.sum()
         if fuse:
             # defer: the occlusion query joins the NEXT body's dispatch
             pend = jnp.concatenate([
                 sray_o, ls.dir, ls.dist[:, None],
-                jnp.where(ok[:, None], contrib, 0.0)], axis=1)
-            pend_m = alive
+                jnp.where(need_sh[:, None], contrib, 0.0)], axis=1)
+            pend_m = need_sh
         else:
             u_sh = (r_l[:, 0] * 16777216.0).astype(jnp.uint32)
-            occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, alive,
+            occluded = shadow_trace(scene, sray_o, ls.dir, ls.dist, need_sh,
                                     u_sh, has_alpha, presorted=sorted_mode)
-            acc = acc + jnp.where((ok & ~occluded)[:, None], contrib, 0.0)
+            acc = acc + jnp.where((need_sh & ~occluded)[:, None], contrib,
+                                  0.0)
 
         r_b = rand_fn(sidx, depth, DG_BSDF)
         bs = sample_bsdf(p, -ray_d, ns, r_b, feats)

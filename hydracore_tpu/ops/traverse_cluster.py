@@ -119,8 +119,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         else:
             map_ref = imat_ref = None
         if POP_ITER:
-            out_ref, outi_ref, cnt, aw, vis, *big_scratch = rest
-            lst = None
+            out_ref, outi_ref, cnt, lst, aw, vis, *big_scratch = rest
         else:
             out_ref, outi_ref, cnt, lst, *big_scratch = rest
             aw = vis = None
@@ -176,12 +175,11 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
         GS = R_BLK // N_SUB  # rays per tn-cache subgroup
 
-        def stage_a(t_act, save_tn=False, save_n0=False):
+        def stage_a(t_act, save_tn=False):
             """16-bit occupancy words (in front-to-back lane order) of
             clusters whose slab interval beats some ray's t_act. With
             save_tn, also caches per-subgroup min entry distance for the
-            cheap refilter; with save_n0, per-tile active-cluster counts
-            land in cnt rows NW.. (diagnostics)."""
+            cheap refilter."""
             for ct in range(CT):
                 s = ct * 128
                 bxm = cblo_ref[oct_, 0:1, s:s + 128]
@@ -219,9 +217,6 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                     packm, flags, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)  # (8, 1)
                 cnt[ct * 8:ct * 8 + 8, 0:1] = words.astype(jnp.int32)
-                if save_n0:
-                    cnt[NW + ct:NW + ct + 1, 0:1] = jnp.sum(
-                        flags, axis=0, keepdims=True).astype(jnp.int32)
 
         ones_sub = jnp.ones((N_SUB, 1), jnp.float32)
 
@@ -256,12 +251,20 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         any_act = jnp.max(rays[:, 7]) > 0.0
 
         if POP_ITER:
-            # ---- bit-pop iteration (no compaction lists): copy the sweep's
-            # occupancy words into SMEM once (NW dynamic VMEM reads — the
-            # same count cbody paid), then take visits by popping the lowest
-            # set bit (bit position IS front-to-back order). Refilters AND
-            # fresh words against the visited mask; sweeps are monotone
-            # subsets (t only decreases), so the word cursor never rewinds.
+            # ---- pop-built visit list: copy the sweep's occupancy words
+            # into SMEM once (NW dynamic VMEM reads — the same count the
+            # r4 scan paid), then build/rebuild the front-to-back list by
+            # popping the lowest set bit per entry (~8 scalar ops) in ONE
+            # while loop. Kills the 16-iteration bit scan per word at init
+            # (cbody) and the ~40-cycle cnt VMEM read per surviving entry
+            # at every refilter (rbody). Visited bits are marked at VISIT
+            # time and ANDed out of refiltered words; refilter sweeps are
+            # monotone subsets of the initial sweep (t only decreases), so
+            # rebuild = exactly the surviving tail, in the same order —
+            # bit-identical to the r4 list machinery. (A per-visit pop
+            # variant with a word-cursor while loop per pop blew Mosaic
+            # compile time past 20 min; one rebuild loop per sweep keeps
+            # the r4 control-flow shape.)
             def _load_words(first: bool):
                 for w in range(NW):
                     word = cnt[w, 0]
@@ -271,58 +274,44 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
                     else:
                         aw[w] = word & (~vis[w])
 
-            def _skip(w):
-                """Advance the cursor past empty words (cond is ref-free;
-                the carried word value is re-read in the body)."""
-                def cond(s):
-                    w_, word = s
-                    return jnp.logical_and(w_ < NW, word == 0)
-
+            def _rebuild(m0):
+                """Pop every remaining bit of aw into lst[m0:], front to
+                back; leaves the new list length in lst[Cp]."""
                 def body(s):
-                    w_, _ = s
-                    w_ = w_ + 1
-                    return w_, aw[jnp.minimum(w_, NW - 1)]
+                    w, m = s
+                    word = aw[w]
+                    nz = word != 0
 
-                w_, _ = jax.lax.while_loop(
-                    cond, body, (w, aw[jnp.minimum(w, NW - 1)]))
-                return w_
+                    @pl.when(nz)
+                    def _(w=w, m=m, word=word):
+                        low = word & (0 - word)
+                        aw[w] = word - low
+                        # bit index of the isolated bit, branchless over
+                        # its 4 index bits (no SCALAR bitcast in Mosaic —
+                        # the f32 exponent trick only lowers for vectors)
+                        b = ((low & 0xAAAA) != 0).astype(jnp.int32) \
+                            + 2 * ((low & 0xCCCC) != 0).astype(jnp.int32) \
+                            + 4 * ((low & 0xF0F0) != 0).astype(jnp.int32) \
+                            + 8 * ((low & 0xFF00) != 0).astype(jnp.int32)
+                        lst[m] = w * 16 + b
 
-            def _pop(w, fallback_pos):
-                """w points at a nonzero word (or NW). Returns
-                (front-to-back position, advanced cursor, ok)."""
-                ok = w < NW
-                wc = jnp.minimum(w, NW - 1)
-                word = aw[wc]
-                low = word & (0 - word)
+                    return jnp.where(nz, w, w + 1), m + nz.astype(jnp.int32)
 
-                @pl.when(ok)
-                def _():
-                    aw[wc] = word - low
-                    vis[wc] = vis[wc] | low
-
-                # bit index from the f32 exponent of the isolated bit
-                b = (jax.lax.bitcast_convert_type(
-                    low.astype(jnp.float32), jnp.int32) >> 23) - 127
-                pos = jnp.where(ok, w * 16 + b, fallback_pos)
-                return pos, _skip(w), ok
+                _, m_e = jax.lax.while_loop(lambda s: s[0] < NW, body,
+                                            (jnp.int32(0), m0))
+                lst[Cp] = m_e
 
             @pl.when(any_act)
             def _():
-                stage_a(t0, save_tn=cheap, save_n0=True)
+                stage_a(t0, save_tn=cheap)
                 _load_words(True)
+                _rebuild(jnp.int32(0))
 
             @pl.when(jnp.logical_not(any_act))
             def _():
-                for w in range(NW):
-                    aw[w] = 0
-                for ct in range(CT):
-                    cnt[NW + ct:NW + ct + 1, 0:1] = jnp.zeros((1, 1),
-                                                              jnp.int32)
+                lst[Cp] = jnp.int32(0)
 
-            w0 = _skip(jnp.int32(0))
-            n0 = jnp.int32(0)
-            for ct in range(CT):
-                n0 = n0 + cnt[NW + ct, 0]
+            n0 = lst[Cp]
         else:
             # ---- initial compaction: bit-scan words into the SMEM list ----
             def cbody(w, n):
@@ -422,16 +411,15 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             return c * 128 + lane
 
         def outer_body_pop(st):
-            w, t_cur, slot, nvis = st
-            # pop one UNROLLED group of k_vis positions up front (the big
-            # mode needs the whole group's ids to keep its DMAs in flight);
-            # exhausted pops fall back to the previous id — an idempotent
-            # re-visit the min-fold makes harmless
-            p0, w, _ = _pop(w, jnp.int32(0))
-            poss = [p0]
-            for k in range(1, k_vis):
-                pk, w, _ = _pop(w, poss[-1])
-                poss.append(pk)
+            ptr, n, t_cur, slot = st
+            # one UNROLLED group of k_vis list reads (clamped re-visits are
+            # idempotent under the min-fold); mark the group visited so the
+            # next rebuild excludes it
+            last = jnp.maximum(n - 1, 0)
+            poss = [lst[jnp.minimum(ptr + k, last)] for k in range(k_vis)]
+            for p_ in poss:
+                vis[p_ >> 4] = vis[p_ >> 4] | jnp.left_shift(
+                    jnp.int32(1), p_ & 15)
             if big_mode:
                 tbuf, dsem = big_scratch
                 cks = []
@@ -461,18 +449,22 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             slot = jnp.where(better, _slot_of(tg, sg), slot)
             if any_hit_mode:
                 t_cur = jnp.where(slot >= 0, jnp.float32(-BIG), t_cur)
-            nvis = nvis + k_vis
+            ptr = jnp.minimum(ptr + k_vis, n)
 
-            @pl.when(w < NW)
+            @pl.when(ptr < n)
             def _():
                 if cheap:
                     refilter_cheap(t_cur)
                 else:
                     stage_a(t_cur)
                 _load_words(False)
+                _rebuild(ptr)
 
-            w = _skip(w)  # refilter may have emptied the cursor's word
-            return w, t_cur, slot, nvis
+            @pl.when(ptr >= n)
+            def _():
+                lst[Cp] = n
+
+            return ptr, lst[Cp], t_cur, slot
 
         def outer_body(st):
             ptr, n, t_cur, slot = st
@@ -544,14 +536,10 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 
             return ptr, lst[Cp], t_cur, slot
 
-        if POP_ITER:
-            _, t_best, slot, nvis_end = jax.lax.while_loop(
-                lambda st: st[0] < NW, outer_body_pop,
-                (w0, t0, s0, jnp.int32(0)))
-        else:
-            nvis_end, _, t_best, slot = jax.lax.while_loop(
-                lambda st: st[0] < st[1], outer_body,
-                (jnp.int32(0), n0, t0, s0))
+        nvis_end, _, t_best, slot = jax.lax.while_loop(
+            lambda st: st[0] < st[1],
+            outer_body_pop if POP_ITER else outer_body,
+            (jnp.int32(0), n0, t0, s0))
 
         # column stores (8-way lane concats cost relayouts)
         out_ref[m, :, 0:1] = t_best
@@ -596,17 +584,14 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
             + 4 * (d0[:, 2] > 0).astype(jnp.int32))
     NW = max(Cp // 16, 8)
+    scratch = [
+        pltpu.VMEM((NW, 8), jnp.int32),
+        pltpu.SMEM((Cp + 16,), jnp.int32),
+    ]
     if POP_ITER:
-        scratch = [
-            # occupancy words + CT per-tile n0 count cells
-            pltpu.VMEM((NW + max(Cp // 128, 1), 8), jnp.int32),
+        scratch += [
             pltpu.SMEM((NW,), jnp.int32),  # active words (SMEM copy)
             pltpu.SMEM((NW,), jnp.int32),  # visited-bit mask
-        ]
-    else:
-        scratch = [
-            pltpu.VMEM((NW, 8), jnp.int32),
-            pltpu.SMEM((Cp + 16,), jnp.int32),
         ]
     if REFILTER == "cheap":
         # per-subgroup min slab entry distance, cached by the init sweep
