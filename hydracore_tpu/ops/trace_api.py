@@ -22,11 +22,12 @@ import os as _os
 # packet-kernel pools must fit VMEM next to ray blocks and outputs
 _PKT_VMEM_BUDGET = 12 * 1024 * 1024
 # cluster path cap == the VMEM-resident pool limit (Cp clusters x 6 KiB
-# Woop block; 1024 -> 6 MiB; a v5e has 128 MiB VMEM so there is headroom
-# to raise this — HYDRA_CL_MAX_CP overrides for hardware A/B). The
-# HBM-streaming big mode (traverse_cluster VMEM_MAX_CP < Cp) was reworked
-# round 3 (K-deep DMA prefetch ring, SMEM perm) after faulting hardware in
-# r2; it still needs a hardware validation pass before un-gating.
+# Woop block; 1024 -> 6 MiB; HYDRA_CL_MAX_CP overrides for hardware A/B).
+# Scenes past the cap build the partitioned chunk layout at scene compile
+# (bvh/clusters.py partition_clusters) and chain the kernel over chunks.
+# The alternative HBM-streaming big mode was deleted in r5 after losing
+# its hardware A/B to the chain (0.7 vs 1.2 Mrays/s on Benchmark_Scene03;
+# see traverse_cluster.py NOTE).
 _CL_MAX_CP = int(_os.environ.get("HYDRA_CL_MAX_CP", "1024"))
 
 

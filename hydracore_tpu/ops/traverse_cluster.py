@@ -56,9 +56,10 @@ R_BLK_SHADOW = int(_os_env.environ.get("HYDRA_CL_RBLK_SHADOW", str(R_BLK)))
 def _rblk_for(kind: str) -> int:
     return {"bounce": R_BLK_BOUNCE, "shadow": R_BLK_SHADOW}.get(kind, R_BLK)
 BIG = 3.0e38
-# visits between refilters (= big-mode DMA prefetch depth). Smaller K
-# refilters sooner (fewer wasted visits once the front clusters resolve
-# the block) at the cost of more refilter sweeps — a hardware A/B knob.
+# visits between refilters. Smaller K refilters sooner (fewer wasted
+# visits once the front clusters resolve the block) at the cost of more
+# refilter sweeps — a hardware A/B knob (r5 @1024^2: K=4 1.787 vs K=8
+# 2.166 Msamples/s — extra refilters don't pay at this scene scale).
 # Shadow wavefronts get their own knob: any-hit lanes retire at the first
 # occluder, so earlier refilters can pay off sooner than for closest-hit.
 K_VISITS = int(_os_env.environ.get("HYDRA_CL_K", "8"))
@@ -83,14 +84,16 @@ def _kvis_for(kind: str) -> int:
 REFILTER = _os_env.environ.get("HYDRA_CL_REFILTER", "full")
 N_SUB = 8  # tn-cache subgroups per ray block
 
-# cluster iteration flavor (HYDRA_CL_POP, default on): "pop" iterates the
-# occupancy words directly — copy them to SMEM once per sweep (NW ~40-cycle
-# VMEM reads, the same count the list compaction already paid) and pop the
-# lowest set bit per visit (~10 scalar ops). The r4 list machinery instead
-# re-SCANNED O(Cp) per sweep: a 16-iteration bit loop per nonzero word at
-# init (cbody) plus one 40-cycle cnt read PER remaining list entry at every
-# refilter (rbody) — several us of scalar work per live block that the
+# visit-list construction flavor (HYDRA_CL_POP, default on): build and
+# REBUILD the front-to-back visit list by popping the lowest set bit of
+# SMEM-cached occupancy words (~8 scalar ops per surviving entry, one
+# while loop per sweep). The r4 machinery instead re-SCANNED O(Cp) per
+# sweep: a 16-iteration bit loop per nonzero word at init (cbody) plus one
+# ~40-cycle cnt VMEM read PER remaining list entry at every refilter
+# (rbody) — several us of scalar work per live block that the
 # front-to-back bit order makes unnecessary (bit position IS visit order).
+# Hardware A/B (r5, test_224 @1024^2 d5): pop 2.166 vs list 1.928
+# Msamples/s with the bf16 permute fixed, ~+12% independently at 256^2.
 POP_ITER = _os_env.environ.get("HYDRA_CL_POP", "1") == "1"
 
 # NOTE (r5): subgroup-masked visits (HYDRA_CL_SUBG_*) were built in r4 and
@@ -100,10 +103,17 @@ POP_ITER = _os_env.environ.get("HYDRA_CL_POP", "1") == "1"
 # scalar core and break the dense pipeline, costing more than the skipped
 # MT work they save (the CPU-model bound of 0.27x dense work,
 # tools/exp_subgroup_divergence.py, does not survive contact with Mosaic).
+#
+# NOTE (r5): the HBM-streaming "big mode" (pool in ANY memory + K-deep DMA
+# prefetch ring per visit group) was likewise DELETED after its hardware
+# A/B lost to the partitioned chunk chain on the same Benchmark_Scene03
+# wavefront: big 0.7 / VMEM-at-scale 0.8 vs partitioned 1.2 Mrays/s
+# (tools/exp_partition.py; r4-gated per VERDICT, decision closed r5).
+# Any-size scenes route through partition_clusters + _partitioned_traverse.
 
 
 def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
-                 big_mode: bool = False, inst_mode: bool = False,
+                 inst_mode: bool = False,
                  r_blk: int = 256, k_vis: int = K_VISITS):
     CT = Cp // 128
     NW = CT * 8  # 16-bit occupancy words
@@ -119,33 +129,29 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
         else:
             map_ref = imat_ref = None
         if POP_ITER:
-            out_ref, outi_ref, cnt, lst, aw, vis, *big_scratch = rest
+            out_ref, outi_ref, cnt, lst, aw, vis, *rest = rest
         else:
-            out_ref, outi_ref, cnt, lst, *big_scratch = rest
+            out_ref, outi_ref, cnt, lst, *rest = rest
             aw = vis = None
-        if cheap:
-            tnm, *big_scratch = big_scratch
-        else:
-            tnm = None
+        tnm = rest[0] if cheap else None
         if unroll_sub:  # interpret mode: fori over ref effects miscompiles
             for m in range(M_SUB):
                 _process_block(jnp.int32(m), ray_ref, cblo_ref, tris_ref,
                                perm_ref, oct_ref, map_ref, imat_ref,
-                               out_ref, outi_ref, cnt, lst, aw, vis, tnm,
-                               big_scratch)
+                               out_ref, outi_ref, cnt, lst, aw, vis, tnm)
             return
 
         def process(m, _carry):
             _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                            map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                           aw, vis, tnm, big_scratch)
+                           aw, vis, tnm)
             return 0
 
         jax.lax.fori_loop(0, M_SUB, process, 0)
 
     def _process_block(m, ray_ref, cblo_ref, tris_ref, perm_ref, oct_ref,
                        map_ref, imat_ref, out_ref, outi_ref, cnt, lst,
-                       aw, vis, tnm, big_scratch):
+                       aw, vis, tnm):
         rays = ray_ref[m]  # (R_BLK, 8) [ox oy oz dx dy dz tlim act]
         ox = rays[:, 0:1]
         oy = rays[:, 1:2]
@@ -420,22 +426,8 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             for p_ in poss:
                 vis[p_ >> 4] = vis[p_ >> 4] | jnp.left_shift(
                     jnp.int32(1), p_ & 15)
-            if big_mode:
-                tbuf, dsem = big_scratch
-                cks = []
-                for k in range(k_vis):
-                    ck = perm_ref[oct_, poss[k]]
-                    pltpu.make_async_copy(tris_ref.at[ck], tbuf.at[k],
-                                          dsem.at[k]).start()
-                    cks.append(ck)
-
-                def visit_k(k, t_cur):
-                    pltpu.make_async_copy(tris_ref.at[cks[k]], tbuf.at[k],
-                                          dsem.at[k]).wait()
-                    return _mt_block(tbuf[k], t_cur), cks[k]
-            else:
-                def visit_k(k, t_cur):
-                    return visit_tm(poss[k], t_cur)
+            def visit_k(k, t_cur):
+                return visit_tm(poss[k], t_cur)
 
             tg, cg = visit_k(0, t_cur)
             sg = jnp.broadcast_to(jnp.int32(cg), (R_BLK, 1))
@@ -472,27 +464,8 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
             # past the list end clamp to the last valid entry (idempotent
             # re-visit — min-folding makes redundant visits harmless)
             last = jnp.maximum(n - 1, 0)
-            if big_mode:
-                # triangle pool lives in HBM (bvh_access streams leaves from
-                # global memory the same way): prefetch the whole group's
-                # Woop blocks up front — K independent DMAs, one VMEM tile +
-                # one semaphore EACH — then wait per visit. Keeps every DMA
-                # in flight while earlier visits compute.
-                tbuf, dsem = big_scratch
-                cks = []
-                for k in range(k_vis):
-                    ck = perm_ref[oct_, lst[jnp.minimum(ptr + k, last)]]
-                    pltpu.make_async_copy(tris_ref.at[ck], tbuf.at[k],
-                                          dsem.at[k]).start()
-                    cks.append(ck)
-
-                def visit_k(k, t_cur):
-                    pltpu.make_async_copy(tris_ref.at[cks[k]], tbuf.at[k],
-                                          dsem.at[k]).wait()
-                    return _mt_block(tbuf[k], t_cur), cks[k]
-            else:
-                def visit_k(k, t_cur):
-                    return visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
+            def visit_k(k, t_cur):
+                return visit_tm(lst[jnp.minimum(ptr + k, last)], t_cur)
 
             tg, cg = visit_k(0, t_cur)
             sg = jnp.broadcast_to(jnp.int32(cg), (R_BLK, 1))
@@ -556,12 +529,7 @@ def _make_kernel(Cp: int, any_hit_mode: bool, unroll_sub: bool = False,
 INTERPRET = False
 
 
-# clusters beyond this keep their triangle pool in HBM (big mode).
-# HYDRA_VMEM_MAX_CP raises it for the pure-VMEM-at-scale hardware A/B
-# (pair with HYDRA_CL_MAX_CP so routing reaches the cluster path at all).
 import os as _os  # noqa: E402
-
-VMEM_MAX_CP = int(_os.environ.get("HYDRA_VMEM_MAX_CP", "1024"))
 
 
 @partial(jax.jit, static_argnames=("any_hit_mode", "interpret", "r_blk",
@@ -578,7 +546,6 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     assert G % M_SUB == 0, "pad ray blocks to a multiple of M_SUB"
     Cp = cbl_oct.shape[2]
     inst = cl_map is not None
-    big = Cp > VMEM_MAX_CP and not inst
     d0 = rays[:, 0, 3:6]  # block octant from its first ray's direction
     oct_ = ((d0[:, 0] > 0).astype(jnp.int32)
             + 2 * (d0[:, 1] > 0).astype(jnp.int32)
@@ -596,11 +563,6 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
     if REFILTER == "cheap":
         # per-subgroup min slab entry distance, cached by the init sweep
         scratch += [pltpu.VMEM(((Cp // 128) * N_SUB, 128), jnp.float32)]
-    if big:
-        # K-deep DMA prefetch ring: one (4,384) tile + one semaphore per
-        # visit of an unrolled group (see outer_body)
-        scratch += [pltpu.VMEM((k_vis, 4, 384), jnp.float32),
-                    pltpu.SemaphoreType.DMA((k_vis,))]
     inst_in = []
     inst_specs = []
     if inst:
@@ -612,7 +574,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
                          memory_space=pltpu.VMEM),
         ]
     out, outi = pl.pallas_call(
-        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret, big_mode=big,
+        _make_kernel(Cp, any_hit_mode, unroll_sub=interpret,
                      inst_mode=inst, r_blk=R_BLK, k_vis=k_vis),
         interpret=interpret,
         grid=(G // M_SUB,),
@@ -621,7 +583,6 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cbl_oct.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY) if big else
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(perm.shape, lambda i: (0, 0),
@@ -640,9 +601,7 @@ def _cluster_traverse(rays, cbl_oct, tris, perm, cl_map=None, inst_woop=None,
         ],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            # big mode issues its own DMAs: "arbitrary" keeps the grid
-            # pipeliner from interleaving steps around them
-            dimension_semantics=("arbitrary" if big else "parallel",)),
+            dimension_semantics=("parallel",)),
     )(rays, cbl_oct, tris, perm, oct_, *inst_in)
     return out[:, :, 0], outi[:, :, 0], out[:, :, 1]
 
