@@ -251,8 +251,10 @@ def main():
 
     # ---- phase 3: a small A/B over alternates; adopt a winner if it beats
     # the headline by > 5% (warm-cache configs only — compiles are the cost)
-    alts = [c for c in ({}, {"HYDRA_CL_RBLK": "128"},
-                        {"HYDRA_FUSE_TRACE": "1", "HYDRA_REGEN": "1"})
+    # r5 A/B already priced: K=4 1.787, sort-every-2 1.769, f32-permute
+    # 1.928, pop-off 1.928-class — all lose to base 2.166. Remaining
+    # untested candidates: wider visit groups, fused shadow+extension.
+    alts = [c for c in ({"HYDRA_CL_K": "12"}, {"HYDRA_FUSE_TRACE": "1"})
             if c != BEST_CFG]
     scores = {}
     for env in alts:
