@@ -23,11 +23,11 @@ timeout 300 python -c "import jax; print(jax.devices())" || { echo TUNNEL_DOWN; 
 run stage_floor python -u tools/exp_stage_floor.py 262144
 run gather_fuse python -u tools/exp_gather_fuse.py 262144
 
-# 2. big-scene decision data (VERDICT r5 #3)
+# 2. big-scene decision data (VERDICT r5 #3) — decision closed r5: the
+#    partitioned chain won (1.2 Mrays/s vs big mode 0.7); exp_bigmode and
+#    the HBM big mode were deleted with it.
 run partition python -u tools/exp_partition.py
-run bigmode_true env HYDRA_CL_MAX_CP=8192 HYDRA_VMEM_MAX_CP=1024 \
-    python -u tools/exp_bigmode.py /root/reference/hydra_app/tests/Benchmark_Scene03 65536
-run vmem_scale env HYDRA_CL_MAX_CP=4096 HYDRA_VMEM_MAX_CP=4096 \
+run vmem_scale env HYDRA_CL_MAX_CP=4096 \
     python -u tools/exp_partition.py
 
 # 3. Benchmark_Scene03 @256^2 real-camera render differential
